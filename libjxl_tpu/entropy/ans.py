@@ -1,0 +1,545 @@
+"""rANS entropy codec: histogram bundles, symbol reader, token writer.
+
+Decode mirrors ``DecodeHistograms``/``ANSSymbolReader``
+(``lib/jxl/dec_ans.cc:295-340``, ``lib/jxl/dec_ans.h:162-366``); encode
+mirrors ``BuildAndStoreEntropyCodes``/``WriteTokens``
+(``lib/jxl/enc_ans.cc:915,1237-1321``, ``lib/jxl/enc_ans.h:49-77``).
+
+The 32-bit rANS state renormalizes in 16-bit words; streams are written in
+reverse and read forward; the final decoder state must equal the signature
+(0x13 << 16) — a built-in checksum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libjxl_tpu.core.fields import (
+    Bits, BitsOffset, FormatError, U32Enc, Val, read_u32, write_u32,
+)
+from libjxl_tpu.entropy.alias import build_alias_table, build_encoder_slots
+from libjxl_tpu.entropy.histogram import (
+    ANS_LOG_TAB_SIZE, ANS_MAX_ALPHABET_SIZE, ANS_SIGNATURE, ANS_TAB_SIZE,
+    PREFIX_MAX_BITS, decode_varlen_uint16, encode_varlen_uint16,
+    read_histogram, write_histogram,
+)
+from libjxl_tpu.entropy.hybrid import HybridUintConfig
+from libjxl_tpu.entropy.prefix import (
+    PrefixCode, build_prefix_lengths, canonical_codes, read_prefix_code,
+    write_prefix_code, _reverse_bits,
+)
+from libjxl_tpu.utils.bits import BitReader, BitWriter
+
+K_WINDOW_SIZE = 1 << 20
+K_NUM_SPECIAL_DISTANCES = 120
+_SPECIAL_DISTANCES = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+
+def special_distance(index: int, multiplier: int) -> int:
+    a, b = _SPECIAL_DISTANCES[index]
+    d = a + multiplier * b
+    return d if d > 1 else 1
+
+
+@dataclass
+class LZ77Params:
+    """(dec_ans.cc LZ77Params::VisitFields)."""
+
+    enabled: bool = False
+    min_symbol: int = 224
+    min_length: int = 3
+    length_uint_config: HybridUintConfig = HybridUintConfig(0, 0, 0)
+    distance_context: int = 0   # nonserialized
+
+    def read(self, r: BitReader) -> None:
+        self.enabled = r.read(1) == 1
+        if self.enabled:
+            self.min_symbol = read_u32(r, U32Enc(Val(224), Val(512),
+                                                 Val(4096), BitsOffset(15, 8)))
+            self.min_length = read_u32(r, U32Enc(Val(3), Val(4),
+                                                 BitsOffset(2, 5),
+                                                 BitsOffset(8, 9)))
+
+    def write(self, w: BitWriter) -> None:
+        w.write(1, 1 if self.enabled else 0)
+        if self.enabled:
+            write_u32(w, U32Enc(Val(224), Val(512), Val(4096),
+                                BitsOffset(15, 8)), self.min_symbol)
+            write_u32(w, U32Enc(Val(3), Val(4), BitsOffset(2, 5),
+                                BitsOffset(8, 9)), self.min_length)
+
+
+def _ceil_log2(x: int) -> int:
+    return (x - 1).bit_length() if x > 1 else 0
+
+
+def read_uint_config(r: BitReader, log_alpha_size: int) -> HybridUintConfig:
+    """(dec_ans.cc:271-293)."""
+    split_exponent = r.read(_ceil_log2(log_alpha_size + 1))
+    msb = lsb = 0
+    if split_exponent != log_alpha_size:
+        nbits = _ceil_log2(split_exponent + 1)
+        msb = r.read(nbits)
+        if msb > split_exponent:
+            raise FormatError("invalid hybrid uint config")
+        nbits = _ceil_log2(split_exponent - msb + 1)
+        lsb = r.read(nbits)
+    if lsb + msb > split_exponent:
+        raise FormatError("invalid hybrid uint config")
+    return HybridUintConfig(split_exponent, msb, lsb)
+
+
+def write_uint_config(w: BitWriter, cfg: HybridUintConfig,
+                      log_alpha_size: int) -> None:
+    w.write(_ceil_log2(log_alpha_size + 1), cfg.split_exponent)
+    if cfg.split_exponent != log_alpha_size:
+        w.write(_ceil_log2(cfg.split_exponent + 1), cfg.msb_in_token)
+        w.write(_ceil_log2(cfg.split_exponent - cfg.msb_in_token + 1),
+                cfg.lsb_in_token)
+
+
+@dataclass
+class ANSCode:
+    """Decoded entropy-code bundle for one histogram set."""
+
+    use_prefix_code: bool = False
+    log_alpha_size: int = 8
+    lz77: LZ77Params = field(default_factory=LZ77Params)
+    uint_configs: list = field(default_factory=list)
+    # per-histogram decode tables
+    alias_symbols: list = field(default_factory=list)   # [np(4096)]
+    alias_offsets: list = field(default_factory=list)   # [np(4096)]
+    alias_freqs: list = field(default_factory=list)     # [np(tab)]
+    prefix_codes: list = field(default_factory=list)    # [PrefixCode|None]
+    context_map: np.ndarray | None = None
+
+
+def decode_context_map(r: BitReader, num_contexts: int):
+    """(dec_context_map.cc:48-95). Returns (context_map, num_histograms)."""
+    context_map = np.zeros(num_contexts, dtype=np.int32)
+    if r.read(1):  # simple
+        bits_per_entry = r.read(2)
+        if bits_per_entry != 0:
+            for i in range(num_contexts):
+                context_map[i] = r.read(bits_per_entry)
+    else:
+        use_mtf = r.read(1) == 1
+        code = decode_histograms(r, 1, disallow_lz77=num_contexts <= 2)
+        reader = ANSSymbolReader(code, r)
+        for i in range(num_contexts):
+            context_map[i] = reader.read_hybrid_uint(0, r)
+        if context_map.max(initial=0) >= 256:
+            raise FormatError("invalid cluster ID")
+        if not reader.check_final_state():
+            raise FormatError("invalid context map checksum")
+        if use_mtf:
+            _inverse_mtf(context_map)
+    num_histograms = int(context_map.max()) + 1
+    used = np.unique(context_map)
+    if used.size != num_histograms or context_map.min() < 0:
+        raise FormatError("incomplete context map")
+    return context_map, num_histograms
+
+
+def _inverse_mtf(values: np.ndarray) -> None:
+    mtf = list(range(256))
+    for i in range(len(values)):
+        idx = int(values[i])
+        values[i] = mtf[idx]
+        if idx:
+            v = mtf.pop(idx)
+            mtf.insert(0, v)
+
+
+def encode_context_map(w: BitWriter, context_map, num_histograms: int
+                       ) -> None:
+    """Simple (raw bits) context map encoding (enc_context_map.cc)."""
+    context_map = np.asarray(context_map)
+    if len(context_map) <= 1:
+        return
+    if num_histograms == 1:
+        w.write(1, 1)   # simple
+        w.write(2, 0)   # 0 bits per entry
+        return
+    bits_per_entry = _ceil_log2(num_histograms)
+    if bits_per_entry <= 3:
+        w.write(1, 1)
+        w.write(2, bits_per_entry)
+        for v in context_map:
+            w.write(bits_per_entry, int(v))
+        return
+    # Entropy-coded path: no MTF, single ANS stream of the map values.
+    w.write(1, 0)
+    w.write(1, 0)  # no MTF
+    tokens = [(0, int(v)) for v in context_map]
+    codes = build_entropy_codes([tokens_to_array(tokens)], num_contexts=1,
+                                allow_clustering=False)
+    write_entropy_codes(w, codes)
+    write_tokens(w, tokens_to_array(tokens), codes)
+
+
+def decode_histograms(r: BitReader, num_contexts: int,
+                      disallow_lz77: bool = False) -> ANSCode:
+    """(dec_ans.cc:295-340)."""
+    code = ANSCode()
+    code.lz77.read(r)
+    if code.lz77.enabled:
+        if disallow_lz77:
+            raise FormatError("LZ77 disallowed here")
+        num_contexts += 1
+        code.lz77.length_uint_config = read_uint_config(r, 8)
+    if num_contexts > 1:
+        code.context_map, num_histograms = decode_context_map(r, num_contexts)
+    else:
+        code.context_map = np.zeros(1, dtype=np.int32)
+        num_histograms = 1
+    code.lz77.distance_context = int(code.context_map[-1])
+    code.use_prefix_code = r.read(1) == 1
+    if code.use_prefix_code:
+        code.log_alpha_size = PREFIX_MAX_BITS
+    else:
+        code.log_alpha_size = r.read(2) + 5
+    code.uint_configs = [read_uint_config(r, code.log_alpha_size)
+                         for _ in range(num_histograms)]
+    if code.use_prefix_code:
+        alphabet_sizes = [decode_varlen_uint16(r) + 1
+                          for _ in range(num_histograms)]
+        for sz in alphabet_sizes:
+            if sz > (1 << PREFIX_MAX_BITS):
+                raise FormatError("alphabet too large")
+        for sz in alphabet_sizes:
+            if sz > 1:
+                code.prefix_codes.append(read_prefix_code(sz, r))
+            else:
+                code.prefix_codes.append(None)  # 0-bit: symbol 0
+    else:
+        max_alphabet = 1 << code.log_alpha_size
+        for _ in range(num_histograms):
+            counts = read_histogram(r)
+            if len(counts) > max_alphabet:
+                raise FormatError("alphabet too large")
+            sym, off, freq = build_alias_table(counts, code.log_alpha_size)
+            code.alias_symbols.append(sym)
+            code.alias_offsets.append(off)
+            code.alias_freqs.append(freq)
+    if r.overflow:
+        raise FormatError("truncated entropy header")
+    return code
+
+
+class ANSSymbolReader:
+    """Scalar symbol/uint reader (dec_ans.h:162-366)."""
+
+    def __init__(self, code: ANSCode, r: BitReader,
+                 distance_multiplier: int = 0):
+        self.code = code
+        self.log_entry_size = max(ANS_LOG_TAB_SIZE - code.log_alpha_size, 0)
+        self.entry_mask = (1 << self.log_entry_size) - 1
+        if not code.use_prefix_code:
+            self.state = r.read(32)
+        else:
+            self.state = ANS_SIGNATURE << 16
+        self.lz77_enabled = code.lz77.enabled
+        self.num_to_copy = 0
+        self.copy_pos = 0
+        self.num_decoded = 0
+        self.window = (np.zeros(K_WINDOW_SIZE, dtype=np.uint32)
+                       if code.lz77.enabled else None)
+        self.num_special = (K_NUM_SPECIAL_DISTANCES
+                           if distance_multiplier else 0)
+        self.special = [special_distance(i, distance_multiplier)
+                        for i in range(self.num_special)]
+
+    def read_symbol(self, histo_idx: int, r: BitReader) -> int:
+        code = self.code
+        if code.use_prefix_code:
+            pc = code.prefix_codes[histo_idx]
+            return 0 if pc is None else pc.read_symbol(r)
+        res = self.state & (ANS_TAB_SIZE - 1)
+        sym = int(code.alias_symbols[histo_idx][res])
+        off = int(code.alias_offsets[histo_idx][res])
+        freq = int(code.alias_freqs[histo_idx][sym])
+        self.state = freq * (self.state >> ANS_LOG_TAB_SIZE) + off
+        if self.state < (1 << 16):
+            self.state = (self.state << 16) | r.read(16)
+        return sym
+
+    def read_hybrid_uint(self, ctx: int, r: BitReader) -> int:
+        """ctx is an UNclustered context; maps through context_map."""
+        return self.read_hybrid_uint_clustered(
+            int(self.code.context_map[ctx]), r)
+
+    def read_hybrid_uint_clustered(self, ctx: int, r: BitReader) -> int:
+        if self.lz77_enabled and self.num_to_copy > 0:
+            ret = int(self.window[self.copy_pos & (K_WINDOW_SIZE - 1)])
+            self.copy_pos += 1
+            self.num_to_copy -= 1
+            self.window[self.num_decoded & (K_WINDOW_SIZE - 1)] = ret
+            self.num_decoded += 1
+            return ret
+        token = self.read_symbol(ctx, r)
+        if self.lz77_enabled and token >= self.code.lz77.min_symbol:
+            lz = self.code.lz77
+            self.num_to_copy = lz.length_uint_config.decode(
+                token - lz.min_symbol, lambda n: r.read(n)) + lz.min_length
+            d_token = self.read_symbol(lz.distance_context, r)
+            distance = self.code.uint_configs[lz.distance_context].decode(
+                d_token, lambda n: r.read(n))
+            if distance < self.num_special:
+                distance = self.special[distance]
+            else:
+                distance = distance + 1 - self.num_special
+            if distance > self.num_decoded:
+                distance = self.num_decoded
+            if distance > K_WINDOW_SIZE:
+                distance = K_WINDOW_SIZE
+            self.copy_pos = self.num_decoded - distance
+            if distance == 0:
+                self.window[:min(self.num_to_copy, K_WINDOW_SIZE)] = 0
+            return self.read_hybrid_uint_clustered(ctx, r)
+        ret = self.code.uint_configs[ctx].decode(token, lambda n: r.read(n))
+        if self.lz77_enabled:
+            self.window[self.num_decoded & (K_WINDOW_SIZE - 1)] = ret
+            self.num_decoded += 1
+        return ret
+
+    def check_final_state(self) -> bool:
+        return self.state == (ANS_SIGNATURE << 16) or \
+            self.code.use_prefix_code
+
+
+# ---------------------------------------------------------------------------
+# Encode side
+# ---------------------------------------------------------------------------
+
+def tokens_to_array(tokens) -> np.ndarray:
+    """tokens: iterable of (context, value) -> (N,2) int64 array."""
+    if isinstance(tokens, np.ndarray):
+        return tokens
+    return np.array(tokens, dtype=np.int64).reshape(-1, 2)
+
+
+@dataclass
+class EntropyEncodingData:
+    """Encoder-side mirror of ANSCode."""
+
+    use_prefix_code: bool = False
+    log_alpha_size: int = 8
+    lz77: LZ77Params = field(default_factory=LZ77Params)
+    uint_configs: list = field(default_factory=list)
+    context_map: np.ndarray | None = None
+    num_histograms: int = 1
+    counts: list = field(default_factory=list)         # normalized per histo
+    # derived encode tables
+    slot_starts: list = field(default_factory=list)
+    slots: list = field(default_factory=list)
+    prefix_lengths: list = field(default_factory=list)
+    prefix_depths: list = field(default_factory=list)  # emission depths
+    prefix_bits: list = field(default_factory=list)    # LSB-first codes
+
+
+def normalize_counts(hist: np.ndarray, target: int = ANS_TAB_SIZE
+                     ) -> np.ndarray:
+    """Normalize to sum=target, keeping every nonzero symbol nonzero."""
+    hist = np.asarray(hist, dtype=np.int64)
+    total = int(hist.sum())
+    assert total > 0
+    nz = hist > 0
+    n_nz = int(nz.sum())
+    if n_nz == 1:
+        out = np.zeros_like(hist)
+        out[np.argmax(hist)] = target
+        return out
+    scaled = hist.astype(np.float64) * (target - n_nz) / total
+    out = np.floor(scaled).astype(np.int64) + nz.astype(np.int64)
+    deficit = target - int(out.sum())
+    if deficit > 0:
+        frac = scaled - np.floor(scaled)
+        frac[~nz] = -1
+        order = np.argsort(-frac, kind="stable")
+        for i in order[:deficit]:
+            out[i] += 1
+    elif deficit < 0:
+        room = out - 1
+        room[~nz] = 0
+        order = np.argsort(-out, kind="stable")
+        k = -deficit
+        for i in order:
+            if k == 0:
+                break
+            take = min(int(room[i]), k)
+            out[i] -= take
+            k -= take
+        assert k == 0
+    assert out.sum() == target
+    return out
+
+
+def build_entropy_codes(token_arrays, num_contexts: int,
+                        use_prefix_code: bool = False,
+                        allow_clustering: bool = True,
+                        lz77: LZ77Params | None = None
+                        ) -> EntropyEncodingData:
+    """Histograms + (trivial) clustering from token streams.
+
+    token_arrays: list of (N,2) arrays of (context, value) pairs.
+    """
+    codes = EntropyEncodingData()
+    if lz77 is not None:
+        codes.lz77 = lz77
+    codes.use_prefix_code = use_prefix_code
+    cfg = HybridUintConfig(4, 2, 0)
+    alpha_bits = PREFIX_MAX_BITS if use_prefix_code else 8
+    # histogram per context of token values
+    max_token = 0
+    hists = np.zeros((num_contexts, 1 << alpha_bits), dtype=np.int64)
+    for arr in token_arrays:
+        if arr.size == 0:
+            continue
+        ctx = arr[:, 0]
+        tok, _, _ = cfg.encode_array(arr[:, 1].astype(np.uint32))
+        if tok.size:
+            max_token = max(max_token, int(tok.max()))
+        np.add.at(hists, (ctx, tok), 1)
+    if max_token >= (1 << alpha_bits):
+        raise FormatError("token too large for alphabet")
+    # cluster identical histograms (cheap exact dedup)
+    if allow_clustering and num_contexts > 1:
+        uniq, inverse = np.unique(hists, axis=0, return_inverse=True)
+        # order clusters by first appearance to keep map canonical
+        first_idx = [int(np.nonzero(inverse == u)[0][0])
+                     for u in range(len(uniq))]
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        context_map = rank[inverse]
+        clustered = uniq[order]
+    else:
+        context_map = np.arange(num_contexts)
+        clustered = hists
+    codes.context_map = context_map.astype(np.int32)
+    codes.num_histograms = len(clustered)
+    codes.uint_configs = [cfg] * codes.num_histograms
+    codes.log_alpha_size = alpha_bits if not use_prefix_code else \
+        PREFIX_MAX_BITS
+    if not use_prefix_code:
+        codes.log_alpha_size = 8
+    for h in clustered:
+        h = np.trim_zeros(h, trim="b")
+        if h.size == 0:
+            h = np.array([1], dtype=np.int64)
+        if use_prefix_code:
+            lengths = build_prefix_lengths(h)
+            codes.prefix_lengths.append(lengths)
+            mcodes = canonical_codes(lengths)
+            codes.prefix_bits.append(
+                [(_reverse_bits(c, int(l)) if l else 0)
+                 for c, l in zip(mcodes, lengths)])
+            # A single-symbol code is transmitted as a simple code that the
+            # decoder reads with 0 bits per symbol (dec_huffman.cc:127-129).
+            depths = np.asarray(lengths).copy()
+            if np.count_nonzero(h) == 1:
+                depths[:] = 0
+            codes.prefix_depths.append(depths)
+            codes.counts.append(h)
+        else:
+            norm = normalize_counts(h)
+            codes.counts.append(norm)
+            start, slots = build_encoder_slots(norm, codes.log_alpha_size)
+            codes.slot_starts.append(start)
+            codes.slots.append(slots)
+    return codes
+
+
+def write_entropy_codes(w: BitWriter, codes: EntropyEncodingData) -> None:
+    """Serialize the entropy-code header (inverse of decode_histograms)."""
+    codes.lz77.write(w)
+    if codes.lz77.enabled:
+        write_uint_config(w, codes.lz77.length_uint_config, 8)
+    num_contexts = len(codes.context_map)
+    if num_contexts > 1:
+        encode_context_map(w, codes.context_map, codes.num_histograms)
+    w.write(1, 1 if codes.use_prefix_code else 0)
+    if not codes.use_prefix_code:
+        w.write(2, codes.log_alpha_size - 5)
+    for cfg in codes.uint_configs:
+        write_uint_config(w, cfg, codes.log_alpha_size
+                          if not codes.use_prefix_code else PREFIX_MAX_BITS)
+    if codes.use_prefix_code:
+        for lengths in codes.prefix_lengths:
+            n = len(np.trim_zeros(np.asarray(lengths), trim="b"))
+            encode_varlen_uint16(w, max(n, 1) - 1)
+        for lengths in codes.prefix_lengths:
+            n = len(np.trim_zeros(np.asarray(lengths), trim="b"))
+            if n > 1:
+                write_prefix_code(w, np.asarray(lengths)[:n])
+    else:
+        for counts in codes.counts:
+            write_histogram(w, list(counts))
+
+
+def write_tokens(w: BitWriter, tokens: np.ndarray,
+                 codes: EntropyEncodingData) -> None:
+    """ANS/prefix token emission (enc_ans.cc:1237-1321)."""
+    tokens = tokens_to_array(tokens)
+    n = len(tokens)
+    if n == 0 and not codes.use_prefix_code:
+        w.write(32, ANS_SIGNATURE << 16)
+        return
+    ctxs = tokens[:, 0].astype(np.int64)
+    histos = codes.context_map[ctxs]
+    cfg = codes.uint_configs[0]
+    toks, nbits, bits = cfg.encode_array(tokens[:, 1].astype(np.uint32))
+    if codes.use_prefix_code:
+        out_nbits = np.zeros(n, dtype=np.int64)
+        out_bits = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            h = int(histos[i])
+            t = int(toks[i])
+            depth = int(codes.prefix_depths[h][t])
+            code_bits = int(codes.prefix_bits[h][t])
+            data = code_bits | (int(bits[i]) << depth)
+            out_nbits[i] = depth + int(nbits[i])
+            out_bits[i] = data
+        w.write_array(out_nbits, out_bits)
+        return
+    # ANS: process tokens in reverse, emit state words; then write forward.
+    state = ANS_SIGNATURE << 16
+    rev_nbits: list[int] = []
+    rev_bits: list[int] = []
+    for i in range(n - 1, -1, -1):
+        h = int(histos[i])
+        t = int(toks[i])
+        nb = int(nbits[i])
+        if nb:
+            rev_nbits.append(nb)
+            rev_bits.append(int(bits[i]))
+        freq = int(codes.counts[h][t])
+        if (state >> (32 - ANS_LOG_TAB_SIZE)) >= freq:
+            rev_nbits.append(16)
+            rev_bits.append(state & 0xFFFF)
+            state >>= 16
+        start = codes.slot_starts[h]
+        slots = codes.slots[h]
+        state = ((state // freq) << ANS_LOG_TAB_SIZE) + \
+            int(slots[int(start[t]) + state % freq])
+    w.write(32, state)
+    w.write_array(np.array(rev_nbits[::-1], dtype=np.int64),
+                  np.array(rev_bits[::-1], dtype=np.uint64))
