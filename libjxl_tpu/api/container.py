@@ -1,0 +1,89 @@
+"""ISOBMFF container (box) layer (reference ``lib/jxl/decode.cc:1670-2040``
+``lib/jxl/box_content_decoder.cc``, ``encode.cc:838-892``).
+
+Boxes: 4-byte BE size + 4-byte type (+8-byte extended size if size==1).
+Codestream lives in a single ``jxlc`` box or ordered ``jxlp`` partial boxes
+(4-byte index, high bit marks the last). ``brob`` wraps a Brotli-compressed
+payload whose real type is its first 4 bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+CONTAINER_SIGNATURE = bytes.fromhex("0000000C4A584C200D0A870A")
+
+
+@dataclass
+class Box:
+    type: bytes
+    data: bytes
+
+
+class ContainerError(ValueError):
+    pass
+
+
+def is_container(data: bytes) -> bool:
+    return data[:12] == CONTAINER_SIGNATURE
+
+
+def parse_boxes(data: bytes) -> list[Box]:
+    boxes = []
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        btype = data[pos + 4:pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > n:
+                raise ContainerError("truncated extended box")
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            header = 16
+        if size == 0:
+            payload = data[pos + header:]
+            pos = n
+        else:
+            if size < header or pos + size > n:
+                raise ContainerError("bad box size")
+            payload = data[pos + header:pos + size]
+            pos += size
+        boxes.append(Box(btype, payload))
+    return boxes
+
+
+def extract_codestream(data: bytes) -> bytes:
+    """Return the raw codestream whether bare or boxed."""
+    if data[:2] == b"\xff\x0a":
+        return data
+    if not is_container(data):
+        raise ContainerError("not a JXL file")
+    boxes = parse_boxes(data)
+    parts = []
+    jxlp = []
+    for box in boxes:
+        if box.type == b"jxlc":
+            return box.data
+        if box.type == b"jxlp":
+            if len(box.data) < 4:
+                raise ContainerError("short jxlp box")
+            (index,) = struct.unpack(">I", box.data[:4])
+            jxlp.append((index & 0x7FFFFFFF, box.data[4:]))
+    if jxlp:
+        jxlp.sort()
+        return b"".join(p for _, p in jxlp)
+    raise ContainerError("no codestream box found")
+
+
+def wrap_container(codestream: bytes, level: int | None = None) -> bytes:
+    """Minimal container: signature + ftyp + [jxll] + jxlc."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    out = [CONTAINER_SIGNATURE, box(b"ftyp", b"jxl \x00\x00\x00\x00jxl ")]
+    if level is not None and level != 5:
+        out.append(box(b"jxll", bytes([level])))
+    out.append(box(b"jxlc", codestream))
+    return b"".join(out)

@@ -1,0 +1,73 @@
+"""Conformance: decode reference-encoder (libjxl) lossless streams
+bit-exactly — the modular path's ground-truth gate (SURVEY.md §7 stage 3)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.decoder import decode
+from libjxl_tpu.utils.oracle import oracle_available, oracle_encode
+
+pytestmark = pytest.mark.skipif(not oracle_available(),
+                                reason="libjxl oracle not available")
+
+
+def _structured(rng, h, w):
+    x = np.arange(w)[None, :] + np.arange(h)[:, None] * 2
+    img = np.stack([x % 256, (x * 3) % 256, (x * 7) % 256], axis=-1)
+    img[h // 4:h // 2, w // 4:w // 2] = rng.integers(
+        0, 256, (h // 4, w // 4, 3))
+    return img.astype(np.uint8)
+
+
+@pytest.mark.parametrize("effort", [1, 2, 3, 4, 5, 7, 9])
+def test_decode_reference_lossless_rgb(rng, effort):
+    img = _structured(rng, 40, 48)
+    data = oracle_encode(img, lossless=True, effort=effort)
+    out = decode(data)
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("effort", [1, 3, 7])
+def test_decode_reference_lossless_noise(rng, effort):
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    data = oracle_encode(img, lossless=True, effort=effort)
+    assert np.array_equal(decode(data), img)
+
+
+def test_decode_reference_gray(rng):
+    img = (np.arange(48)[None, :] * np.arange(40)[:, None] % 256
+           ).astype(np.uint8)
+    for effort in (1, 3, 7):
+        data = oracle_encode(img, lossless=True, effort=effort)
+        assert np.array_equal(decode(data).squeeze(), img)
+
+
+def test_decode_reference_16bit(rng):
+    img = rng.integers(0, 65536, (24, 24, 3)).astype(np.uint16)
+    data = oracle_encode(img, lossless=True, effort=3)
+    out = decode(data)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_decode_reference_palette_image(rng):
+    img = (rng.integers(0, 4, (40, 40, 3)) * 80).astype(np.uint8)
+    for effort in (5, 7):
+        data = oracle_encode(img, lossless=True, effort=effort)
+        assert np.array_equal(decode(data), img)
+
+
+def test_decode_reference_multigroup(rng):
+    img = np.zeros((300, 520, 3), np.uint8)
+    img[:, :, 0] = (np.arange(520) % 256)[None, :]
+    img[:, :, 1] = (np.arange(300) % 256)[:, None]
+    img[100:200, 100:400, 2] = 200
+    data = oracle_encode(img, lossless=True, effort=3)
+    assert np.array_equal(decode(data), img)
+
+
+def test_decode_reference_odd_sizes(rng):
+    for h, w in [(1, 1), (7, 3), (33, 17), (64, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = oracle_encode(img, lossless=True, effort=2)
+        assert np.array_equal(decode(data), img), (h, w)
