@@ -1,0 +1,198 @@
+"""High-level encoder: pixels -> JXL codestream.
+
+Round-1 scope: Modular lossless (integer) encoding with a global
+MA tree, optional YCoCg RCT, per-group streams — the reference's e1/e2
+feature point (``doc/encode_effort.md``), producing streams any conformant
+decoder accepts.  Mirrors the section layout of ``lib/jxl/enc_frame.cc``
+(EncodeFrameOneShot -> EncodeGroups).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from libjxl_tpu.core.fields import FieldWriter
+from libjxl_tpu.core.frame_header import (
+    ColorTransform, FrameEncoding, FrameHeader,
+)
+from libjxl_tpu.core.geometry import FrameDimensions
+from libjxl_tpu.core.headers import (
+    BitDepth, ColorEncoding, CustomTransformData, ImageMetadata, SizeHeader,
+    write_bundle, write_signature,
+)
+from libjxl_tpu.core.toc import num_toc_entries, write_toc
+from libjxl_tpu.entropy.ans import build_entropy_codes, tokens_to_array, \
+    write_entropy_codes, write_tokens
+from libjxl_tpu.modular.codec import GroupHeader, ModularOptions, \
+    encode_modular_channel_tokens
+from libjxl_tpu.modular.frame import (
+    stream_id_global, stream_id_modular_ac, stream_id_modular_dc,
+)
+from libjxl_tpu.modular.image import Channel, ModularImage
+from libjxl_tpu.modular.predict import PREDICTOR_GRADIENT
+from libjxl_tpu.modular.transforms import Transform, TransformId, fwd_rct
+from libjxl_tpu.modular.tree import TreeNode, write_tree
+from libjxl_tpu.utils.bits import BitWriter
+
+
+@dataclass
+class EncodeOptions:
+    effort: int = 2
+    use_rct: bool = True           # YCoCg for RGB
+    group_size_shift: int = 1      # 256x256 groups
+
+
+def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    if pixels.dtype == np.uint8:
+        bits = 8
+    elif pixels.dtype == np.uint16:
+        bits = 16
+    else:
+        raise ValueError("lossless encode expects uint8/uint16")
+    img = ModularImage(w, h, bits)
+    for c in range(nch):
+        img.channel.append(Channel(pixels[:, :, c].astype(np.int32)))
+    return img, bits, nch
+
+
+def encode_lossless(pixels: np.ndarray,
+                    options: EncodeOptions | None = None) -> bytes:
+    """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
+    options = options or EncodeOptions()
+    img, bits, nch = _image_from_pixels(pixels)
+    h, w = img.h, img.w
+    gray = nch == 1
+
+    # ---- headers ---------------------------------------------------------
+    bw = BitWriter()
+    write_signature(bw)
+    size = SizeHeader()
+    size.set(w, h)
+    write_bundle(bw, size)
+    meta = ImageMetadata(
+        xyb_encoded=False,
+        bit_depth=BitDepth(bits_per_sample=bits),
+        color_encoding=ColorEncoding.srgb(gray=gray),
+        modular_16_bit_buffer_sufficient=bits <= 12,
+    )
+    write_bundle(bw, meta)
+    ctd = CustomTransformData()
+    ctd.xyb_encoded = False
+    write_bundle(bw, ctd)
+    bw.zero_pad_to_byte()
+
+    # ---- frame header ----------------------------------------------------
+    fh = FrameHeader(encoding=FrameEncoding.MODULAR,
+                     color_transform=ColorTransform.NONE,
+                     group_size_shift=options.group_size_shift)
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    fh.visit(FieldWriter(bw), meta)
+
+    fd = FrameDimensions(w, h, fh.group_dim)
+
+    # ---- modular planning ------------------------------------------------
+    transforms = []
+    if options.use_rct and nch >= 3:
+        fwd_rct(img, 0, 6)  # YCoCg
+        transforms.append(Transform(id=TransformId.RCT, begin_c=0,
+                                    rct_type=6))
+    tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+    num_ctx = (len(tree) + 1) // 2
+    wp_header = GroupHeader().wp_header
+
+    # Stream channel assignment (dec_modular.cc DecodeGlobalInfo/Group):
+    # channels with w,h <= group_dim go to the global stream; larger ones
+    # are carved into per-group slices.
+    global_chans = []
+    group_chans = []
+    for i, ch in enumerate(img.channel):
+        if ch.w <= fd.group_dim and ch.h <= fd.group_dim:
+            global_chans.append(i)
+        else:
+            group_chans.append(i)
+
+    # token streams: global + per AC group (no DC channels w/o squeeze)
+    def group_tokens(gidx: int):
+        gx = gidx % fd.xsize_groups
+        gy = gidx // fd.xsize_groups
+        x0, y0 = gx * fd.group_dim, gy * fd.group_dim
+        sid = stream_id_modular_ac(fd, gidx, 0)
+        sub = ModularImage(0, 0, img.bitdepth)
+        for i in group_chans:
+            ch = img.channel[i]
+            cw = min(fd.group_dim, ch.w - x0)
+            chh = min(fd.group_dim, ch.h - y0)
+            if cw <= 0 or chh <= 0:
+                continue
+            sub.channel.append(Channel(
+                ch.plane[y0:y0 + chh, x0:x0 + cw], ch.hshift, ch.vshift))
+        toks = []
+        for ci in range(len(sub.channel)):
+            toks.extend(map(tuple, np.asarray(tokens_to_array(
+                encode_modular_channel_tokens(sub, ci, sid, tree,
+                                              wp_header)))))
+        return tokens_to_array(toks)
+
+    global_toks = []
+    for ci in global_chans:
+        t = encode_modular_channel_tokens(img, ci, stream_id_global(), tree,
+                                          wp_header)
+        global_toks.append(tokens_to_array(t))
+    global_arr = (np.concatenate(global_toks) if global_toks
+                  else np.zeros((0, 2), dtype=np.int64))
+    group_arrs = [group_tokens(g) for g in range(fd.num_groups)] \
+        if group_chans else [np.zeros((0, 2), dtype=np.int64)
+                             for _ in range(fd.num_groups)]
+
+    codes = build_entropy_codes([global_arr] + group_arrs, num_ctx)
+
+    # ---- sections --------------------------------------------------------
+    def dc_global_section() -> bytes:
+        sw = BitWriter()
+        sw.write(1, 1)          # DequantMatrices::DecodeDC all_default
+        sw.write(1, 1)          # has global tree
+        write_tree(sw, tree)
+        write_entropy_codes(sw, codes)
+        gh = GroupHeader(use_global_tree=True, transforms=transforms)
+        gh.write(sw)
+        if global_arr.size:
+            write_tokens(sw, global_arr, codes)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    def ac_group_section(g: int) -> bytes:
+        if not group_chans:
+            return b""
+        sw = BitWriter()
+        gh = GroupHeader(use_global_tree=True)
+        gh.write(sw)
+        write_tokens(sw, group_arrs[g], codes)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    single = fd.num_groups == 1 and fh.passes.num_passes == 1
+    if single:
+        sections = [dc_global_section()]
+        # DC group + AC group streams are empty (no channels); nothing
+        # follows in the single section.
+    else:
+        sections = [dc_global_section()]
+        for g in range(fd.num_dc_groups):
+            sections.append(b"")      # no DC channels without squeeze
+        sections.append(b"")          # AC global: nothing for modular
+        for g in range(fd.num_groups):
+            sections.append(ac_group_section(g))
+
+    write_toc(bw, [len(s) for s in sections])
+    out = bytearray(bw.to_bytes())
+    for s in sections:
+        out.extend(s)
+    return bytes(out)

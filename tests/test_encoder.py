@@ -1,0 +1,86 @@
+"""Encoder conformance: our streams must decode bit-exactly in BOTH our
+decoder and the reference libjxl decoder (BASELINE config 1 gate)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.decoder import decode
+from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+
+needs_oracle = pytest.mark.skipif(not oracle_available(),
+                                  reason="libjxl oracle not available")
+
+
+def _gradient_image(h, w):
+    x = np.arange(w)[None, :] + np.arange(h)[:, None] * 2
+    return np.stack([x % 256, (x * 3) % 256, (x * 7) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def _roundtrip(img, **kw):
+    data = encode_lossless(img, **kw)
+    out = decode(data)
+    assert np.array_equal(out.squeeze(), img.squeeze())
+    return data
+
+
+@needs_oracle
+def test_encode_oracle_decodes_rgb(rng):
+    img = _gradient_image(40, 48)
+    data = _roundtrip(img)
+    o = oracle_decode(data, num_channels=3)
+    assert np.array_equal(o.pixels, img)
+
+
+@needs_oracle
+def test_encode_oracle_decodes_noise(rng):
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = _roundtrip(img)
+    assert np.array_equal(oracle_decode(data, num_channels=3).pixels, img)
+
+
+@needs_oracle
+def test_encode_oracle_decodes_gray(rng):
+    img = (np.arange(48)[None, :] * 3 % 256).astype(np.uint8).repeat(40, 0)
+    data = _roundtrip(img)
+    assert np.array_equal(
+        oracle_decode(data, num_channels=1).pixels.squeeze(), img)
+
+
+@needs_oracle
+def test_encode_oracle_decodes_16bit(rng):
+    img = rng.integers(0, 65536, (32, 32, 3)).astype(np.uint16)
+    data = _roundtrip(img)
+    o = oracle_decode(data, num_channels=3, dtype=np.uint16)
+    assert np.array_equal(o.pixels, img)
+
+
+@needs_oracle
+def test_encode_oracle_decodes_multigroup(rng):
+    img = np.zeros((300, 520, 3), np.uint8)
+    img[:, :, 0] = (np.arange(520) % 256)[None, :]
+    img[:, :, 1] = (np.arange(300) % 256)[:, None]
+    img[100:200, 100:400, 2] = 200
+    data = _roundtrip(img)
+    assert np.array_equal(oracle_decode(data, num_channels=3).pixels, img)
+
+
+@needs_oracle
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 3), (33, 17), (257, 100)])
+def test_encode_oracle_decodes_odd_sizes(rng, h, w):
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = _roundtrip(img)
+    assert np.array_equal(oracle_decode(data, num_channels=3).pixels, img)
+
+
+def test_encode_no_rct_roundtrip(rng):
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    _roundtrip(img, options=EncodeOptions(use_rct=False))
+
+
+def test_density_sane(rng):
+    # A flat image must compress to far below raw size.
+    img = np.full((128, 128, 3), 77, np.uint8)
+    data = encode_lossless(img)
+    assert len(data) < 1000
