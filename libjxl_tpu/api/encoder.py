@@ -42,6 +42,7 @@ class EncodeOptions:
     effort: int = 2
     use_rct: bool = True           # YCoCg for RGB
     group_size_shift: int = 1      # 256x256 groups
+    use_device: bool = False       # JAX/TPU group-parallel compute path
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -64,6 +65,8 @@ def encode_lossless(pixels: np.ndarray,
                     options: EncodeOptions | None = None) -> bytes:
     """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
     options = options or EncodeOptions()
+    if options.use_device:
+        return encode_lossless_device(pixels, options)
     img, bits, nch = _image_from_pixels(pixels)
     h, w = img.h, img.w
     gray = nch == 1
@@ -188,6 +191,106 @@ def encode_lossless(pixels: np.ndarray,
         for g in range(fd.num_dc_groups):
             sections.append(b"")      # no DC channels without squeeze
         sections.append(b"")          # AC global: nothing for modular
+        for g in range(fd.num_groups):
+            sections.append(ac_group_section(g))
+
+    write_toc(bw, [len(s) for s in sections])
+    out = bytearray(bw.to_bytes())
+    for s in sections:
+        out.extend(s)
+    return bytes(out)
+
+
+def encode_lossless_device(pixels: np.ndarray,
+                           options: EncodeOptions | None = None) -> bytes:
+    """Device-accelerated lossless encode: RCT, prediction, tokenization and
+    histograms run as one fused XLA program over the group axis
+    (``libjxl_tpu.models.lossless``); the host does rANS emission + bytes."""
+    from libjxl_tpu.entropy.ans import (
+        build_entropy_codes_from_histogram, write_tokens_pretokenized,
+    )
+    from libjxl_tpu.models.lossless import encode_image_device
+
+    options = options or EncodeOptions()
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    bits = 8 if pixels.dtype == np.uint8 else 16
+    gray = nch == 1
+    group_dim = 128 << options.group_size_shift
+    use_rct = options.use_rct and nch >= 3
+
+    token, nbits, bitsarr, mask, hist = encode_image_device(
+        pixels, group_dim=group_dim, use_rct=use_rct)
+    codes = build_entropy_codes_from_histogram(hist)
+
+    # ---- headers (same as host path) ------------------------------------
+    bw = BitWriter()
+    write_signature(bw)
+    size = SizeHeader()
+    size.set(w, h)
+    write_bundle(bw, size)
+    meta = ImageMetadata(
+        xyb_encoded=False,
+        bit_depth=BitDepth(bits_per_sample=bits),
+        color_encoding=ColorEncoding.srgb(gray=gray),
+        modular_16_bit_buffer_sufficient=bits <= 12,
+    )
+    write_bundle(bw, meta)
+    ctd = CustomTransformData()
+    ctd.xyb_encoded = False
+    write_bundle(bw, ctd)
+    bw.zero_pad_to_byte()
+
+    fh = FrameHeader(encoding=FrameEncoding.MODULAR,
+                     color_transform=ColorTransform.NONE,
+                     group_size_shift=options.group_size_shift)
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    fh.visit(FieldWriter(bw), meta)
+    fd = FrameDimensions(w, h, fh.group_dim)
+
+    tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+    transforms = ([Transform(id=TransformId.RCT, begin_c=0, rct_type=6)]
+                  if use_rct else [])
+
+    def group_stream(g: int) -> tuple:
+        """Masked (token, nbits, bits) for group g in (c, y, x) order."""
+        m = np.broadcast_to(mask[g], token[g].shape)
+        return (token[g][m], nbits[g][m], bitsarr[g][m])
+
+    def dc_global_section() -> bytes:
+        sw = BitWriter()
+        sw.write(1, 1)
+        sw.write(1, 1)
+        write_tree(sw, tree)
+        write_entropy_codes(sw, codes)
+        gh = GroupHeader(use_global_tree=True, transforms=transforms)
+        gh.write(sw)
+        if fd.num_groups == 1:
+            t, nb, b = group_stream(0)
+            write_tokens_pretokenized(sw, t, nb, b, codes)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    def ac_group_section(g: int) -> bytes:
+        sw = BitWriter()
+        gh = GroupHeader(use_global_tree=True)
+        gh.write(sw)
+        t, nb, b = group_stream(g)
+        write_tokens_pretokenized(sw, t, nb, b, codes)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    if fd.num_groups == 1 and fh.passes.num_passes == 1:
+        sections = [dc_global_section()]
+    else:
+        sections = [dc_global_section()]
+        for g in range(fd.num_dc_groups):
+            sections.append(b"")
+        sections.append(b"")
         for g in range(fd.num_groups):
             sections.append(ac_group_section(g))
 

@@ -495,6 +495,65 @@ def write_entropy_codes(w: BitWriter, codes: EntropyEncodingData) -> None:
             write_histogram(w, list(counts))
 
 
+def write_tokens_pretokenized(w: BitWriter, toks: np.ndarray,
+                              nbits: np.ndarray, bits: np.ndarray,
+                              codes: EntropyEncodingData,
+                              histo: int = 0) -> None:
+    """ANS emission for already-tokenized (token, nbits, bits) arrays in a
+    single clustered context — the device-side tokenizer's output format."""
+    n = len(toks)
+    if n == 0:
+        w.write(32, ANS_SIGNATURE << 16)
+        return
+    counts = codes.counts[histo]
+    start = codes.slot_starts[histo]
+    slots = codes.slots[histo]
+    state = ANS_SIGNATURE << 16
+    rev_nbits: list[int] = []
+    rev_bits: list[int] = []
+    toks_l = toks.tolist()
+    nbits_l = nbits.tolist()
+    bits_l = bits.tolist()
+    counts_l = counts.tolist() if hasattr(counts, "tolist") else list(counts)
+    start_l = start.tolist()
+    slots_l = slots.tolist()
+    for i in range(n - 1, -1, -1):
+        nb = nbits_l[i]
+        if nb:
+            rev_nbits.append(nb)
+            rev_bits.append(bits_l[i])
+        t = toks_l[i]
+        freq = counts_l[t]
+        if (state >> (32 - ANS_LOG_TAB_SIZE)) >= freq:
+            rev_nbits.append(16)
+            rev_bits.append(state & 0xFFFF)
+            state >>= 16
+        state = ((state // freq) << ANS_LOG_TAB_SIZE) + \
+            slots_l[start_l[t] + state % freq]
+    w.write(32, state)
+    w.write_array(np.array(rev_nbits[::-1], dtype=np.int64),
+                  np.array(rev_bits[::-1], dtype=np.uint64))
+
+
+def build_entropy_codes_from_histogram(hist: np.ndarray
+                                       ) -> EntropyEncodingData:
+    """Single-context codes from a precomputed token histogram."""
+    codes = EntropyEncodingData()
+    codes.context_map = np.zeros(1, dtype=np.int32)
+    codes.num_histograms = 1
+    codes.uint_configs = [HybridUintConfig(4, 2, 0)]
+    codes.log_alpha_size = 8
+    h = np.trim_zeros(np.asarray(hist, dtype=np.int64), trim="b")
+    if h.size == 0:
+        h = np.array([1], dtype=np.int64)
+    norm = normalize_counts(h)
+    codes.counts.append(norm)
+    start, slots = build_encoder_slots(norm, codes.log_alpha_size)
+    codes.slot_starts.append(start)
+    codes.slots.append(slots)
+    return codes
+
+
 def write_tokens(w: BitWriter, tokens: np.ndarray,
                  codes: EntropyEncodingData) -> None:
     """ANS/prefix token emission (enc_ans.cc:1237-1321)."""
