@@ -30,8 +30,8 @@ def main():
     ], axis=-1).clip(0, 255).astype(np.uint8)
 
     opts = EncodeOptions(use_device=True)
-    # warmup (compile)
-    encode_lossless(img[:256, :256], opts)
+    # warmup (compile; same shape as the measurement to hit the jit cache)
+    encode_lossless(img, opts)
 
     n_reps = 3
     t0 = time.perf_counter()

@@ -220,9 +220,10 @@ def encode_lossless_device(pixels: np.ndarray,
     group_dim = 128 << options.group_size_shift
     use_rct = options.use_rct and nch >= 3
 
-    token, nbits, bitsarr, mask, hist = encode_image_device(
+    packed, mask, hist = encode_image_device(
         pixels, group_dim=group_dim, use_rct=use_rct)
     codes = build_entropy_codes_from_histogram(hist)
+    from libjxl_tpu.entropy.hybrid import DEFAULT_UINT_CONFIG
 
     # ---- headers (same as host path) ------------------------------------
     bw = BitWriter()
@@ -258,8 +259,9 @@ def encode_lossless_device(pixels: np.ndarray,
 
     def group_stream(g: int) -> tuple:
         """Masked (token, nbits, bits) for group g in (c, y, x) order."""
-        m = np.broadcast_to(mask[g], token[g].shape)
-        return (token[g][m], nbits[g][m], bitsarr[g][m])
+        m = np.broadcast_to(mask[g], packed[g].shape)
+        vals = packed[g][m]
+        return DEFAULT_UINT_CONFIG.encode_array(vals)
 
     def dc_global_section() -> bytes:
         sw = BitWriter()

@@ -508,6 +508,13 @@ def write_tokens_pretokenized(w: BitWriter, toks: np.ndarray,
     counts = codes.counts[histo]
     start = codes.slot_starts[histo]
     slots = codes.slots[histo]
+    from libjxl_tpu.utils import native
+    packed = native.ans_encode_stream(toks, nbits, bits, counts, start,
+                                      slots)
+    if packed is not None:
+        data, total_bits = packed
+        w.append_packed(data, total_bits)
+        return
     state = ANS_SIGNATURE << 16
     rev_nbits: list[int] = []
     rev_bits: list[int] = []

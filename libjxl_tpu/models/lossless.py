@@ -1,13 +1,18 @@
 """Flagship TPU pipeline: Modular lossless encode, group-parallel.
 
 The device computes everything pixel-shaped — RCT, prediction residuals,
-hybrid-uint tokenization, per-group histograms — in one fused XLA program
-over a ``(groups, channels, gd, gd)`` layout; the host only runs the
-sequential rANS emission and byte assembly (SURVEY.md §7 design stance).
+zigzag packing, token histograms — in one fused XLA program over a
+``(groups, channels, gd, gd)`` layout; the host only runs hybrid-uint
+bit-splitting (vectorized numpy), the sequential rANS emission and byte
+assembly (SURVEY.md §7 design stance).
+
+Transfer discipline: the host->device payload is the raw uint8/uint16
+pixels; the device->host payload is one packed-residual plane (uint16 for
+8-bit inputs) plus a 256-entry histogram — ~2 bytes/pixel each way, which
+matters when the chip is reached over a narrow link.
 
 Multi-chip: shard the leading group axis with ``NamedSharding`` (see
-``libjxl_tpu.parallel.mesh``); histograms reduce with a psum when a global
-(shared-histogram) code is wanted.
+``libjxl_tpu.parallel.mesh``); the histogram is the cross-shard psum.
 """
 
 from __future__ import annotations
@@ -19,38 +24,77 @@ import jax.numpy as jnp
 import numpy as np
 
 from libjxl_tpu.ops.modular_ops import (
-    fwd_ycocg, gradient_residuals, hybrid_uint_tokenize, image_to_groups,
-    pack_signed, token_histogram,
+    fwd_ycocg, gradient_residuals, image_to_groups, pack_signed,
+    token_histogram,
 )
 
 
-@functools.partial(jax.jit, static_argnames=("use_rct",))
+@functools.partial(jax.jit, static_argnames=("use_rct", "out16"))
 def encode_groups_device(groups: jnp.ndarray, mask: jnp.ndarray,
-                         use_rct: bool = True):
+                         use_rct: bool = True, out16: bool = True):
     """Device side of lossless encode.
 
-    groups: (G, C, gd, gd) int32; mask: (G, 1, gd, gd) bool.
-    Returns (tokens, nbits, bits, histogram):
-      tokens/nbits/bits: (G, C, gd, gd) int32/uint32 residual codes
-      histogram: (256,) int32 global token histogram (masked).
+    groups: (G, C, gd, gd) integer (any int dtype); mask: (G,1,gd,gd) bool.
+    Returns (packed_residuals, histogram): packed zigzag residuals
+    (uint16 when out16 else uint32) and the (256,) masked token histogram.
     """
+    groups = groups.astype(jnp.int32)
     if use_rct and groups.shape[1] >= 3:
         rgb = groups[:, :3]
         rest = groups[:, 3:]
         groups = jnp.concatenate([fwd_ycocg(rgb), rest], axis=1)
     res = gradient_residuals(groups)
     packed = pack_signed(res)
-    token, nbits, bits = hybrid_uint_tokenize(packed)
+    # token id is a pure function of the packed value; histogram it here so
+    # the host never needs a second pass (and so multi-chip runs reduce it
+    # with a psum over the sharded group axis).
+    token = _token_id(packed)
     hist = token_histogram(token, jnp.broadcast_to(mask, token.shape))
-    return token, nbits, bits, hist
+    out = packed.astype(jnp.uint16) if out16 else packed
+    return out, hist
+
+
+def _token_id(packed: jnp.ndarray, split_exponent: int = 4,
+              msb_in_token: int = 2, lsb_in_token: int = 0) -> jnp.ndarray:
+    from libjxl_tpu.ops.modular_ops import floor_log2
+    split_token = 1 << split_exponent
+    small = packed < split_token
+    n = floor_log2(jnp.maximum(packed, 1))
+    mant = packed - (jnp.uint32(1) << n.astype(jnp.uint32))
+    tok_big = (split_token +
+               ((n - split_exponent) << (msb_in_token + lsb_in_token)) +
+               ((mant >> jnp.maximum(n - msb_in_token, 0).astype(jnp.uint32))
+                << lsb_in_token).astype(jnp.int32) +
+               (mant & ((1 << lsb_in_token) - 1)).astype(jnp.int32))
+    return jnp.where(small, packed.astype(jnp.int32), tok_big)
+
+
+def frame_groups_host(img: np.ndarray, group_dim: int):
+    """(H, W, C) -> (G, C, gd, gd) uint8/uint16 groups + bool mask (numpy)."""
+    h, w, c = img.shape
+    gy = -(-h // group_dim)
+    gx = -(-w // group_dim)
+    ph, pw = gy * group_dim, gx * group_dim
+    imgp = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    groups = imgp.reshape(gy, group_dim, gx, group_dim, c)
+    groups = groups.transpose(0, 2, 4, 1, 3).reshape(
+        gy * gx, c, group_dim, group_dim)
+    yy = np.arange(ph).reshape(gy, group_dim)
+    xx = np.arange(pw).reshape(gx, group_dim)
+    # (gy, gx, gd, gd) then flatten group axes
+    mask = (yy[:, None, :, None] < h) & (xx[None, :, None, :] < w)
+    mask = mask.reshape(gy * gx, 1, group_dim, group_dim)
+    return np.ascontiguousarray(groups), mask
 
 
 def encode_image_device(img: np.ndarray, group_dim: int = 256,
                         use_rct: bool = True):
-    """Host wrapper: (H, W, C) -> per-group token arrays + histogram."""
-    arr = jnp.asarray(np.moveaxis(img.astype(np.int32), -1, 0))
-    groups, mask = image_to_groups(arr, group_dim)
-    token, nbits, bits, hist = encode_groups_device(groups, mask,
-                                                    use_rct=use_rct)
-    return (np.asarray(token), np.asarray(nbits), np.asarray(bits),
-            np.asarray(mask), np.asarray(hist))
+    """Host wrapper: (H, W, C) -> per-group packed residuals + histogram.
+
+    Returns (packed[G,C,gd,gd] np.uint32, mask, hist)."""
+    groups, mask = frame_groups_host(img, group_dim)
+    out16 = img.dtype == np.uint8
+    packed, hist = encode_groups_device(jnp.asarray(groups),
+                                        jnp.asarray(mask),
+                                        use_rct=use_rct, out16=out16)
+    return (np.asarray(packed).astype(np.uint32), mask, np.asarray(hist))

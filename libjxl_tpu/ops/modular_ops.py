@@ -113,12 +113,31 @@ def hybrid_uint_tokenize(values: jnp.ndarray, split_exponent: int = 4,
 
 
 def token_histogram(tokens: jnp.ndarray, mask: jnp.ndarray,
-                    alphabet_size: int = 256) -> jnp.ndarray:
-    """Masked histogram of token values (one per call axis batch)."""
-    onehot = jax.nn.one_hot(jnp.clip(tokens, 0, alphabet_size - 1),
-                            alphabet_size, dtype=jnp.int32)
-    onehot = onehot * mask.astype(jnp.int32)[..., None]
-    return onehot.reshape(-1, alphabet_size).sum(axis=0)
+                    alphabet_size: int = 256,
+                    chunk: int = 1 << 16) -> jnp.ndarray:
+    """Masked histogram of token values.
+
+    TPU-friendly compare-and-reduce over fixed-size chunks (scatter-add
+    serializes badly on TPU; one-hot blows memory). Each chunk builds a
+    (chunk, alphabet) boolean compare and reduces it — pure VPU work."""
+    flat = jnp.clip(tokens, 0, alphabet_size - 1).reshape(-1)
+    weights = mask.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    pad = (-n) % chunk
+    flat = jnp.pad(flat, (0, pad))
+    weights = jnp.pad(weights, (0, pad))
+    flat = flat.reshape(-1, chunk)
+    weights = weights.reshape(-1, chunk)
+    ids = jnp.arange(alphabet_size, dtype=flat.dtype)
+
+    def body(acc, xs):
+        t, m = xs
+        eq = (t[:, None] == ids[None, :]).astype(jnp.int32) * m[:, None]
+        return acc + eq.sum(axis=0), None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros(alphabet_size, jnp.int32),
+                           (flat, weights))
+    return hist
 
 
 def image_to_groups(img: jnp.ndarray, group_dim: int):

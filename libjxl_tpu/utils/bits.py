@@ -59,6 +59,22 @@ class BitWriter:
         self._nbits.extend(other._nbits)
         self._total += other._total
 
+    def append_packed(self, data: bytes, nbits: int) -> None:
+        """Append `nbits` bits from an LSB-first packed byte buffer."""
+        if nbits == 0:
+            return
+        full_words = nbits // 32
+        pad = (-len(data)) % 4
+        words = np.frombuffer(data + b"\x00" * pad, dtype="<u4")
+        if full_words:
+            self._words.extend(words[:full_words].astype(np.uint64).tolist())
+            self._nbits.extend([32] * full_words)
+            self._total += 32 * full_words
+        rem = nbits - 32 * full_words
+        if rem:
+            tail = int(words[full_words]) & ((1 << rem) - 1)
+            self.write(rem, tail)
+
     def write_array(self, nbits: np.ndarray, values: np.ndarray) -> None:
         """Vectorized append of many (nbits, value) pairs (LSB-first)."""
         nbits = np.asarray(nbits, dtype=np.int64)

@@ -1,0 +1,146 @@
+"""Loader/builder for the native host kernels (``native/jxl_host.cc``).
+
+Compiles on first use with g++ -O3 into a cached shared object; all
+callers degrade gracefully to the pure-Python paths when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "jxl_host.cc")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    so_path = os.path.join(_BUILD_DIR, f"jxl_host_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", so_path + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so_path + ".tmp", so_path)
+        return so_path
+    except Exception as e:  # noqa: BLE001 - build failure => python fallback
+        sys.stderr.write(f"[libjxl_tpu] native build failed: {e}\n")
+        return None
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so_path = _build()
+    if so_path is None:
+        return None
+    lib = ctypes.CDLL(so_path)
+    lib.jxlt_ans_encode_stream.restype = ctypes.c_int64
+    lib.jxlt_ans_encode_stream.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64]
+    lib.jxlt_ans_decode_tokens.restype = ctypes.c_int64
+    lib.jxlt_ans_decode_tokens.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32]
+    lib.jxlt_gradient_reconstruct.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.jxlt_gradient_residuals.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def ans_encode_stream(tokens: np.ndarray, nbits: np.ndarray,
+                      bits: np.ndarray, counts: np.ndarray,
+                      start: np.ndarray, slots: np.ndarray
+                      ) -> tuple[bytes, int] | None:
+    """Returns (packed_bytes, total_bits) or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+    nbits = np.ascontiguousarray(nbits, dtype=np.int32)
+    bits = np.ascontiguousarray(bits, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    start = np.ascontiguousarray(start, dtype=np.int64)
+    slots = np.ascontiguousarray(slots, dtype=np.int32)
+    n = len(tokens)
+    cap = 8 * n + 64 + (n // 2) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    total_bits = lib.jxlt_ans_encode_stream(
+        tokens.ctypes.data, nbits.ctypes.data, bits.ctypes.data, n,
+        counts.ctypes.data, start.ctypes.data, slots.ctypes.data,
+        out.ctypes.data, cap)
+    if total_bits < 0:
+        return None
+    return out[: (total_bits + 7) // 8].tobytes(), int(total_bits)
+
+
+def ans_decode_tokens(data: bytes, start_bit: int, n: int,
+                      alias_sym: np.ndarray, alias_off: np.ndarray,
+                      freqs: np.ndarray, cfg=(4, 2, 0),
+                      check_final: bool = True):
+    """Returns (values, end_bit) or None if native unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    alias_sym = np.ascontiguousarray(alias_sym, dtype=np.int32)
+    alias_off = np.ascontiguousarray(alias_off, dtype=np.int32)
+    freqs = np.ascontiguousarray(freqs, dtype=np.int32)
+    out = np.empty(n, dtype=np.uint32)
+    end = lib.jxlt_ans_decode_tokens(
+        buf.ctypes.data, len(buf), start_bit, n,
+        alias_sym.ctypes.data, alias_off.ctypes.data, freqs.ctypes.data,
+        cfg[0], cfg[1], cfg[2], out.ctypes.data, 1 if check_final else 0)
+    if end < 0:
+        return None
+    return out, int(end)
+
+
+def gradient_reconstruct(residuals: np.ndarray, h: int, w: int) -> np.ndarray:
+    lib = get_lib()
+    if lib is None:
+        return None
+    residuals = np.ascontiguousarray(residuals, dtype=np.uint32)
+    out = np.empty((h, w), dtype=np.int32)
+    lib.jxlt_gradient_reconstruct(residuals.ctypes.data, h, w,
+                                  out.ctypes.data)
+    return out
+
+
+def gradient_residuals_native(plane: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    plane = np.ascontiguousarray(plane, dtype=np.int32)
+    h, w = plane.shape
+    out = np.empty((h, w), dtype=np.uint32)
+    lib.jxlt_gradient_residuals(plane.ctypes.data, h, w, out.ctypes.data)
+    return out

@@ -1,0 +1,218 @@
+// Host-side native kernels for the TPU-JXL runtime.
+//
+// The TPU (XLA/Pallas) handles everything pixel-parallel; these C kernels
+// cover the inherently sequential per-stream work the host must do:
+//   * rANS stream emission (reverse pass + LSB-first bit packing)
+//     (reference semantics: lib/jxl/enc_ans.h:49-77, enc_ans.cc:1261-1320)
+//   * rANS + hybrid-uint token decode for single-context streams
+//     (lib/jxl/dec_ans.h:162-262)
+//   * ClampedGradient scanline reconstruction (decode) — row-sequential
+//     (lib/jxl/modular/encoding/encoding.cc:289-310)
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#define EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+constexpr int kAnsLogTabSize = 12;
+constexpr uint32_t kAnsTabSize = 1u << kAnsLogTabSize;
+constexpr uint32_t kAnsSignature = 0x13;
+
+struct BitSink {
+  uint8_t* out;
+  int64_t cap;
+  int64_t bitpos = 0;
+  bool overflow = false;
+
+  inline void Write(uint32_t nbits, uint64_t value) {
+    if (nbits == 0) return;
+    int64_t end = bitpos + nbits;
+    if ((end + 7) / 8 > cap) {
+      overflow = true;
+      return;
+    }
+    // LSB-first append.
+    int64_t byte = bitpos >> 3;
+    int off = bitpos & 7;
+    uint64_t v = value & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1));
+    // write up to 9 bytes
+    uint64_t cur = v << off;
+    int total = off + nbits;
+    int n_bytes = (total + 7) / 8;
+    for (int i = 0; i < n_bytes; i++) {
+      out[byte + i] |= (uint8_t)(cur & 0xFF);
+      cur >>= 8;
+      if (i == 7 && total > 64) {
+        // spilled beyond 64 bits of cur: handle the tail explicitly
+        out[byte + 8] |= (uint8_t)(v >> (64 - off));
+        break;
+      }
+    }
+    bitpos = end;
+  }
+};
+
+struct BitSource {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t bitpos;
+
+  inline uint64_t Peek(int nbits) const {
+    int64_t byte = bitpos >> 3;
+    int off = bitpos & 7;
+    uint64_t v = 0;
+    int need = (off + nbits + 7) / 8;
+    for (int i = 0; i < need && byte + i < nbytes; i++) {
+      v |= (uint64_t)data[byte + i] << (8 * i);
+    }
+    v >>= off;
+    return v & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1));
+  }
+
+  inline uint64_t Read(int nbits) {
+    uint64_t v = Peek(nbits);
+    bitpos += nbits;
+    return v;
+  }
+};
+
+}  // namespace
+
+// rANS-encode a pretokenized stream (single clustered context).
+// tokens/nbits/bits: per-token arrays (length n).
+// counts: normalized histogram (alphabet_size entries, sum 4096).
+// start:  per-symbol slot-table offsets (alphabet_size+1).
+// slots:  inverse alias mapping (4096): slot value for (symbol, offset).
+// out:    byte buffer (must be zeroed), cap bytes.
+// Returns total bits written, or -1 on overflow.
+EXPORT int64_t jxlt_ans_encode_stream(
+    const int32_t* tokens, const int32_t* nbits, const uint32_t* bits,
+    int64_t n, const int32_t* counts, const int64_t* start,
+    const int32_t* slots, uint8_t* out, int64_t cap) {
+  // Reverse pass: collect emissions.
+  std::vector<uint32_t> rev_bits;
+  std::vector<uint8_t> rev_nbits;
+  rev_bits.reserve(n + n / 8 + 8);
+  rev_nbits.reserve(n + n / 8 + 8);
+  uint32_t state = kAnsSignature << 16;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    uint8_t nb = (uint8_t)nbits[i];
+    if (nb) {
+      rev_bits.push_back(bits[i]);
+      rev_nbits.push_back(nb);
+    }
+    int32_t t = tokens[i];
+    uint32_t freq = (uint32_t)counts[t];
+    if ((state >> (32 - kAnsLogTabSize)) >= freq) {
+      rev_bits.push_back(state & 0xFFFF);
+      rev_nbits.push_back(16);
+      state >>= 16;
+    }
+    state = ((state / freq) << kAnsLogTabSize) +
+            (uint32_t)slots[start[t] + state % freq];
+  }
+  BitSink sink{out, cap};
+  sink.Write(32, state);
+  for (int64_t i = (int64_t)rev_bits.size() - 1; i >= 0; --i) {
+    sink.Write(rev_nbits[i], rev_bits[i]);
+  }
+  if (sink.overflow) return -1;
+  return sink.bitpos;
+}
+
+// Decode `n` hybrid-uint values from a single-context ANS stream.
+// alias_sym/alias_off: per-slot decode tables (4096 entries).
+// freqs: per-symbol counts. cfg = (split_exponent, msb, lsb).
+// Returns final bit position, or -1 if the final-state checksum fails,
+// -2 on bounds overflow.
+EXPORT int64_t jxlt_ans_decode_tokens(
+    const uint8_t* data, int64_t nbytes, int64_t start_bit, int64_t n,
+    const int32_t* alias_sym, const int32_t* alias_off, const int32_t* freqs,
+    int32_t split_exponent, int32_t msb_in_token, int32_t lsb_in_token,
+    uint32_t* out_values, int check_final) {
+  BitSource src{data, nbytes, start_bit};
+  uint32_t state = (uint32_t)src.Read(32);
+  const uint32_t split_token = 1u << split_exponent;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t res = state & (kAnsTabSize - 1);
+    uint32_t sym = (uint32_t)alias_sym[res];
+    uint32_t off = (uint32_t)alias_off[res];
+    state = (uint32_t)freqs[sym] * (state >> kAnsLogTabSize) + off;
+    if (state < (1u << 16)) {
+      state = (state << 16) | (uint32_t)src.Read(16);
+    }
+    uint32_t token = sym;
+    uint32_t value;
+    if (token < split_token) {
+      value = token;
+    } else {
+      uint32_t nb = split_exponent - (msb_in_token + lsb_in_token) +
+                    ((token - split_token) >> (msb_in_token + lsb_in_token));
+      nb &= 31;
+      uint32_t low = token & ((1u << lsb_in_token) - 1);
+      token >>= lsb_in_token;
+      uint32_t extra = (uint32_t)src.Read(nb);
+      value = ((((1u << msb_in_token) |
+                 (token & ((1u << msb_in_token) - 1)))
+                << nb) |
+               extra)
+                  << lsb_in_token |
+              low;
+    }
+    out_values[i] = value;
+  }
+  if (src.bitpos > nbytes * 8) return -2;
+  if (check_final && state != (kAnsSignature << 16)) return -1;
+  return src.bitpos;
+}
+
+static inline int32_t ClampedGradient(int32_t n, int32_t w, int32_t l) {
+  const int32_t m = n < w ? n : w;
+  const int32_t M = n < w ? w : n;
+  const int32_t grad = (int32_t)((uint32_t)n + (uint32_t)w - (uint32_t)l);
+  const int32_t grad_clamp_M = (l < m) ? M : grad;
+  return (l > M) ? m : grad_clamp_M;
+}
+
+// Reconstruct pixels from zigzag residuals with the ClampedGradient
+// predictor and modular edge rules, in place. values: packed uint32
+// residual tokens in row-major order; out: int32 plane.
+EXPORT void jxlt_gradient_reconstruct(const uint32_t* residuals, int64_t h,
+                                      int64_t w, int32_t* out) {
+  for (int64_t y = 0; y < h; ++y) {
+    int32_t* row = out + y * w;
+    const int32_t* prev = row - w;
+    for (int64_t x = 0; x < w; ++x) {
+      uint32_t v = residuals[y * w + x];
+      int32_t res = (v & 1) ? -(int32_t)((v + 1) >> 1) : (int32_t)(v >> 1);
+      int32_t left = x ? row[x - 1] : (y ? prev[x] : 0);
+      int32_t top = y ? prev[x] : left;
+      int32_t topleft = (x && y) ? prev[x - 1] : left;
+      row[x] = res + ClampedGradient(top, left, topleft);
+    }
+  }
+}
+
+// Forward gradient residuals (encode side host fallback).
+EXPORT void jxlt_gradient_residuals(const int32_t* plane, int64_t h,
+                                    int64_t w, uint32_t* out) {
+  for (int64_t y = 0; y < h; ++y) {
+    const int32_t* row = plane + y * w;
+    const int32_t* prev = row - w;
+    for (int64_t x = 0; x < w; ++x) {
+      int32_t left = x ? row[x - 1] : (y ? prev[x] : 0);
+      int32_t top = y ? prev[x] : left;
+      int32_t topleft = (x && y) ? prev[x - 1] : left;
+      int32_t res = row[x] - ClampedGradient(top, left, topleft);
+      out[y * w + x] =
+          (res >= 0) ? (uint32_t)res * 2 : (uint32_t)(-res) * 2 - 1;
+    }
+  }
+}
+
+EXPORT int64_t jxlt_version() { return 1; }
