@@ -83,6 +83,54 @@ def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
     return fi
 
 
+def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
+    """Decode one VarDCT frame to a float XYB image, then apply the
+    restoration filters; returns (3, H, W) XYB (pre-color-transform)."""
+    from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
+    from libjxl_tpu.render.filters import compute_sigma, epf_step1, \
+        epf_step2, gaborish
+
+    fh = frame.header
+    fd = frame.dims
+    dec = VarDCTFrameDecoder(fh, meta.m, fd)
+    single = len(frame.sections) == 1
+    if single:
+        r = BitReader(frame.sections[0])
+        dec.decode_dc_global(r)
+        dec.decode_dc_group(r, 0)
+        dec.finalize_dc()
+        dec.decode_ac_global(r)
+        dec.decode_ac_group([r], 0, fh.passes.num_passes)
+    else:
+        r = BitReader(frame.sections[0])
+        dec.decode_dc_global(r)
+        for g in range(fd.num_dc_groups):
+            dec.decode_dc_group(BitReader(frame.sections[1 + g]), g)
+        dec.finalize_dc()
+        dec.decode_ac_global(BitReader(
+            frame.sections[1 + fd.num_dc_groups]))
+        for g in range(fd.num_groups):
+            readers = [BitReader(frame.sections[ac_group_index(
+                p, g, fd.num_groups, fd.num_dc_groups)])
+                for p in range(fh.passes.num_passes)]
+            dec.decode_ac_group(readers, g, fh.passes.num_passes)
+
+    xyb = dec.pixels[:, :fd.ysize, :fd.xsize]
+    lf = fh.loop_filter
+    if lf.gab:
+        xyb = gaborish(xyb, lf)
+    if lf.epf_iters > 0:
+        inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
+                                  dec.raw_quant, dec.epf_sharpness,
+                                  dec.quantizer.scale)
+        if lf.epf_iters >= 3:
+            raise FormatError("EPF0 pass not yet implemented")
+        xyb = epf_step1(xyb, inv_sigma, lf)
+        if lf.epf_iters >= 2:
+            xyb = epf_step2(xyb, inv_sigma, lf)
+    return xyb
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode a JXL codestream to an (h, w, c) numpy array.
 
@@ -92,7 +140,18 @@ def decode(data: bytes) -> np.ndarray:
     frame = frames[-1]
     fh = frame.header
     if fh.encoding != FrameEncoding.MODULAR:
-        raise FormatError("VarDCT decoding not wired up yet")
+        from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
+        if fh.upsampling != 1:
+            raise FormatError("upsampling not yet supported")
+        xyb = decode_vardct_frame(meta, frame)
+        intensity = meta.m.tone_mapping.intensity_target
+        linear = xyb_to_linear(xyb, intensity_target=intensity)
+        srgb = linear_to_srgb(linear)
+        out = np.moveaxis(srgb, 0, -1)
+        bits = meta.m.bit_depth.bits_per_sample
+        maxv = (1 << bits) - 1 if bits <= 16 else 255
+        out = np.clip(np.round(out * maxv), 0, maxv)
+        return out.astype(np.uint8 if bits <= 8 else np.uint16)
     if fh.color_transform == ColorTransform.XYB:
         raise FormatError("XYB modular (lossy) not yet supported")
     fi = decode_modular_frame(meta, frame)

@@ -1,0 +1,412 @@
+"""VarDCT frame decoder: sections -> XYB image
+(reference ``lib/jxl/dec_frame.cc``, ``lib/jxl/dec_group.cc``,
+``lib/jxl/dec_modular.cc:429-560``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libjxl_tpu.core.fields import (
+    BitsOffset, FormatError, U32Enc, read_u32, Val,
+)
+from libjxl_tpu.core.frame_header import FrameFlags, FrameHeader
+from libjxl_tpu.core.geometry import FrameDimensions, cdiv
+from libjxl_tpu.core.headers import unpack_signed
+from libjxl_tpu.entropy.ans import ANSSymbolReader, decode_histograms
+from libjxl_tpu.modular.codec import ModularOptions, modular_decode
+from libjxl_tpu.modular.frame import (
+    ModularFrameDecoder, stream_id_ac_metadata, stream_id_vardct_dc,
+)
+from libjxl_tpu.modular.image import Channel, ModularImage
+from libjxl_tpu.utils.bits import BitReader
+from libjxl_tpu.vardct.ac_context import BlockCtxMap, zero_density_context
+from libjxl_tpu.vardct.ac_strategy import (
+    COVERED_X, COVERED_Y, LOG2_COVERED, NUM_STRATEGIES, STRATEGY_ORDER,
+)
+from libjxl_tpu.vardct.cfl import (
+    ColorCorrelation, K_COLOR_TILE_DIM_IN_BLOCKS,
+)
+from libjxl_tpu.vardct.coeff_order import decode_coeff_orders, \
+    read_used_orders
+from libjxl_tpu.vardct.dct import (
+    coeffs_stored_to_rc, idct2d, llf_from_dc,
+)
+from libjxl_tpu.vardct.quant_weights import DequantMatrices
+
+K_GLOBAL_SCALE_DENOM = 1 << 16
+K_QUANT_MAX = 256
+# kDefaultQuantBias (quantizer.h:52-57)
+K_BIASES = (1.0 - 0.05465007330715401, 1.0 - 0.07005449891748593,
+            1.0 - 0.049935103337343655, 0.145)
+
+_GLOBAL_SCALE_DIST = U32Enc(BitsOffset(11, 1), BitsOffset(11, 2049),
+                            BitsOffset(12, 4097), BitsOffset(16, 8193))
+_QUANT_DC_DIST = U32Enc(Val(16), BitsOffset(5, 1), BitsOffset(8, 1),
+                        BitsOffset(16, 1))
+
+
+@dataclass
+class Quantizer:
+    global_scale: int = 1
+    quant_dc: int = 1
+
+    def read(self, r: BitReader) -> None:
+        self.global_scale = read_u32(r, _GLOBAL_SCALE_DIST)
+        self.quant_dc = read_u32(r, _QUANT_DC_DIST)
+
+    @property
+    def inv_global_scale(self) -> float:
+        return 1.0 * K_GLOBAL_SCALE_DENOM / self.global_scale
+
+    @property
+    def scale(self) -> float:
+        return self.global_scale / K_GLOBAL_SCALE_DENOM
+
+    def mul_dc(self, dc_quant) -> tuple:
+        inv_quant_dc = self.inv_global_scale / self.quant_dc
+        return tuple(inv_quant_dc * q for q in dc_quant)
+
+
+def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
+    """(quantizer-inl.h:35-60): 0 -> 0, +-1 -> +-bias_c,
+    else q - bias3/q."""
+    q = q.astype(np.float32)
+    absq = np.abs(q)
+    out = q - K_BIASES[3] / np.where(q == 0, 1.0, q)
+    out = np.where(absq < 0.5, 0.0, out)
+    out = np.where((absq > 0.5) & (absq < 1.5), np.sign(q) * K_BIASES[c],
+                   out)
+    return out
+
+
+class VarDCTFrameDecoder:
+    def __init__(self, fh: FrameHeader, metadata, dims: FrameDimensions):
+        if not fh.chroma_subsampling.is_444:
+            raise FormatError("chroma subsampling not yet supported")
+        self.fh = fh
+        self.meta = metadata
+        self.fd = dims
+        self.quantizer = Quantizer()
+        self.matrices = DequantMatrices()
+        self.bctx = BlockCtxMap()
+        self.cmap = ColorCorrelation()
+        self.mfd = ModularFrameDecoder(fh, metadata, dims)
+        xb, yb = dims.xsize_blocks, dims.ysize_blocks
+        self.acs_raw = np.full((yb, xb), -1, dtype=np.int32)
+        self.acs_anchor = np.zeros((yb, xb), dtype=bool)
+        self.raw_quant = np.ones((yb, xb), dtype=np.int32)
+        self.epf_sharpness = np.zeros((yb, xb), dtype=np.int32)
+        self.quant_dc_idx = np.zeros((yb, xb), dtype=np.int32)
+        self.dc = np.zeros((3, yb, xb), dtype=np.float32)
+        tx = cdiv(xb, K_COLOR_TILE_DIM_IN_BLOCKS)
+        ty = cdiv(yb, K_COLOR_TILE_DIM_IN_BLOCKS)
+        self.ytox_map = np.zeros((ty, tx), dtype=np.int32)
+        self.ytob_map = np.zeros((ty, tx), dtype=np.int32)
+        self.pixels = np.zeros((3, yb * 8, xb * 8), dtype=np.float32)
+        self.num_histograms = 1
+        self.coeff_orders = [None] * fh.passes.num_passes  # per pass
+        self.codes = [None] * fh.passes.num_passes
+        self.used_acs = 0
+
+    # ---- DC global --------------------------------------------------------
+
+    def decode_dc_global(self, r: BitReader) -> None:
+        fh = self.fh
+        if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                       FrameFlags.NOISE):
+            raise FormatError("image features not yet supported (VarDCT)")
+        self.matrices.decode_dc(r)
+        self.quantizer.read(r)
+        self.bctx.read(r)
+        self.cmap.decode_dc(r)
+        self.mfd.decode_global_info(r)
+
+    # ---- DC group ---------------------------------------------------------
+
+    def decode_dc_group(self, r: BitReader, group_id: int) -> None:
+        """(dec_modular.cc DecodeVarDCTDC + group + DecodeAcMetadata)."""
+        fd = self.fd
+        gx = group_id % fd.xsize_dc_groups
+        gy = group_id // fd.xsize_dc_groups
+        x0 = gx * fd.group_dim      # in blocks
+        y0 = gy * fd.group_dim
+        bw = min(fd.group_dim, fd.xsize_blocks - x0)
+        bh = min(fd.group_dim, fd.ysize_blocks - y0)
+
+        if not (self.fh.flags & FrameFlags.USE_DC_FRAME):
+            extra_precision = r.read(2)
+            mul = 1.0 / (1 << extra_precision)
+            img = ModularImage(bw, bh, 32)
+            # stream channel order [Y, X, B]
+            for _ in range(3):
+                img.channel.append(Channel.create(bw, bh))
+            modular_decode(r, img, group_id=stream_id_vardct_dc(fd, group_id),
+                           options=ModularOptions(),
+                           global_tree=self.mfd.tree,
+                           global_code=self.mfd.code,
+                           undo_transforms=True)
+            dc_factors = self.quantizer.mul_dc(self.matrices.dc_quant)
+            cfl_x, _, cfl_b = self.cmap.dc_factors()
+            qy = img.channel[0].plane.astype(np.float32)
+            qx = img.channel[1].plane.astype(np.float32)
+            qb = img.channel[2].plane.astype(np.float32)
+            dcy = qy * (dc_factors[1] * mul)
+            dcx = qx * (dc_factors[0] * mul) + cfl_x * dcy
+            dcb = qb * (dc_factors[2] * mul) + cfl_b * dcy
+            self.dc[0, y0:y0 + bh, x0:x0 + bw] = dcx
+            self.dc[1, y0:y0 + bh, x0:x0 + bw] = dcy
+            self.dc[2, y0:y0 + bh, x0:x0 + bw] = dcb
+            # dc context buckets (compressed_dc.cc:252-293)
+            if self.bctx.num_dc_ctxs > 1:
+                qxp = img.channel[1].plane
+                qyp = img.channel[0].plane
+                qbp = img.channel[2].plane
+                for yy in range(bh):
+                    for xx in range(bw):
+                        self.quant_dc_idx[y0 + yy, x0 + xx] = \
+                            self.bctx.dc_context(qxp[yy, xx], qyp[yy, xx],
+                                                 qbp[yy, xx])
+
+        # Modular DC group (channels with shift >= 3)
+        self.mfd.decode_group(r, (x0 * 8, y0 * 8, fd.dc_group_dim,
+                                  fd.dc_group_dim), 3, 1000,
+                              _mdc_stream_id(fd, group_id))
+        self._decode_ac_metadata(r, group_id, x0, y0, bw, bh)
+
+    def _decode_ac_metadata(self, r: BitReader, group_id: int, x0, y0,
+                            bw, bh) -> None:
+        upper = bw * bh
+        count = r.read((upper - 1).bit_length() if upper > 1 else 0) + 1
+        cw = (bw + 7) >> 3
+        ch_ = (bh + 7) >> 3
+        img = ModularImage(bw, bh, 32)
+        img.channel.append(Channel.create(cw, ch_, 3, 3))   # ytox
+        img.channel.append(Channel.create(cw, ch_, 3, 3))   # ytob
+        img.channel.append(Channel.create(count, 2, 0, 0))  # acs + qf
+        img.channel.append(Channel.create(bw, bh, 0, 0))    # epf sharpness
+        modular_decode(r, img, group_id=stream_id_ac_metadata(self.fd,
+                                                              group_id),
+                       options=ModularOptions(),
+                       global_tree=self.mfd.tree, global_code=self.mfd.code,
+                       undo_transforms=True)
+        tx0 = x0 >> 3
+        ty0 = y0 >> 3
+        self.ytox_map[ty0:ty0 + ch_, tx0:tx0 + cw] = img.channel[0].plane
+        self.ytob_map[ty0:ty0 + ch_, tx0:tx0 + cw] = img.channel[1].plane
+        acs_vals = img.channel[2].plane[0]
+        qf_vals = img.channel[2].plane[1]
+        sharp = img.channel[3].plane
+        num = 0
+        for iy in range(bh):
+            for ix in range(bw):
+                y, x = y0 + iy, x0 + ix
+                s = int(sharp[iy, ix])
+                if not (0 <= s < 8):
+                    raise FormatError("corrupt sharpness")
+                self.epf_sharpness[y, x] = s
+                if self.acs_raw[y, x] >= 0:
+                    continue
+                if num >= count:
+                    raise FormatError("corrupt AC metadata")
+                raw = int(acs_vals[num])
+                if not (0 <= raw < NUM_STRATEGIES):
+                    raise FormatError("invalid AC strategy")
+                cx, cy = COVERED_X[raw], COVERED_Y[raw]
+                gdb = self.fd.group_dim // 8
+                if (x % gdb) + cx > gdb or (y % gdb) + cy > gdb:
+                    raise FormatError("AC strategy crosses group boundary")
+                qf = 1 + max(0, min(K_QUANT_MAX - 1, int(qf_vals[num])))
+                self.acs_raw[y:y + cy, x:x + cx] = raw
+                self.raw_quant[y:y + cy, x:x + cx] = qf
+                self.acs_anchor[y, x] = True
+                self.used_acs |= 1 << raw
+                num += 1
+
+    # ---- DC finalize ------------------------------------------------------
+
+    def finalize_dc(self) -> None:
+        fh = self.fh
+        if (fh.flags & FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING) or \
+                (fh.flags & FrameFlags.USE_DC_FRAME):
+            return
+        self.dc = adaptive_dc_smoothing(
+            self.dc, self.quantizer.mul_dc(self.matrices.dc_quant))
+
+    # ---- AC global --------------------------------------------------------
+
+    def decode_ac_global(self, r: BitReader) -> None:
+        self.matrices.decode(r, self.mfd)
+        num_histo_bits = max((self.fd.num_groups - 1).bit_length(), 0)
+        self.num_histograms = 1 + (r.read(num_histo_bits)
+                                   if num_histo_bits else r.read(0))
+        for i in range(self.fh.passes.num_passes):
+            used_orders = read_used_orders(r)
+            self.coeff_orders[i] = decode_coeff_orders(r, used_orders,
+                                                       self.used_acs)
+            num_contexts = self.num_histograms * self.bctx.num_ac_contexts()
+            self.codes[i] = decode_histograms(r, num_contexts)
+
+    # ---- AC group ---------------------------------------------------------
+
+    def decode_ac_group(self, readers, group_id: int,
+                        num_passes: int) -> None:
+        fd = self.fd
+        gx = group_id % fd.xsize_groups
+        gy = group_id // fd.xsize_groups
+        bx0 = gx * (fd.group_dim // 8)
+        by0 = gy * (fd.group_dim // 8)
+        xsize_blocks = min(fd.group_dim // 8, fd.xsize_blocks - bx0)
+        ysize_blocks = min(fd.group_dim // 8, fd.ysize_blocks - by0)
+
+        selector_bits = ((self.num_histograms - 1).bit_length()
+                         if self.num_histograms > 1 else 0)
+        decoders = []
+        ctx_offsets = []
+        for p in range(num_passes):
+            sel = readers[p].read(selector_bits) if selector_bits else 0
+            if sel >= self.num_histograms:
+                raise FormatError("invalid histogram selector")
+            ctx_offsets.append(sel * self.bctx.num_ac_contexts())
+            decoders.append(ANSSymbolReader(self.codes[p], readers[p]))
+
+        # per-pass nzeros images (group block dims)
+        nzeros = [np.zeros((3, ysize_blocks, xsize_blocks), dtype=np.int32)
+                  for _ in range(num_passes)]
+
+        for by in range(ysize_blocks):
+            ty = (by0 + by) // K_COLOR_TILE_DIM_IN_BLOCKS
+            for bx in range(xsize_blocks):
+                y, x = by0 + by, bx0 + bx
+                if not self.acs_anchor[y, x]:
+                    continue
+                raw = int(self.acs_raw[y, x])
+                cx, cy = COVERED_X[raw], COVERED_Y[raw]
+                log2_cov = LOG2_COVERED[raw]
+                covered = cx * cy
+                size = covered * 64
+                qblock = np.zeros((3, size), dtype=np.int64)
+                for p in range(num_passes):
+                    shift = self.fh.passes.shift[p] if \
+                        self.fh.passes.shift else 0
+                    for c in (1, 0, 2):
+                        self._decode_ac_block(
+                            readers[p], decoders[p], ctx_offsets[p],
+                            self.coeff_orders[p], nzeros[p], c, bx, by, x, y,
+                            raw, covered, log2_cov, qblock[c], shift)
+                self._reconstruct_block(x, y, raw, qblock, ty)
+        for p in range(num_passes):
+            if not decoders[p].check_final_state():
+                raise FormatError("AC group ANS checksum failed")
+
+    def _decode_ac_block(self, r, decoder, ctx_offset, orders, nzeros_img,
+                         c, bx, by, x, y, raw, covered, log2_cov, qcoef,
+                         shift) -> None:
+        """(dec_group.cc DecodeACVarBlock:470-545)."""
+        size = covered * 64
+        nz = nzeros_img[c]
+        if bx == 0:
+            predicted = nz[by - 1, bx] if by > 0 else 32
+        elif by == 0:
+            predicted = nz[by, bx - 1]
+        else:
+            predicted = (nz[by - 1, bx] + nz[by, bx - 1] + 1) // 2
+        ord_ = STRATEGY_ORDER[raw]
+        order = orders[(ord_, c)]
+        block_ctx = self.bctx.context(int(self.quant_dc_idx[y, x]),
+                                      int(self.raw_quant[y, x]), ord_, c)
+        nzero_ctx = self.bctx.nonzero_context(int(predicted), block_ctx) + \
+            ctx_offset
+        nzeros = decoder.read_hybrid_uint(nzero_ctx, r)
+        if nzeros > size - covered:
+            raise FormatError("invalid AC nzeros")
+        cxv, cyv = COVERED_X[raw], COVERED_Y[raw]
+        nz[by:by + cyv, bx:bx + cxv] = (nzeros + covered - 1) >> log2_cov
+        histo_offset = ctx_offset + self.bctx.zero_density_offset(block_ctx)
+        prev = 0 if nzeros > size // 16 else 1
+        k = covered
+        while k < size and nzeros != 0:
+            ctx = histo_offset + zero_density_context(nzeros, k, covered,
+                                                      log2_cov, prev)
+            u = decoder.read_hybrid_uint(ctx, r)
+            coeff = unpack_signed(u) << shift
+            qcoef[order[k]] += coeff
+            prev = 1 if u else 0
+            nzeros -= prev
+            k += 1
+        if nzeros != 0:
+            raise FormatError("invalid AC: trailing nzeros")
+
+    def _reconstruct_block(self, x, y, raw, qblock, ty) -> None:
+        """Dequant + CfL + LLF-from-DC + IDCT (dec_group.cc:156-181,452)."""
+        cx, cy = COVERED_X[raw], COVERED_Y[raw]
+        size = cx * cy * 64
+        inv_gs = self.quantizer.inv_global_scale
+        quant = int(self.raw_quant[y, x])
+        scaled_dequant = inv_gs / quant
+        x_dm = (1 / 1.25) ** (self.fh.x_qm_scale - 2.0)
+        b_dm = (1 / 1.25) ** (self.fh.b_qm_scale - 2.0)
+        table = self.matrices.table_for_strategy(raw)  # (3, rows, cols)
+        tx = x // K_COLOR_TILE_DIM_IN_BLOCKS
+        x_cc = self.cmap.ytox_ratio(int(self.ytox_map[ty, tx]))
+        b_cc = self.cmap.ytob_ratio(int(self.ytob_map[ty, tx]))
+
+        tflat = table.reshape(3, -1)
+        dq_x = adjust_quant_bias(qblock[0], 0) * (tflat[0] * scaled_dequant *
+                                                  x_dm)
+        dq_y = adjust_quant_bias(qblock[1], 1) * (tflat[1] * scaled_dequant)
+        dq_b = adjust_quant_bias(qblock[2], 2) * (tflat[2] * scaled_dequant *
+                                                  b_dm)
+        dq_x = dq_x + x_cc * dq_y
+        dq_b = dq_b + b_cc * dq_y
+        block = np.stack([dq_x, dq_y, dq_b])
+        # stored layout (min*8, max*8)
+        mn, mx = min(cx, cy), max(cx, cy)
+        stored = block.reshape(3, mn * 8, mx * 8)
+        if raw in (1, 2, 3, 12, 13, 14, 15, 16, 17):
+            raise FormatError(
+                f"AC strategy {raw} (identity/DCT2/DCT4/AFV) not yet "
+                "implemented")
+        for c in range(3):
+            dcb = self.dc[c, y:y + cy, x:x + cx]
+            llf = llf_from_dc(dcb, cy, cx)          # (cy, cx) grid
+            # stored rows index the horizontal frequency when cy >= cx
+            llf_stored = llf.T if cy >= cx else llf
+            st = stored[c].copy()
+            st[:llf_stored.shape[0], :llf_stored.shape[1]] = llf_stored
+            rc = coeffs_stored_to_rc(st, cy * 8, cx * 8)
+            pix = idct2d(rc)
+            self.pixels[c, y * 8:(y + cy) * 8, x * 8:(x + cx) * 8] = pix
+
+
+def _mdc_stream_id(fd: FrameDimensions, g: int) -> int:
+    from libjxl_tpu.modular.frame import stream_id_modular_dc
+    return stream_id_modular_dc(fd, g)
+
+
+def adaptive_dc_smoothing(dc: np.ndarray, dc_factors) -> np.ndarray:
+    """(compressed_dc.cc:47-127)."""
+    _, h, w = dc.shape
+    if h <= 2 or w <= 2:
+        return dc
+    w1 = 0.20345139757231578
+    w2 = 0.0334829185968739
+    w0 = 1.0 - 4.0 * (w1 + w2)
+    out = dc.astype(np.float64).copy()
+    cc = dc[:, 1:-1, 1:-1].astype(np.float64)
+    tl = dc[:, :-2, :-2]
+    tc = dc[:, :-2, 1:-1]
+    tr = dc[:, :-2, 2:]
+    ml = dc[:, 1:-1, :-2]
+    mr = dc[:, 1:-1, 2:]
+    bl = dc[:, 2:, :-2]
+    bc = dc[:, 2:, 1:-1]
+    br = dc[:, 2:, 2:]
+    sm = (w0 * cc + w1 * (ml + mr + tc + bc) + w2 * (tl + tr + bl + br))
+    gap = np.full((h - 2, w - 2), 0.5)
+    for c in range(3):
+        gap = np.maximum(gap, np.abs((cc[c] - sm[c]) / dc_factors[c]))
+    factor = np.maximum(3.0 - 4.0 * gap, 0.0)
+    out[:, 1:-1, 1:-1] = (sm - cc) * factor[None] + cc
+    return out.astype(np.float32)
