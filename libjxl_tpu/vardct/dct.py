@@ -86,14 +86,16 @@ def llf_from_dc(dc_block: np.ndarray, covered_y: int, covered_x: int
     Returns the (cy, cx)-shaped LLF grid in (R,C) orientation."""
     cy, cx = covered_y, covered_x
     coeff = dct2d(dc_block.astype(np.float64))
-    sy = resample_scales(cy)
-    sx = resample_scales(cx)
+    # ReinterpretingDCT multiplies by DCTResampleScales<n, 8n> — the
+    # UPSAMPLING table, i.e. the reciprocal of resample_scales(n).
+    sy = 1.0 / resample_scales(cy)
+    sx = 1.0 / resample_scales(cx)
     return coeff * sy[:, None] * sx[None, :]
 
 
 def dc_from_llf(llf: np.ndarray) -> np.ndarray:
     """Inverse of llf_from_dc (enc_transforms DCFromLowestFrequencies)."""
     cy, cx = llf.shape
-    sy = resample_scales(cy)
-    sx = resample_scales(cx)
+    sy = 1.0 / resample_scales(cy)
+    sx = 1.0 / resample_scales(cx)
     return idct2d(llf / sy[:, None] / sx[None, :])

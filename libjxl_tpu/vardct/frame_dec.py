@@ -365,9 +365,13 @@ class VarDCTFrameDecoder:
         mn, mx = min(cx, cy), max(cx, cy)
         stored = block.reshape(3, mn * 8, mx * 8)
         if raw in (1, 2, 3, 12, 13, 14, 15, 16, 17):
-            raise FormatError(
-                f"AC strategy {raw} (identity/DCT2/DCT4/AFV) not yet "
-                "implemented")
+            from libjxl_tpu.vardct.transforms_small import special_to_pixels
+            for c in range(3):
+                st = stored[c].copy()
+                st[0, 0] = self.dc[c, y, x]
+                pix = special_to_pixels(raw, st)
+                self.pixels[c, y * 8:(y + 1) * 8, x * 8:(x + 1) * 8] = pix
+            return
         for c in range(3):
             dcb = self.dc[c, y:y + cy, x:x + cx]
             llf = llf_from_dc(dcb, cy, cx)          # (cy, cx) grid
