@@ -179,7 +179,7 @@ def encode_context_map(w: BitWriter, context_map, num_histograms: int
         w.write(2, 0)   # 0 bits per entry
         return
     bits_per_entry = _ceil_log2(num_histograms)
-    if bits_per_entry <= 3:
+    if bits_per_entry <= 3 and len(context_map) * bits_per_entry <= 512:
         w.write(1, 1)
         w.write(2, bits_per_entry)
         for v in context_map:
@@ -346,6 +346,7 @@ class EntropyEncodingData:
     uint_configs: list = field(default_factory=list)
     context_map: np.ndarray | None = None
     num_histograms: int = 1
+    histo_shift: int = 13                              # count precision
     counts: list = field(default_factory=list)         # normalized per histo
     # derived encode tables
     slot_starts: list = field(default_factory=list)
@@ -392,11 +393,61 @@ def normalize_counts(hist: np.ndarray, target: int = ANS_TAB_SIZE
     return out
 
 
+def _entropy_cost(h: np.ndarray) -> float:
+    """Shannon cost in bits of a histogram coded with its own code."""
+    total = h.sum()
+    if total == 0:
+        return 0.0
+    nz = h[h > 0].astype(np.float64)
+    return float(total * np.log2(total) - (nz * np.log2(nz)).sum())
+
+
+def cluster_histograms(hists: np.ndarray, max_clusters: int = 64):
+    """Greedy entropy-distance clustering (FastClusterHistograms,
+    enc_cluster.cc:136). Returns (context_map, clustered_hists)."""
+    n = len(hists)
+    totals = hists.sum(axis=1)
+    order = np.argsort(-totals, kind="stable")
+    cluster_hists: list[np.ndarray] = []
+    cluster_costs: list[float] = []
+    cmap = np.zeros(n, dtype=np.int64)
+    # all-empty contexts share cluster 0 later via mapping of zero hists
+    for idx in order:
+        h = hists[idx].astype(np.int64)
+        best, best_cost = -1, None
+        for ci in range(len(cluster_hists)):
+            merged = cluster_hists[ci] + h
+            dcost = _entropy_cost(merged) - cluster_costs[ci] - \
+                _entropy_cost(h)
+            if best_cost is None or dcost < best_cost:
+                best, best_cost = ci, dcost
+        # threshold: prefer a new cluster while under the cap and the merge
+        # would cost noticeably more than separate coding
+        if cluster_hists and (best_cost is not None and
+                              best_cost <= max(60.0,
+                                               0.01 * _entropy_cost(h))):
+            cluster_hists[best] += h
+            cluster_costs[best] = _entropy_cost(cluster_hists[best])
+            cmap[idx] = best
+        elif len(cluster_hists) < max_clusters:
+            cmap[idx] = len(cluster_hists)
+            cluster_hists.append(h.copy())
+            cluster_costs.append(_entropy_cost(h))
+        else:
+            cluster_hists[best] += h
+            cluster_costs[best] = _entropy_cost(cluster_hists[best])
+            cmap[idx] = best
+    if not cluster_hists:
+        cluster_hists = [np.zeros(hists.shape[1], dtype=np.int64)]
+    return cmap, np.stack(cluster_hists)
+
+
 def build_entropy_codes(token_arrays, num_contexts: int,
                         use_prefix_code: bool = False,
                         allow_clustering: bool = True,
-                        lz77: LZ77Params | None = None
-                        ) -> EntropyEncodingData:
+                        lz77: LZ77Params | None = None,
+                        histo_shift: int = 13,
+                        max_clusters: int = 64) -> EntropyEncodingData:
     """Histograms + (trivial) clustering from token streams.
 
     token_arrays: list of (N,2) arrays of (context, value) pairs.
@@ -420,17 +471,9 @@ def build_entropy_codes(token_arrays, num_contexts: int,
         np.add.at(hists, (ctx, tok), 1)
     if max_token >= (1 << alpha_bits):
         raise FormatError("token too large for alphabet")
-    # cluster identical histograms (cheap exact dedup)
+    # cluster histograms (entropy-distance greedy, enc_cluster.cc:136-300)
     if allow_clustering and num_contexts > 1:
-        uniq, inverse = np.unique(hists, axis=0, return_inverse=True)
-        # order clusters by first appearance to keep map canonical
-        first_idx = [int(np.nonzero(inverse == u)[0][0])
-                     for u in range(len(uniq))]
-        order = np.argsort(first_idx, kind="stable")
-        rank = np.empty_like(order)
-        rank[order] = np.arange(len(order))
-        context_map = rank[inverse]
-        clustered = uniq[order]
+        context_map, clustered = cluster_histograms(hists, max_clusters)
     else:
         context_map = np.arange(num_contexts)
         clustered = hists
@@ -460,7 +503,10 @@ def build_entropy_codes(token_arrays, num_contexts: int,
             codes.prefix_depths.append(depths)
             codes.counts.append(h)
         else:
-            norm = normalize_counts(h)
+            from libjxl_tpu.entropy.histogram import quantize_histogram
+            norm = np.asarray(quantize_histogram(
+                list(normalize_counts(h)), histo_shift), dtype=np.int64)
+            codes.histo_shift = histo_shift
             codes.counts.append(norm)
             start, slots = build_encoder_slots(norm, codes.log_alpha_size)
             codes.slot_starts.append(start)
@@ -492,7 +538,7 @@ def write_entropy_codes(w: BitWriter, codes: EntropyEncodingData) -> None:
                 write_prefix_code(w, np.asarray(lengths)[:n])
     else:
         for counts in codes.counts:
-            write_histogram(w, list(counts))
+            write_histogram(w, list(counts), shift=codes.histo_shift)
 
 
 def write_tokens_pretokenized(w: BitWriter, toks: np.ndarray,

@@ -201,11 +201,46 @@ def read_histogram(r: BitReader, precision_bits: int = ANS_LOG_TAB_SIZE
     return counts
 
 
+def quantize_histogram(counts, shift: int = ANS_LOG_TAB_SIZE + 1):
+    """Round counts to values representable at `shift` precision while
+    keeping the sum at ANS_TAB_SIZE (the largest entry absorbs the
+    remainder, as the decoder derives it anyway)."""
+    counts = [int(c) for c in counts]
+    if sum(counts) != ANS_TAB_SIZE:
+        raise ValueError("counts must sum to ANS_TAB_SIZE")
+    nonzero = [i for i, c in enumerate(counts) if c]
+    if len(nonzero) <= 2 or shift >= ANS_LOG_TAB_SIZE + 1:
+        return counts
+    omit = max(range(len(counts)), key=lambda i: counts[i])
+    out = list(counts)
+    for i, c in enumerate(counts):
+        if c == 0 or i == omit:
+            continue
+        lc = c.bit_length() - 1
+        bitcount = get_population_count_precision(lc, shift)
+        step = 1 << (lc - bitcount)
+        mant = (c - (1 << lc) + step // 2) // step
+        if mant >= (1 << bitcount):
+            mant = (1 << bitcount) - 1
+        out[i] = (1 << lc) + mant * step
+    rem = ANS_TAB_SIZE - sum(out[i] for i in range(len(out)) if i != omit)
+    if rem <= 0:
+        return counts  # cannot quantize safely; keep exact
+    out[omit] = rem
+    # the decoder picks omit as the first max-logcount entry; verify ours
+    # still is, else fall back to exact counts
+    logs = [v.bit_length() - 1 if v else -1 for v in out]
+    if max(range(len(out)), key=lambda i: (logs[i], -i)) != omit:
+        return counts
+    return out
+
+
 def write_histogram(w: BitWriter, counts,
-                    precision_bits: int = ANS_LOG_TAB_SIZE) -> None:
-    """Encode counts (must sum to 2**precision_bits). Mirrors
-    ``EncodeCounts`` (enc_ans.cc) with full precision (shift=13) so the
-    decoder reconstructs the counts exactly."""
+                    precision_bits: int = ANS_LOG_TAB_SIZE,
+                    shift: int = ANS_LOG_TAB_SIZE + 1) -> None:
+    """Encode counts (must sum to 2**precision_bits; must be
+    representable at `shift` — use quantize_histogram first for
+    shift < 13). Mirrors ``EncodeCounts`` (enc_ans.cc)."""
     rng = 1 << precision_bits
     assert sum(counts) == rng, f"counts sum {sum(counts)} != {rng}"
     counts = [int(c) for c in counts]
@@ -232,11 +267,10 @@ def write_histogram(w: BitWriter, counts,
         w.write(1, 1)
         encode_varlen_uint8(w, len(counts) - 1)
         return
-    # General code, shift = 13 => full precision mantissas.
+    # General code.
     _, enc = _build_huff_dec()
     w.write(1, 0)
     w.write(1, 0)
-    shift = ANS_LOG_TAB_SIZE + 1
     # shift stored as: log unary prefix + remaining bits;
     # value stored is shift+1 with (1<<log) marker (dec_ans.cc:93-100).
     v = shift + 1

@@ -1,0 +1,62 @@
+"""VarDCT lossy encoder conformance: both our decoder and the reference
+accept the stream and agree; quality tracks the requested distance."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.decoder import decode
+from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+needs_oracle = pytest.mark.skipif(not oracle_available(),
+                                  reason="libjxl oracle not available")
+
+
+def _img(rng, h=64, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 3 + yy) % 256, (yy * 2) % 256, (xx + yy) % 256],
+                   -1).astype(int)
+    img += rng.integers(0, 20, img.shape)
+    return img.clip(0, 255).astype(np.uint8)
+
+
+@needs_oracle
+def test_lossy_roundtrip_and_oracle(rng):
+    img = _img(rng)
+    data = encode_lossy(img, LossyOptions(distance=1.0))
+    ours = decode(data)
+    ref = oracle_decode(data, num_channels=3).pixels
+    assert np.array_equal(ours, ref)
+    rmse = np.sqrt(np.mean((ref.astype(float) - img.astype(float)) ** 2))
+    assert rmse < 8.0
+
+
+@needs_oracle
+def test_lossy_distance_tradeoff(rng):
+    img = _img(rng)
+    sizes, rmses = [], []
+    for d in (0.5, 1.0, 2.0):
+        data = encode_lossy(img, LossyOptions(distance=d))
+        ref = oracle_decode(data, num_channels=3).pixels
+        sizes.append(len(data))
+        rmses.append(np.sqrt(np.mean(
+            (ref.astype(float) - img.astype(float)) ** 2)))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert rmses[0] < rmses[2]
+
+
+@needs_oracle
+def test_lossy_multigroup(rng):
+    img = _img(rng, 300, 280)
+    data = encode_lossy(img, LossyOptions(distance=1.0))
+    ours = decode(data)
+    ref = oracle_decode(data, num_channels=3).pixels
+    assert np.array_equal(ours, ref)
+
+
+@needs_oracle
+def test_lossy_odd_size(rng):
+    img = _img(rng, 33, 49)
+    data = encode_lossy(img)
+    assert np.array_equal(decode(data),
+                          oracle_decode(data, num_channels=3).pixels)
