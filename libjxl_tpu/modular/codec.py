@@ -105,6 +105,32 @@ def _tree_lookup(tree, props):
     # note: reference convention: go to lchild when value > splitval
 
 
+def _bulk_decode_tokens(reader: ANSSymbolReader, r: BitReader, ctx: int,
+                        n: int):
+    """Native bulk hybrid-uint decode for a single-context run; returns
+    uint32 values or None when the stream shape disqualifies the fast
+    path (prefix codes, LZ77, or native lib unavailable)."""
+    code = reader.code
+    if code.use_prefix_code or code.lz77.enabled:
+        return None
+    cfg = code.uint_configs[ctx]
+    from libjxl_tpu.utils import native
+    if not native.available():
+        return None
+    res = native.ans_decode_tokens(
+        r._data, r.bits_consumed, n,
+        code.alias_symbols[ctx], code.alias_offsets[ctx],
+        code.alias_freqs[ctx],
+        cfg=(cfg.split_exponent, cfg.msb_in_token, cfg.lsb_in_token),
+        check_final=False, state=reader.state)
+    if res is None:
+        return None
+    vals, end_bit, state = res
+    r.skip(end_bit - r.bits_consumed)
+    reader.state = state
+    return vals
+
+
 def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
                            context_map, tree, wp_header: WPHeader,
                            image: ModularImage, chan_idx: int,
@@ -128,6 +154,20 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
     if len(tree) == 1:
         node = tree[0]
         ctx = int(context_map[node.context])
+        if node.predictor in (PREDICTOR_ZERO, PREDICTOR_GRADIENT) and \
+                node.predictor_offset == 0 and node.multiplier == 1:
+            vals = _bulk_decode_tokens(reader, r, ctx, w * h)
+            if vals is not None:
+                if node.predictor == PREDICTOR_ZERO:
+                    sv = np.where(vals & 1,
+                                  -((vals.astype(np.int64) + 1) >> 1),
+                                  vals.astype(np.int64) >> 1)
+                    ch.plane = sv.reshape(h, w).astype(np.int32)
+                else:
+                    from libjxl_tpu.utils import native
+                    ch.plane = native.gradient_reconstruct(
+                        vals.reshape(h, w), h, w)
+                return
         if node.predictor == PREDICTOR_ZERO and node.predictor_offset == 0 \
                 and node.multiplier == 1:
             # token stream is context-independent: bulk decode

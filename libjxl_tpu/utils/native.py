@@ -63,7 +63,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
-        ctypes.c_int32]
+        ctypes.c_int32, ctypes.c_void_p]
     lib.jxlt_gradient_reconstruct.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
     lib.jxlt_gradient_residuals.argtypes = [
@@ -105,8 +105,10 @@ def ans_encode_stream(tokens: np.ndarray, nbits: np.ndarray,
 def ans_decode_tokens(data: bytes, start_bit: int, n: int,
                       alias_sym: np.ndarray, alias_off: np.ndarray,
                       freqs: np.ndarray, cfg=(4, 2, 0),
-                      check_final: bool = True):
-    """Returns (values, end_bit) or None if native unavailable/failed."""
+                      check_final: bool = True, state: int | None = None):
+    """Returns (values, end_bit, state) or None if native
+    unavailable/failed. Pass `state` to continue a live ANS stream (the
+    32-bit initial state is then NOT read from the bitstream)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -115,13 +117,15 @@ def ans_decode_tokens(data: bytes, start_bit: int, n: int,
     alias_off = np.ascontiguousarray(alias_off, dtype=np.int32)
     freqs = np.ascontiguousarray(freqs, dtype=np.int32)
     out = np.empty(n, dtype=np.uint32)
+    st = np.array([0 if state is None else state], dtype=np.uint32)
     end = lib.jxlt_ans_decode_tokens(
         buf.ctypes.data, len(buf), start_bit, n,
         alias_sym.ctypes.data, alias_off.ctypes.data, freqs.ctypes.data,
-        cfg[0], cfg[1], cfg[2], out.ctypes.data, 1 if check_final else 0)
+        cfg[0], cfg[1], cfg[2], out.ctypes.data, 1 if check_final else 0,
+        st.ctypes.data if state is not None else None)
     if end < 0:
         return None
-    return out, int(end)
+    return out, int(end), int(st[0]) if state is not None else None
 
 
 def gradient_reconstruct(residuals: np.ndarray, h: int, w: int) -> np.ndarray:

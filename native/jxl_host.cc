@@ -134,9 +134,9 @@ EXPORT int64_t jxlt_ans_decode_tokens(
     const uint8_t* data, int64_t nbytes, int64_t start_bit, int64_t n,
     const int32_t* alias_sym, const int32_t* alias_off, const int32_t* freqs,
     int32_t split_exponent, int32_t msb_in_token, int32_t lsb_in_token,
-    uint32_t* out_values, int check_final) {
+    uint32_t* out_values, int check_final, uint32_t* state_io) {
   BitSource src{data, nbytes, start_bit};
-  uint32_t state = (uint32_t)src.Read(32);
+  uint32_t state = state_io ? *state_io : (uint32_t)src.Read(32);
   const uint32_t split_token = 1u << split_exponent;
   for (int64_t i = 0; i < n; ++i) {
     uint32_t res = state & (kAnsTabSize - 1);
@@ -167,6 +167,7 @@ EXPORT int64_t jxlt_ans_decode_tokens(
     out_values[i] = value;
   }
   if (src.bitpos > nbytes * 8) return -2;
+  if (state_io) *state_io = state;
   if (check_final && state != (kAnsSignature << 16)) return -1;
   return src.bitpos;
 }
