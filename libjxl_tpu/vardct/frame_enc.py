@@ -46,6 +46,7 @@ from libjxl_tpu.color.xyb import linear_to_xyb, srgb_to_linear
 class LossyOptions:
     distance: float = 1.0
     effort: int = 3
+    use_device: bool = False     # JAX/TPU path for color+DCT+quantize
 
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
@@ -91,19 +92,31 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     dequant_step = table * scaled_dequant * dm  # (3, 64)
 
     # ---- DCT + quantize all blocks --------------------------------------
-    blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
-    # (yb, xb, 3, 8, 8) pixel blocks -> coefficients (stored layout = .T)
-    from libjxl_tpu.vardct.dct import dct_matrix
-    m8 = dct_matrix(8)
-    coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
-    stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
-    q_ac = np.round(stored / dequant_step[None, None]).astype(np.int32)
-
-    # DC from LLF (= coefficient (0,0) = stored[...,0]); quantize per mul_dc
     mul_dc = quantizer.mul_dc(matrices.dc_quant)
-    dc_float = stored[:, :, :, 0]                       # (yb, xb, 3)
-    q_dc = np.round(dc_float / np.array(mul_dc)[None, None]).astype(np.int32)
-    dc_dequant = q_dc * np.array(mul_dc)[None, None]
+    if options.use_device:
+        # fused XLA program: sRGB->XYB + batched MXU DCT + quantize
+        import jax.numpy as jnp
+        from libjxl_tpu.models.vardct_pipeline import vardct_encode_device
+        ph, pw = yb * 8, xb * 8
+        rgb_p = np.pad(np.moveaxis(pixels[:, :, :3], -1, 0),
+                       ((0, 0), (0, ph - h), (0, pw - w)), mode="edge")
+        q_ac_d, q_dc_d = vardct_encode_device(
+            jnp.asarray(rgb_p[None]),
+            jnp.asarray(dequant_step, dtype=jnp.float32),
+            jnp.asarray(1.0 / np.array(mul_dc), dtype=jnp.float32))
+        q_ac = np.asarray(q_ac_d[0]).astype(np.int32)
+        q_ac = q_ac.transpose(1, 0, 2).reshape(yb, xb, 3, 64)
+        q_dc = np.asarray(q_dc_d[0]).astype(np.int32).transpose(1, 2, 0)
+    else:
+        blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
+        from libjxl_tpu.vardct.dct import dct_matrix
+        m8 = dct_matrix(8)
+        coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
+        stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
+        q_ac = np.round(stored / dequant_step[None, None]).astype(np.int32)
+        dc_float = stored[:, :, :, 0]                   # (yb, xb, 3)
+        q_dc = np.round(dc_float /
+                        np.array(mul_dc)[None, None]).astype(np.int32)
 
     # ---- AC tokens -------------------------------------------------------
     order = natural_order(0)
