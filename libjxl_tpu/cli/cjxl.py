@@ -1,0 +1,54 @@
+"""cjxl_tpu — JPEG XL encoder CLI (reference ``tools/cjxl_main.cc``).
+
+Usage: python -m libjxl_tpu.cli.cjxl in.png out.jxl [-d DIST] [-e EFFORT]
+       [--lossless] [--device]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cjxl_tpu",
+                                description="TPU-native JPEG XL encoder")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-d", "--distance", type=float, default=1.0,
+                   help="Butteraugli distance target; 0 = lossless")
+    p.add_argument("-e", "--effort", type=int, default=3)
+    p.add_argument("--lossless", action="store_true")
+    p.add_argument("--device", action="store_true",
+                   help="run pixel compute on the TPU (JAX) path")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from libjxl_tpu.extras.io import load_image
+
+    img = load_image(args.input)
+    t0 = time.perf_counter()
+    if args.lossless or args.distance == 0:
+        from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+        data = encode_lossless(img, EncodeOptions(
+            effort=args.effort, use_device=args.device))
+    else:
+        from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+        data = encode_lossy(img, LossyOptions(
+            distance=args.distance, effort=args.effort,
+            use_device=args.device))
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    if not args.quiet:
+        h, w = img.shape[:2]
+        mp = h * w / 1e6
+        bpp = len(data) * 8 / (h * w)
+        print(f"Compressed {w}x{h} to {len(data)} bytes "
+              f"({bpp:.3f} bpp, {mp / dt:.2f} MP/s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,42 @@
+"""CLI tool smoke tests (cjxl_tpu / djxl_tpu / jxlinfo_tpu)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.cli.cjxl import main as cjxl_main
+from libjxl_tpu.cli.djxl import main as djxl_main
+from libjxl_tpu.cli.jxlinfo import main as jxlinfo_main
+from libjxl_tpu.extras.io import load_image, save_image
+
+
+@pytest.fixture
+def png(tmp_path, rng):
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    path = tmp_path / "in.png"
+    save_image(str(path), img)
+    return path, img
+
+
+def test_cjxl_djxl_lossless_roundtrip(tmp_path, png):
+    path, img = png
+    jxl = tmp_path / "out.jxl"
+    out = tmp_path / "out.png"
+    assert cjxl_main([str(path), str(jxl), "--lossless", "-q"]) == 0
+    assert djxl_main([str(jxl), str(out), "-q"]) == 0
+    assert np.array_equal(load_image(str(out)), img)
+
+
+def test_cjxl_lossy_and_info(tmp_path, png, capsys):
+    path, img = png
+    jxl = tmp_path / "out.jxl"
+    assert cjxl_main([str(path), str(jxl), "-d", "1.0", "-q"]) == 0
+    assert jxlinfo_main([str(jxl)]) == 0
+    out = capsys.readouterr().out
+    assert "VarDCT" in out and "64x48" in out
+
+
+def test_pnm_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "x.ppm"
+    save_image(str(p), img)
+    assert np.array_equal(load_image(str(p)), img)
