@@ -69,7 +69,8 @@ def encode_lossless(pixels: np.ndarray,
         return encode_lossless_device(pixels, options)
     img, bits, nch = _image_from_pixels(pixels)
     h, w = img.h, img.w
-    gray = nch == 1
+    gray = nch <= 2
+    has_alpha = nch in (2, 4)
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
@@ -77,11 +78,15 @@ def encode_lossless(pixels: np.ndarray,
     size = SizeHeader()
     size.set(w, h)
     write_bundle(bw, size)
+    from libjxl_tpu.core.headers import ExtraChannelInfo
+    eci = [ExtraChannelInfo(bit_depth=BitDepth(bits_per_sample=bits))] \
+        if has_alpha else []
     meta = ImageMetadata(
         xyb_encoded=False,
         bit_depth=BitDepth(bits_per_sample=bits),
         color_encoding=ColorEncoding.srgb(gray=gray),
         modular_16_bit_buffer_sufficient=bits <= 12,
+        extra_channel_info=eci,
     )
     write_bundle(bw, meta)
     ctd = CustomTransformData()

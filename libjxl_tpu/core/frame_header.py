@@ -380,7 +380,8 @@ class FrameHeader(Bundle):
 
         if self.frame_type in (FrameType.REGULAR, FrameType.SKIP_PROGRESSIVE):
             self.blending_info.visit(v, num_extra, is_partial_frame)
-            if v.is_reading:
+            if v.is_reading or len(self.extra_channel_blending_info) != \
+                    num_extra:
                 self.extra_channel_blending_info = [
                     BlendingInfo() for _ in range(num_extra)]
             for bi in self.extra_channel_blending_info:

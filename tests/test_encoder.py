@@ -84,3 +84,17 @@ def test_density_sane(rng):
     img = np.full((128, 128, 3), 77, np.uint8)
     data = encode_lossless(img)
     assert len(data) < 1000
+
+
+@needs_oracle
+def test_encode_rgba_alpha(rng):
+    img = rng.integers(0, 256, (40, 48, 4), dtype=np.uint8)
+    data = _roundtrip(img)
+    assert np.array_equal(oracle_decode(data, num_channels=4).pixels, img)
+
+
+@needs_oracle
+def test_encode_gray_alpha(rng):
+    img = rng.integers(0, 256, (30, 30, 2), dtype=np.uint8)
+    data = _roundtrip(img)
+    assert np.array_equal(oracle_decode(data, num_channels=2).pixels, img)

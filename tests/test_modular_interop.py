@@ -71,3 +71,9 @@ def test_decode_reference_odd_sizes(rng):
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         data = oracle_encode(img, lossless=True, effort=2)
         assert np.array_equal(decode(data), img), (h, w)
+
+
+def test_decode_reference_rgba(rng):
+    img = rng.integers(0, 256, (40, 48, 4), dtype=np.uint8)
+    data = oracle_encode(img, lossless=True, effort=3)
+    assert np.array_equal(decode(data), img)
