@@ -77,13 +77,19 @@ def extract_codestream(data: bytes) -> bytes:
     raise ContainerError("no codestream box found")
 
 
-def wrap_container(codestream: bytes, level: int | None = None) -> bytes:
-    """Minimal container: signature + ftyp + [jxll] + jxlc."""
+def wrap_container(codestream: bytes, level: int | None = None,
+                   extra_boxes=None) -> bytes:
+    """Minimal container: signature + ftyp + [jxll] + extras + jxlc.
+
+    ``extra_boxes``: list of (type, payload) written before the codestream
+    (e.g. the ``jbrd`` JPEG-reconstruction box; encode.cc:838-892)."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
     out = [CONTAINER_SIGNATURE, box(b"ftyp", b"jxl \x00\x00\x00\x00jxl ")]
     if level is not None and level != 5:
         out.append(box(b"jxll", bytes([level])))
+    for btype, payload in (extra_boxes or []):
+        out.append(box(btype, payload))
     out.append(box(b"jxlc", codestream))
     return b"".join(out)

@@ -23,7 +23,29 @@ def main(argv=None) -> int:
     p.add_argument("--device", action="store_true",
                    help="run pixel compute on the TPU (JAX) path")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--lossless_jpeg", type=int, default=1,
+                   help="1 (default): recompress .jpg input losslessly "
+                        "(byte-exact reconstruction); 0: re-encode pixels")
     args = p.parse_args(argv)
+
+    # JPEG input defaults to lossless recompression (cjxl_main.cc behavior)
+    with open(args.input, "rb") as f:
+        head = f.read(3)
+    if head[:2] == b"\xff\xd8" and args.lossless_jpeg:
+        from libjxl_tpu.jpeg.transcode import encode_jpeg
+        with open(args.input, "rb") as f:
+            jpg = f.read()
+        t0 = time.perf_counter()
+        data = encode_jpeg(jpg)
+        dt = time.perf_counter() - t0
+        with open(args.output, "wb") as f:
+            f.write(data)
+        if not args.quiet:
+            print(f"Recompressed JPEG {len(jpg)} -> {len(data)} bytes "
+                  f"({100 * (1 - len(data) / len(jpg)):.1f}% smaller, "
+                  f"{dt * 1000:.0f} ms; byte-exact reversible)",
+                  file=sys.stderr)
+        return 0
 
     from libjxl_tpu.extras.io import load_image
 

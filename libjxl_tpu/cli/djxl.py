@@ -21,6 +21,20 @@ def main(argv=None) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+
+    # .jpg output = byte-exact JPEG reconstruction (djxl_main.cc)
+    if args.output.lower().endswith((".jpg", ".jpeg")):
+        from libjxl_tpu.jpeg.transcode import decode_to_jpeg
+        t0 = time.perf_counter()
+        jpg = decode_to_jpeg(data)
+        dt = time.perf_counter() - t0
+        with open(args.output, "wb") as f:
+            f.write(jpg)
+        if not args.quiet:
+            print(f"Reconstructed original JPEG ({len(jpg)} bytes) in "
+                  f"{dt * 1000:.1f} ms", file=sys.stderr)
+        return 0
+
     t0 = time.perf_counter()
     for _ in range(args.num_reps):
         img = decode(data)

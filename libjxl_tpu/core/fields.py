@@ -159,17 +159,23 @@ def read_f16(r: BitReader) -> float:
     return -v if sign else v
 
 
-def write_f16(w: BitWriter, value: float) -> None:
+def write_f16(w: BitWriter, value: float, exact: bool = True) -> None:
     import struct
     import math
     if math.isnan(value) or math.isinf(value):
         raise FormatError("cannot store NaN/Inf as F16")
     import numpy as np
     h = np.float16(value)
-    if float(h) != value:
+    if exact and float(h) != value:
         raise FormatError(f"value {value} not exactly representable as F16")
     (bits,) = struct.unpack("<H", h.tobytes())
     w.write(16, int(bits))
+
+
+def round_f16(value: float) -> float:
+    """Nearest-F16 value (for encoder fields that are stored as F16)."""
+    import numpy as np
+    return float(np.float16(value))
 
 
 # ---------------------------------------------------------------------------

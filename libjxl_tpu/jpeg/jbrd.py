@@ -64,11 +64,13 @@ def _visit_jpeg_data(v, jd: JPEGData):
                   jd.app_marker_type[i] if not reading else 0)
         if reading:
             jd.app_marker_type[i] = t
-        ln = v.bits(16, (len(jd.app_data[i]) - 1) if not reading else 0)
+        # our app_data includes the leading 0xFF; the stored length is
+        # (marker byte + 2-byte length + payload) - 1 (jpeg_data.cc:128)
+        ln = v.bits(16, (len(jd.app_data[i]) - 2) if not reading else 0)
         app_lens.append(ln + 1)
     com_lens = []
     for i in range(num_com):
-        ln = v.bits(16, (len(jd.com_data[i]) - 1) if not reading else 0)
+        ln = v.bits(16, (len(jd.com_data[i]) - 2) if not reading else 0)
         com_lens.append(ln + 1)
     # quant tables
     nq = v.u32(Val(1), Val(2), Val(3), Val(4), len(jd.quant))
@@ -289,4 +291,5 @@ def parse_jbrd(payload: bytes) -> JPEGData:
         jd.inter_marker_data.append(raw[pos:pos + ln])
         pos += ln
     jd.tail_data = raw[pos:pos + tail_len]
+    jd.progressive = 0xC2 in jd.marker_order
     return jd

@@ -355,3 +355,116 @@ def oracle_encode(pixels: np.ndarray, *, lossless: bool = True,
         return b"".join(chunks)
     finally:
         _jxl.JxlEncoderDestroy(enc)
+
+
+# ---------------------------------------------------------------------------
+# JPEG recompression oracle (decode.h JxlDecoderSetJPEGBuffer,
+# encode.h JxlEncoderAddJPEGFrame)
+# ---------------------------------------------------------------------------
+
+JXL_DEC_JPEG_NEED_MORE_OUTPUT = 6
+JXL_DEC_JPEG_RECONSTRUCTION = 0x2000
+
+
+def oracle_decode_jpeg(data: bytes) -> bytes:
+    """Reconstruct the original JPEG from a jbrd-carrying JXL container."""
+    if _jxl is None:
+        raise OracleError("libjxl shared library not available")
+    _jxl.JxlDecoderSetJPEGBuffer.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    _jxl.JxlDecoderReleaseJPEGBuffer.restype = ctypes.c_size_t
+    _jxl.JxlDecoderReleaseJPEGBuffer.argtypes = [ctypes.c_void_p]
+    dec = _jxl.JxlDecoderCreate(None)
+    if not dec:
+        raise OracleError("JxlDecoderCreate failed")
+    try:
+        events = (JXL_DEC_BASIC_INFO | JXL_DEC_JPEG_RECONSTRUCTION |
+                  JXL_DEC_FULL_IMAGE)
+        if _jxl.JxlDecoderSubscribeEvents(dec, events) != JXL_DEC_SUCCESS:
+            raise OracleError("SubscribeEvents failed")
+        buf = ctypes.create_string_buffer(data, len(data))
+        _jxl.JxlDecoderSetInput(dec, ctypes.cast(buf, ctypes.c_char_p),
+                                len(data))
+        _jxl.JxlDecoderCloseInput(dec)
+        out = bytearray()
+        jbuf = np.empty(max(len(data) * 4, 1 << 20), dtype=np.uint8)
+        jpeg_active = False
+        while True:
+            status = _jxl.JxlDecoderProcessInput(dec)
+            if status == JXL_DEC_ERROR:
+                raise OracleError("oracle decoder error")
+            if status == JXL_DEC_BASIC_INFO:
+                continue
+            if status == JXL_DEC_JPEG_RECONSTRUCTION:
+                if _jxl.JxlDecoderSetJPEGBuffer(
+                        dec, jbuf.ctypes.data_as(ctypes.c_void_p),
+                        jbuf.nbytes) != JXL_DEC_SUCCESS:
+                    raise OracleError("SetJPEGBuffer failed")
+                jpeg_active = True
+                continue
+            if status == JXL_DEC_JPEG_NEED_MORE_OUTPUT:
+                remaining = _jxl.JxlDecoderReleaseJPEGBuffer(dec)
+                out += jbuf[:jbuf.nbytes - remaining].tobytes()
+                if _jxl.JxlDecoderSetJPEGBuffer(
+                        dec, jbuf.ctypes.data_as(ctypes.c_void_p),
+                        jbuf.nbytes) != JXL_DEC_SUCCESS:
+                    raise OracleError("SetJPEGBuffer failed")
+                continue
+            if status == JXL_DEC_FULL_IMAGE or status == JXL_DEC_SUCCESS:
+                if jpeg_active:
+                    remaining = _jxl.JxlDecoderReleaseJPEGBuffer(dec)
+                    out += jbuf[:jbuf.nbytes - remaining].tobytes()
+                    jpeg_active = False
+                if status == JXL_DEC_SUCCESS:
+                    return bytes(out)
+                continue
+            if status == JXL_DEC_NEED_IMAGE_OUT_BUFFER:
+                # no pixel buffer needed for JPEG reconstruction; but some
+                # versions still request one — give a scratch buffer
+                raise OracleError("unexpected pixel buffer request")
+            raise OracleError(f"unexpected decoder status {status}")
+    finally:
+        _jxl.JxlDecoderDestroy(dec)
+
+
+def oracle_encode_jpeg(jpeg_bytes: bytes, *, effort: int = 3) -> bytes:
+    """Losslessly recompress a JPEG with the system libjxl (jbrd box)."""
+    if _jxl is None:
+        raise OracleError("libjxl shared library not available")
+    _jxl.JxlEncoderAddJPEGFrame.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    _jxl.JxlEncoderUseContainer.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    _jxl.JxlEncoderStoreJPEGMetadata.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_int]
+    enc = _jxl.JxlEncoderCreate(None)
+    if not enc:
+        raise OracleError("JxlEncoderCreate failed")
+    try:
+        if _jxl.JxlEncoderUseContainer(enc, 1) != 0:
+            raise OracleError("UseContainer failed")
+        if _jxl.JxlEncoderStoreJPEGMetadata(enc, 1) != 0:
+            raise OracleError("StoreJPEGMetadata failed")
+        st = _jxl.JxlEncoderFrameSettingsCreate(enc, None)
+        _jxl.JxlEncoderFrameSettingsSetOption(
+            st, JXL_ENC_FRAME_SETTING_EFFORT, effort)
+        if _jxl.JxlEncoderAddJPEGFrame(st, jpeg_bytes,
+                                       len(jpeg_bytes)) != 0:
+            raise OracleError("AddJPEGFrame failed")
+        _jxl.JxlEncoderCloseInput(enc)
+        chunks = []
+        chunk = np.empty(1 << 20, dtype=np.uint8)
+        while True:
+            ptr = ctypes.cast(chunk.ctypes.data,
+                              ctypes.POINTER(ctypes.c_uint8))
+            avail = ctypes.c_size_t(chunk.nbytes)
+            status = _jxl.JxlEncoderProcessOutput(
+                enc, ctypes.byref(ptr), ctypes.byref(avail))
+            used = chunk.nbytes - avail.value
+            chunks.append(chunk[:used].tobytes())
+            if status == JXL_ENC_SUCCESS:
+                break
+            if status != JXL_ENC_NEED_MORE_OUTPUT:
+                raise OracleError("oracle encoder error")
+        return b"".join(chunks)
+    finally:
+        _jxl.JxlEncoderDestroy(enc)

@@ -109,6 +109,10 @@ class VarDCTFrameDecoder:
         self.coeff_orders = [None] * fh.passes.num_passes  # per pass
         self.codes = [None] * fh.passes.num_passes
         self.used_acs = 0
+        # JPEG-reconstruction mode (dec_frame.cc:74, dec_group.cc:364-430):
+        # DC stays undequantized and qblock integers are collected.
+        self.jpeg_mode = False
+        self.jpeg_coeffs = None
 
     # ---- DC global --------------------------------------------------------
 
@@ -147,7 +151,9 @@ class VarDCTFrameDecoder:
                            global_tree=self.mfd.tree,
                            global_code=self.mfd.code,
                            undo_transforms=True)
-            dc_factors = self.quantizer.mul_dc(self.matrices.dc_quant)
+            # jpeg mode: ClearDCMul() — DC is not dequantized.
+            dc_factors = (1.0, 1.0, 1.0) if self.jpeg_mode else \
+                self.quantizer.mul_dc(self.matrices.dc_quant)
             cfl_x, _, cfl_b = self.cmap.dc_factors()
             qy = img.channel[0].plane.astype(np.float32)
             qx = img.channel[1].plane.astype(np.float32)
@@ -340,6 +346,12 @@ class VarDCTFrameDecoder:
 
     def _reconstruct_block(self, x, y, raw, qblock, ty) -> None:
         """Dequant + CfL + LLF-from-DC + IDCT (dec_group.cc:156-181,452)."""
+        if self.jpeg_mode:
+            if raw != 0:
+                raise FormatError(
+                    "can only decode to JPEG if only DCT-8 is used")
+            self.jpeg_coeffs[:, y, x, :] = qblock
+            return
         cx, cy = COVERED_X[raw], COVERED_Y[raw]
         size = cx * cy * 64
         inv_gs = self.quantizer.inv_global_scale

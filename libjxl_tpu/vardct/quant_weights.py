@@ -229,6 +229,37 @@ class DequantMatrices:
     def _decode_table(self, r: BitReader, idx: int, mfd) -> None:
         mode = r.read(3)
         if mode == 0:  # library default
+            r.read(0)  # predefined index: ceil_log2(1) = 0 bits
+            return
+        if mode == 7:  # RAW: F16 den + modular 8sx x 8sy x 3 image
+            den = read_f16(r)
+            if den < K_ALMOST_ZERO:
+                raise FormatError("invalid qtable_den")
+            sx = REQUIRED_SIZE_X[idx] * 8
+            sy = REQUIRED_SIZE_Y[idx] * 8
+            from libjxl_tpu.modular.codec import ModularOptions, \
+                modular_decode
+            from libjxl_tpu.modular.image import Channel, ModularImage
+            from libjxl_tpu.modular.frame import stream_id_quant_table
+            img = ModularImage(sx, sy, 8)
+            for _ in range(3):
+                img.channel.append(Channel.create(sx, sy))
+            modular_decode(r, img, group_id=(
+                stream_id_quant_table(mfd.dims, idx) if mfd is not None
+                else 0), options=ModularOptions(),
+                global_tree=getattr(mfd, "tree", None),
+                global_code=getattr(mfd, "code", None),
+                undo_transforms=True)
+            qtable = np.stack([c.plane for c in img.channel])  # (3, sy, sx)
+            if np.any(qtable <= 0):
+                raise FormatError("invalid RAW qtable")
+            with np.errstate(divide="ignore"):
+                table = (den * qtable.reshape(3, sy, sx)).astype(np.float32)
+            # weights = 1/(den*qtable) => dequant table = den*qtable
+            self.tables = list(self.tables)
+            self.tables[idx] = table
+            self.raw_qtables = getattr(self, "raw_qtables", {})
+            self.raw_qtables[idx] = (den, qtable)
             return
         raise FormatError(
             f"non-default quant table encoding (mode {mode}) not yet "
