@@ -75,14 +75,17 @@ def read_frame_sections(r: BitReader, meta: CodecMetadata) -> FrameSections:
     """Parse one frame's header + TOC and slice its sections (byte level)."""
     fh = FrameHeader()
     fh.visit(FieldReader(r), meta.m)
+    cs = fh.chroma_subsampling
+    maxhs, maxvs = cs.max_hshift, cs.max_vshift
     if fh.custom_size_or_origin:
-        dims = FrameDimensions(fh.frame_xsize, fh.frame_ysize, fh.group_dim)
+        dims = FrameDimensions(fh.frame_xsize, fh.frame_ysize, fh.group_dim,
+                               maxhs, maxvs)
     else:
         xsize, ysize = meta.xsize, meta.ysize
         if fh.upsampling > 1:
             xsize = -(-xsize // fh.upsampling)
             ysize = -(-ysize // fh.upsampling)
-        dims = FrameDimensions(xsize, ysize, fh.group_dim)
+        dims = FrameDimensions(xsize, ysize, fh.group_dim, maxhs, maxvs)
     n = num_toc_entries(dims.num_groups, dims.num_dc_groups,
                         fh.passes.num_passes)
     sizes, offsets, perm = read_toc(r, n)

@@ -118,7 +118,23 @@ class YCbCrChromaSubsampling(Bundle):
 
     @property
     def is_444(self) -> bool:
-        return all(m == 0 for m in self.channel_mode)
+        return all(self.hshift(c) == 0 and self.vshift(c) == 0
+                   for c in range(3))
+
+    def set_sampling(self, hsample, vsample) -> None:
+        """From JPEG per-component sampling factors (Y, Cb, Cr order);
+        (frame_header.h:103-120)."""
+        modes = []
+        for c in range(3):
+            cjpeg = c ^ 1 if c < 2 else c
+            for i in range(4):
+                if (1 << _K_HSHIFT[i] == hsample[cjpeg] and
+                        1 << _K_VSHIFT[i] == vsample[cjpeg]):
+                    modes.append(i)
+                    break
+            else:
+                raise FormatError("invalid subsample mode")
+        self.channel_mode = tuple(modes)
 
 
 @dataclass(eq=True)

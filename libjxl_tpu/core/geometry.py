@@ -25,14 +25,17 @@ class FrameDimensions:
     xsize: int                  # frame size in pixels (after upsampling)
     ysize: int
     group_dim: int = GROUP_DIM  # from group_size_shift
+    maxhs: int = 0              # chroma subsampling max shifts
+    maxvs: int = 0              # (frame_dimensions.h:43: block grid is
+                                # padded to the luma sampling multiple)
 
     @property
     def xsize_blocks(self) -> int:
-        return cdiv(self.xsize, BLOCK_DIM)
+        return cdiv(self.xsize, BLOCK_DIM << self.maxhs) << self.maxhs
 
     @property
     def ysize_blocks(self) -> int:
-        return cdiv(self.ysize, BLOCK_DIM)
+        return cdiv(self.ysize, BLOCK_DIM << self.maxvs) << self.maxvs
 
     @property
     def xsize_padded(self) -> int:

@@ -97,14 +97,19 @@ def jpeg_data_to_codestream(jd: JPEGData) -> bytes:
     """Build the VarDCT codestream holding ``jd``'s DCT coefficients."""
     if not jd.components or len(jd.components) not in (1, 3):
         raise FormatError("JPEG must have 1 or 3 components")
-    for c in jd.components:
-        if c.h_samp_factor != 1 or c.v_samp_factor != 1:
-            raise FormatError(
-                "chroma-subsampled JPEG transcode not yet supported")
     is_gray = len(jd.components) == 1
     ct = _color_transform_for(jd)
     w, h = jd.width, jd.height
-    fd = FrameDimensions(w, h, 256)
+    # chroma subsampling from the JPEG sampling factors
+    # (enc_jpeg_data.cc:215-239)
+    from libjxl_tpu.core.frame_header import YCbCrChromaSubsampling
+    cs = YCbCrChromaSubsampling()
+    comps = jd.components if not is_gray else [jd.components[0]] * 3
+    cs.set_sampling([c.h_samp_factor for c in comps],
+                    [c.v_samp_factor for c in comps])
+    hs = tuple(cs.hshift(c) for c in range(3))
+    vs = tuple(cs.vshift(c) for c in range(3))
+    fd = FrameDimensions(w, h, 256, cs.max_hshift, cs.max_vshift)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
     jmap = _jpeg_order(ct, is_gray)
 
@@ -124,18 +129,22 @@ def jpeg_data_to_codestream(jd: JPEGData) -> bytes:
             raise FormatError("invalid JPEG quantization table")
 
     # --- per-block coefficients in stored (transposed) layout -------------
-    # stored[8x+y] = natural[8y+x]
-    stored = np.zeros((3, yb, xb, 64), dtype=np.int32)
-    dc_q = np.zeros((3, yb, xb), dtype=np.int32)
+    # stored[8x+y] = natural[8y+x]; chroma grids are subsampled
+    stored = [np.zeros((yb >> vs[c], xb >> hs[c], 64), dtype=np.int32)
+              for c in range(3)]
+    dc_q = [np.zeros((yb >> vs[c], xb >> hs[c]), dtype=np.int32)
+            for c in range(3)]
     dczero = ct == ColorTransform.YCBCR
     for c in range(3):
         if is_gray and c != 1:
             continue
         comp = jd.components[jmap[c]]
-        if comp.width_in_blocks != xb or comp.height_in_blocks != yb:
+        xbc, ybc = xb >> hs[c], yb >> vs[c]
+        if comp.width_in_blocks != xbc or comp.height_in_blocks != ybc:
             raise FormatError("JPEG component geometry mismatch")
-        nat = _natural_coeffs(comp).reshape(yb, xb, 8, 8)
-        stored[c] = nat.transpose(0, 1, 3, 2).reshape(yb, xb, 64)
+        nat = _natural_coeffs(comp).reshape(ybc, xbc, 8, 8)
+        stored[c] = nat.transpose(0, 1, 3, 2).reshape(ybc, xbc, 64) \
+            .astype(np.int32)
         idc = nat[:, :, 0, 0].astype(np.int32)
         if not dczero:
             idc = idc + 1024 // qt_dc[c]
@@ -154,13 +163,20 @@ def jpeg_data_to_codestream(jd: JPEGData) -> bytes:
             by0, bx0 = gy * gdb, gx * gdb
             gh = min(gdb, yb - by0)
             gw = min(gdb, xb - bx0)
-            nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
+            nzeros_img = [np.zeros((gh >> vs[c], gw >> hs[c]), np.int32)
+                          for c in range(3)]
             for by in range(gh):
                 for bx in range(gw):
                     y, x = by0 + by, bx0 + bx
                     for c in (1, 0, 2):
-                        _tokenize_block(toks, stored[c, y, x], order,
-                                        nzeros_img[c], bx, by, bctx, qf, c)
+                        if ((x >> hs[c]) << hs[c] != x or
+                                (y >> vs[c]) << vs[c] != y):
+                            continue
+                        _tokenize_block(toks,
+                                        stored[c][y >> vs[c], x >> hs[c]],
+                                        order, nzeros_img[c],
+                                        bx >> hs[c], by >> vs[c],
+                                        bctx, qf, c)
     codes = build_entropy_codes(
         [tokens_to_array(t) if t else np.zeros((0, 2), np.int64)
          for t in group_tokens],
@@ -184,6 +200,7 @@ def jpeg_data_to_codestream(jd: JPEGData) -> bytes:
 
     fh = FrameHeader(encoding=FrameEncoding.VARDCT, color_transform=ct,
                      flags=FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING)
+    fh.chroma_subsampling = cs
     fh.loop_filter.gab = False
     fh.loop_filter.epf_iters = 0
     meta.nonserialized_xsize = w
@@ -217,8 +234,10 @@ def jpeg_data_to_codestream(jd: JPEGData) -> bytes:
         sw.write(2, 0)                      # extra_precision = 0
         img = ModularImage(bwd, bhd, 32)
         for src_c in (1, 0, 2):             # stream order [Y, X, B]
+            yc, xc = y0 >> vs[src_c], x0 >> hs[src_c]
             img.channel.append(Channel(
-                dc_q[src_c, y0:y0 + bhd, x0:x0 + bwd].copy()))
+                dc_q[src_c][yc:yc + (bhd >> vs[src_c]),
+                            xc:xc + (bwd >> hs[src_c])].copy()))
         modular_encode(sw, img, group_id=1 + g,
                        tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)])
         # Modular DC group: no channels. AC metadata: all DCT8, qf=1.
@@ -333,15 +352,14 @@ def decode_to_jpeg(data: bytes) -> bytes:
         raise FormatError("cannot output JPEG from a Modular frame")
     if meta.m.xyb_encoded:
         raise FormatError("cannot decode an XYB image to JPEG")
-    if not fh.chroma_subsampling.is_444:
-        raise FormatError("subsampled JPEG reconstruction not yet supported")
-
     from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
     fd = frame.dims
     dec = VarDCTFrameDecoder(fh, meta.m, fd)
     dec.jpeg_mode = True
-    dec.jpeg_coeffs = np.zeros((3, fd.ysize_blocks, fd.xsize_blocks, 64),
-                               dtype=np.int32)
+    dec.jpeg_coeffs = [
+        np.zeros((fd.ysize_blocks >> dec.vs[c],
+                  fd.xsize_blocks >> dec.hs[c], 64), dtype=np.int32)
+        for c in range(3)]
     from libjxl_tpu.core.toc import ac_group_index
     from libjxl_tpu.utils.bits import BitReader
     if len(frame.sections) == 1:
@@ -383,7 +401,7 @@ def _fill_jpeg_coefficients(jd: JPEGData, dec, meta, fh,
 
     jd.width, jd.height = meta.xsize, meta.ysize
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
-    ncomp = len(jd.components)
+    cs = fh.chroma_subsampling
 
     # restore DQT values from the RAW table (stored layout -> natural)
     for i, qtab in enumerate(jd.quant):
@@ -392,7 +410,8 @@ def _fill_jpeg_coefficients(jd: JPEGData, dec, meta, fh,
         qtab.values = qtable[c].T.reshape(64).astype(np.int32)
 
     dczero = fh.color_transform == ColorTransform.YCBCR
-    cfl_any = np.any(dec.ytox_map) or np.any(dec.ytob_map)
+    cfl_any = (cs.is_444 and
+               (np.any(dec.ytox_map) or np.any(dec.ytob_map)))
     # scaled_qtable in natural order (dec_group.cc:250-259)
     scaled_qt = ((1 << K_CFL_FIXED_POINT_PRECISION) * qt[1][None, :] //
                  qt).reshape(3, 8, 8).transpose(0, 2, 1).reshape(3, 64)
@@ -401,12 +420,14 @@ def _fill_jpeg_coefficients(jd: JPEGData, dec, meta, fh,
         if is_gray and c != 1:
             continue
         comp = jd.components[jmap[c]]
-        comp.h_samp_factor = comp.v_samp_factor = 1
-        comp.width_in_blocks = xb
-        comp.height_in_blocks = yb
-        stored = dec.jpeg_coeffs[c].astype(np.int32)    # (yb, xb, 64)
-        nat = stored.reshape(yb, xb, 8, 8).transpose(0, 1, 3, 2)
-        nat = nat.reshape(yb, xb, 64)
+        xbc, ybc = xb >> dec.hs[c], yb >> dec.vs[c]
+        comp.h_samp_factor = 1 << (cs.max_hshift - dec.hs[c])
+        comp.v_samp_factor = 1 << (cs.max_vshift - dec.vs[c])
+        comp.width_in_blocks = xbc
+        comp.height_in_blocks = ybc
+        stored = dec.jpeg_coeffs[c]                     # (ybc, xbc, 64)
+        nat = stored.reshape(ybc, xbc, 8, 8).transpose(0, 1, 3, 2)
+        nat = nat.reshape(ybc, xbc, 64)
         if cfl_any and c != 1 and not is_gray:
             y_nat = dec.jpeg_coeffs[1].reshape(yb, xb, 8, 8) \
                 .transpose(0, 1, 3, 2).reshape(yb, xb, 64).astype(np.int64)

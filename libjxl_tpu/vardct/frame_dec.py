@@ -83,11 +83,13 @@ def adjust_quant_bias(q: np.ndarray, c: int) -> np.ndarray:
 
 class VarDCTFrameDecoder:
     def __init__(self, fh: FrameHeader, metadata, dims: FrameDimensions):
-        if not fh.chroma_subsampling.is_444:
-            raise FormatError("chroma subsampling not yet supported")
         self.fh = fh
         self.meta = metadata
         self.fd = dims
+        cs = fh.chroma_subsampling
+        self.is_444 = cs.is_444
+        self.hs = tuple(cs.hshift(c) for c in range(3))
+        self.vs = tuple(cs.vshift(c) for c in range(3))
         self.quantizer = Quantizer()
         self.matrices = DequantMatrices()
         self.bctx = BlockCtxMap()
@@ -99,7 +101,11 @@ class VarDCTFrameDecoder:
         self.raw_quant = np.ones((yb, xb), dtype=np.int32)
         self.epf_sharpness = np.zeros((yb, xb), dtype=np.int32)
         self.quant_dc_idx = np.zeros((yb, xb), dtype=np.int32)
-        self.dc = np.zeros((3, yb, xb), dtype=np.float32)
+        if self.is_444:
+            self.dc = np.zeros((3, yb, xb), dtype=np.float32)
+        else:
+            self.dc = [np.zeros((yb >> self.vs[c], xb >> self.hs[c]),
+                                dtype=np.float32) for c in range(3)]
         tx = cdiv(xb, K_COLOR_TILE_DIM_IN_BLOCKS)
         ty = cdiv(yb, K_COLOR_TILE_DIM_IN_BLOCKS)
         self.ytox_map = np.zeros((ty, tx), dtype=np.int32)
@@ -143,9 +149,11 @@ class VarDCTFrameDecoder:
             extra_precision = r.read(2)
             mul = 1.0 / (1 << extra_precision)
             img = ModularImage(bw, bh, 32)
-            # stream channel order [Y, X, B]
-            for _ in range(3):
-                img.channel.append(Channel.create(bw, bh))
+            # stream channel order [Y, X, B], per-channel subsampled dims
+            # (dec_modular.cc:447-452)
+            for c in (1, 0, 2):
+                img.channel.append(Channel.create(bw >> self.hs[c],
+                                                  bh >> self.vs[c]))
             modular_decode(r, img, group_id=stream_id_vardct_dc(fd, group_id),
                            options=ModularOptions(),
                            global_tree=self.mfd.tree,
@@ -159,11 +167,15 @@ class VarDCTFrameDecoder:
             qx = img.channel[1].plane.astype(np.float32)
             qb = img.channel[2].plane.astype(np.float32)
             dcy = qy * (dc_factors[1] * mul)
-            dcx = qx * (dc_factors[0] * mul) + cfl_x * dcy
-            dcb = qb * (dc_factors[2] * mul) + cfl_b * dcy
-            self.dc[0, y0:y0 + bh, x0:x0 + bw] = dcx
-            self.dc[1, y0:y0 + bh, x0:x0 + bw] = dcy
-            self.dc[2, y0:y0 + bh, x0:x0 + bw] = dcb
+            dcx = qx * (dc_factors[0] * mul)
+            dcb = qb * (dc_factors[2] * mul)
+            if self.is_444:   # CfL-DC only without subsampling
+                dcx = dcx + cfl_x * dcy
+                dcb = dcb + cfl_b * dcy
+            for c, dcp in ((0, dcx), (1, dcy), (2, dcb)):
+                yc, xc = y0 >> self.vs[c], x0 >> self.hs[c]
+                self.dc[c][yc:yc + dcp.shape[0],
+                           xc:xc + dcp.shape[1]] = dcp
             # dc context buckets (compressed_dc.cc:252-293)
             if self.bctx.num_dc_ctxs > 1:
                 qxp = img.channel[1].plane
@@ -235,7 +247,7 @@ class VarDCTFrameDecoder:
     def finalize_dc(self) -> None:
         fh = self.fh
         if (fh.flags & FrameFlags.SKIP_ADAPTIVE_DC_SMOOTHING) or \
-                (fh.flags & FrameFlags.USE_DC_FRAME):
+                (fh.flags & FrameFlags.USE_DC_FRAME) or not self.is_444:
             return
         self.dc = adaptive_dc_smoothing(
             self.dc, self.quantizer.mul_dc(self.matrices.dc_quant))
@@ -277,8 +289,10 @@ class VarDCTFrameDecoder:
             ctx_offsets.append(sel * self.bctx.num_ac_contexts())
             decoders.append(ANSSymbolReader(self.codes[p], readers[p]))
 
-        # per-pass nzeros images (group block dims)
-        nzeros = [np.zeros((3, ysize_blocks, xsize_blocks), dtype=np.int32)
+        # per-pass, per-channel nzeros images (subsampled group block dims)
+        hs, vs = self.hs, self.vs
+        nzeros = [[np.zeros((ysize_blocks >> vs[c], xsize_blocks >> hs[c]),
+                            dtype=np.int32) for c in range(3)]
                   for _ in range(num_passes)]
 
         for by in range(ysize_blocks):
@@ -288,6 +302,9 @@ class VarDCTFrameDecoder:
                 if not self.acs_anchor[y, x]:
                     continue
                 raw = int(self.acs_raw[y, x])
+                if raw != 0 and not self.is_444:
+                    raise FormatError(
+                        "subsampled chroma requires DCT-8 only")
                 cx, cy = COVERED_X[raw], COVERED_Y[raw]
                 log2_cov = LOG2_COVERED[raw]
                 covered = cx * cy
@@ -297,21 +314,27 @@ class VarDCTFrameDecoder:
                     shift = self.fh.passes.shift[p] if \
                         self.fh.passes.shift else 0
                     for c in (1, 0, 2):
+                        # subsampled chroma: code only aligned blocks
+                        # (dec_group.cc:370-376)
+                        if ((bx >> hs[c]) << hs[c] != bx or
+                                (by >> vs[c]) << vs[c] != by):
+                            continue
                         self._decode_ac_block(
                             readers[p], decoders[p], ctx_offsets[p],
-                            self.coeff_orders[p], nzeros[p], c, bx, by, x, y,
+                            self.coeff_orders[p], nzeros[p][c], c,
+                            bx >> hs[c], by >> vs[c], x, y,
                             raw, covered, log2_cov, qblock[c], shift)
                 self._reconstruct_block(x, y, raw, qblock, ty)
         for p in range(num_passes):
             if not decoders[p].check_final_state():
                 raise FormatError("AC group ANS checksum failed")
 
-    def _decode_ac_block(self, r, decoder, ctx_offset, orders, nzeros_img,
+    def _decode_ac_block(self, r, decoder, ctx_offset, orders, nz,
                          c, bx, by, x, y, raw, covered, log2_cov, qcoef,
                          shift) -> None:
-        """(dec_group.cc DecodeACVarBlock:470-545)."""
+        """(dec_group.cc DecodeACVarBlock:470-545). ``bx``/``by`` are
+        channel-local (subsampled) coords; ``x``/``y`` luma-grid coords."""
         size = covered * 64
-        nz = nzeros_img[c]
         if bx == 0:
             predicted = nz[by - 1, bx] if by > 0 else 32
         elif by == 0:
@@ -350,8 +373,16 @@ class VarDCTFrameDecoder:
             if raw != 0:
                 raise FormatError(
                     "can only decode to JPEG if only DCT-8 is used")
-            self.jpeg_coeffs[:, y, x, :] = qblock
+            for c in range(3):
+                if ((x >> self.hs[c]) << self.hs[c] != x or
+                        (y >> self.vs[c]) << self.vs[c] != y):
+                    continue
+                self.jpeg_coeffs[c][y >> self.vs[c],
+                                    x >> self.hs[c]] = qblock[c]
             return
+        if not self.is_444:
+            raise FormatError(
+                "subsampled chroma pixel reconstruction not yet supported")
         cx, cy = COVERED_X[raw], COVERED_Y[raw]
         size = cx * cy * 64
         inv_gs = self.quantizer.inv_global_scale

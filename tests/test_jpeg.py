@@ -20,6 +20,7 @@ from PIL import Image, ImageFilter  # noqa: E402
 
 
 def _jpeg_bytes(shape=(89, 121), gray=False, **save_kwargs):
+    shape = save_kwargs.pop("shape", shape)
     rng = np.random.default_rng(sum(shape))
     arr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
     img = Image.fromarray(arr).filter(ImageFilter.GaussianBlur(2))
@@ -40,6 +41,10 @@ CONFIGS = [
     dict(quality=100),
     dict(quality=80, gray=True),
     dict(quality=75, comment=b"a comment marker"),
+    dict(quality=85, subsampling=2),                      # 420
+    dict(quality=85, subsampling=1),                      # 422
+    dict(quality=75, subsampling=2, progressive=True),
+    dict(quality=85, subsampling=2, shape=(100, 100)),    # MCU padding
 ]
 
 
@@ -86,7 +91,9 @@ def test_transcode_multigroup():
 @pytest.mark.skipif(not oracle_available(), reason="libjxl not found")
 @pytest.mark.parametrize("cfg", [dict(quality=85),
                                  dict(quality=70, progressive=True),
-                                 dict(quality=80, gray=True)])
+                                 dict(quality=80, gray=True),
+                                 dict(quality=85, subsampling=2),
+                                 dict(quality=85, subsampling=1)])
 def test_transcode_oracle_cross(cfg):
     from libjxl_tpu.utils.oracle import (
         oracle_decode_jpeg, oracle_encode_jpeg,
