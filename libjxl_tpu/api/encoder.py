@@ -211,22 +211,52 @@ def encode_lossless_device(pixels: np.ndarray,
     """Device-accelerated lossless encode: RCT, prediction, tokenization and
     histograms run as one fused XLA program over the group axis
     (``libjxl_tpu.models.lossless``); the host does rANS emission + bytes."""
-    from libjxl_tpu.entropy.ans import (
-        build_entropy_codes_from_histogram, write_tokens_pretokenized,
-    )
     from libjxl_tpu.models.lossless import encode_image_device
 
     options = options or EncodeOptions()
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
+    group_dim = 128 << options.group_size_shift
+    use_rct = options.use_rct and pixels.shape[2] >= 3
+    collected = encode_image_device(pixels, group_dim=group_dim,
+                                    use_rct=use_rct)
+    return _assemble_lossless_device(pixels, options, collected)
+
+
+def encode_lossless_many(images, options: EncodeOptions | None = None
+                         ) -> list:
+    """Pipelined batch encode: all device steps + d2h transfers are
+    enqueued up front (async dispatch), overlapping the host entropy
+    coding of earlier images — the batch/serving mode of BASELINE
+    config 5."""
+    from libjxl_tpu.models.lossless import (
+        encode_image_device_collect, encode_image_device_dispatch,
+    )
+
+    options = options or EncodeOptions()
+    imgs = [im[:, :, None] if im.ndim == 2 else im for im in images]
+    group_dim = 128 << options.group_size_shift
+    handles = [encode_image_device_dispatch(
+        im, group_dim=group_dim,
+        use_rct=options.use_rct and im.shape[2] >= 3) for im in imgs]
+    return [_assemble_lossless_device(im, options,
+                                      encode_image_device_collect(hd))
+            for im, hd in zip(imgs, handles)]
+
+
+def _assemble_lossless_device(pixels: np.ndarray, options: EncodeOptions,
+                              collected) -> bytes:
+    """Host half: headers + per-group token/ANS emission."""
+    from libjxl_tpu.entropy.ans import (
+        build_entropy_codes_from_histogram, write_tokens_pretokenized,
+    )
+
     h, w, nch = pixels.shape
     bits = 8 if pixels.dtype == np.uint8 else 16
     gray = nch == 1
-    group_dim = 128 << options.group_size_shift
     use_rct = options.use_rct and nch >= 3
 
-    packed, mask, hist = encode_image_device(
-        pixels, group_dim=group_dim, use_rct=use_rct)
+    packed, mask, hist = collected
     codes = build_entropy_codes_from_histogram(hist)
     from libjxl_tpu.entropy.hybrid import DEFAULT_UINT_CONFIG
 
@@ -262,11 +292,23 @@ def encode_lossless_device(pixels: np.ndarray,
     transforms = ([Transform(id=TransformId.RCT, begin_c=0, rct_type=6)]
                   if use_rct else [])
 
-    def group_stream(g: int) -> tuple:
-        """Masked (token, nbits, bits) for group g in (c, y, x) order."""
+    def write_group_stream(sw: BitWriter, g: int) -> None:
+        """Tokenize + ANS-emit group g's residuals into ``sw``."""
+        gx = g % fd.xsize_groups
+        gy = g // fd.xsize_groups
+        gw_v = min(fd.group_dim, w - gx * fd.group_dim)
+        gh_v = min(fd.group_dim, h - gy * fd.group_dim)
+        from libjxl_tpu.utils import native
+        res = native.lossless_group_encode(
+            packed[g], gw_v, gh_v, codes.counts[0], codes.slot_starts[0],
+            codes.slots[0])
+        if res is not None:
+            data, total_bits = res
+            sw.append_packed(data, total_bits)
+            return
         m = np.broadcast_to(mask[g], packed[g].shape)
-        vals = packed[g][m]
-        return DEFAULT_UINT_CONFIG.encode_array(vals)
+        t, nb, b = DEFAULT_UINT_CONFIG.encode_array(packed[g][m])
+        write_tokens_pretokenized(sw, t, nb, b, codes)
 
     def dc_global_section() -> bytes:
         sw = BitWriter()
@@ -277,8 +319,7 @@ def encode_lossless_device(pixels: np.ndarray,
         gh = GroupHeader(use_global_tree=True, transforms=transforms)
         gh.write(sw)
         if fd.num_groups == 1:
-            t, nb, b = group_stream(0)
-            write_tokens_pretokenized(sw, t, nb, b, codes)
+            write_group_stream(sw, 0)
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
@@ -286,20 +327,27 @@ def encode_lossless_device(pixels: np.ndarray,
         sw = BitWriter()
         gh = GroupHeader(use_global_tree=True)
         gh.write(sw)
-        t, nb, b = group_stream(g)
-        write_tokens_pretokenized(sw, t, nb, b, codes)
+        write_group_stream(sw, g)
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
     if fd.num_groups == 1 and fh.passes.num_passes == 1:
         sections = [dc_global_section()]
     else:
+        # groups are independent: parallel section assembly (the native
+        # tokenizer/rANS kernels release the GIL)
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        from libjxl_tpu.utils import native
+        native.get_lib()     # build/bind once before the pool
         sections = [dc_global_section()]
         for g in range(fd.num_dc_groups):
             sections.append(b"")
         sections.append(b"")
-        for g in range(fd.num_groups):
-            sections.append(ac_group_section(g))
+        with ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1)) as ex:
+            sections.extend(ex.map(ac_group_section,
+                                   range(fd.num_groups)))
 
     write_toc(bw, [len(s) for s in sections])
     out = bytearray(bw.to_bytes())

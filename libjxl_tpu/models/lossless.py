@@ -29,16 +29,27 @@ from libjxl_tpu.ops.modular_ops import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("use_rct", "out16"))
-def encode_groups_device(groups: jnp.ndarray, mask: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("gx", "use_rct", "out16"))
+def encode_groups_device(groups: jnp.ndarray, h, w, gx: int = 1,
                          use_rct: bool = True, out16: bool = True):
     """Device side of lossless encode.
 
-    groups: (G, C, gd, gd) integer (any int dtype); mask: (G,1,gd,gd) bool.
-    Returns (packed_residuals, histogram): packed zigzag residuals
-    (uint16 when out16 else uint32) and the (256,) masked token histogram.
+    groups: (G, C, gd, gd) integer (any int dtype); ``h``/``w`` are the
+    true image extents (the valid-pixel mask is built on device — no
+    boolean upload), ``gx`` the group-grid width. Returns
+    (payload, packed_wide): one concatenated uint8 d2h payload (clamped
+    residual planes + per-group max + histogram — hosts reach this chip
+    over a ~50 MB/s, ~25 ms/transfer tunnel, so both bytes and transfer
+    count matter) and the full-width residuals (fetched per group only
+    when the group max says uint8 clipped).
     """
     groups = groups.astype(jnp.int32)
+    ng, _, gd, _ = groups.shape
+    row0 = (jnp.arange(ng) // gx) * gd
+    col0 = (jnp.arange(ng) % gx) * gd
+    ymask = row0[:, None] + jnp.arange(gd)[None, :] < h     # (G, gd)
+    xmask = col0[:, None] + jnp.arange(gd)[None, :] < w
+    mask = ymask[:, None, :, None] & xmask[:, None, None, :]
     if use_rct and groups.shape[1] >= 3:
         rgb = groups[:, :3]
         rest = groups[:, 3:]
@@ -50,8 +61,19 @@ def encode_groups_device(groups: jnp.ndarray, mask: jnp.ndarray,
     # with a psum over the sharded group axis).
     token = _token_id(packed)
     hist = token_histogram(token, jnp.broadcast_to(mask, token.shape))
-    out = packed.astype(jnp.uint16) if out16 else packed
-    return out, hist
+    wide = packed.astype(jnp.uint16) if out16 else packed
+    packed8 = jnp.minimum(packed, 255).astype(jnp.uint8)
+    gmax = jnp.max(jnp.where(jnp.broadcast_to(mask, packed.shape), packed,
+                             0), axis=(1, 2, 3))
+    # single d2h payload: residual planes + per-group max + histogram —
+    # the host link has ~25ms fixed latency per transfer, so one fetch
+    # beats three (SURVEY.md §7 transfer discipline)
+    payload = jnp.concatenate([
+        packed8.reshape(-1),
+        gmax.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
+        hist.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
+    ])
+    return payload, wide
 
 
 def _token_id(packed: jnp.ndarray, split_exponent: int = 4,
@@ -91,10 +113,42 @@ def encode_image_device(img: np.ndarray, group_dim: int = 256,
                         use_rct: bool = True):
     """Host wrapper: (H, W, C) -> per-group packed residuals + histogram.
 
-    Returns (packed[G,C,gd,gd] np.uint32, mask, hist)."""
+    Returns (packed list of per-group (C, gd, gd) arrays, mask, hist).
+    Each group is uint8 when its residuals fit, else the wide dtype; only
+    the narrow planes travel over the host link."""
+    dev = encode_image_device_dispatch(img, group_dim, use_rct)
+    return encode_image_device_collect(dev)
+
+
+def encode_image_device_dispatch(img: np.ndarray, group_dim: int = 256,
+                                 use_rct: bool = True):
+    """Async half: enqueue device compute + d2h; returns a handle.
+
+    Use with ``encode_image_device_collect`` to pipeline several images
+    (transfers overlap the host entropy coding of earlier images)."""
     groups, mask = frame_groups_host(img, group_dim)
     out16 = img.dtype == np.uint8
-    packed, hist = encode_groups_device(jnp.asarray(groups),
-                                        jnp.asarray(mask),
-                                        use_rct=use_rct, out16=out16)
-    return (np.asarray(packed).astype(np.uint32), mask, np.asarray(hist))
+    h, w = img.shape[:2]
+    gx = -(-w // group_dim)
+    payload, wide = encode_groups_device(
+        jnp.asarray(groups), h, w, gx=gx, use_rct=use_rct, out16=out16)
+    payload.copy_to_host_async()
+    return payload, wide, mask, groups.shape
+
+
+def encode_image_device_collect(dev):
+    """Blocking half: fetch the payload and split it."""
+    payload, wide, mask, gshape = dev
+    ng, nch, gd, _ = gshape
+    buf = np.asarray(payload)
+    psize = ng * nch * gd * gd
+    packed8 = buf[:psize].reshape(ng, nch, gd, gd)
+    gmax = buf[psize:psize + 4 * ng].view(np.uint32)
+    hist = buf[psize + 4 * ng:].view(np.uint32).astype(np.int64)
+    out = []
+    for g in range(ng):
+        if gmax[g] >= 255:
+            out.append(np.asarray(wide[g]))   # rare wide fetch
+        else:
+            out.append(packed8[g])
+    return out, mask, hist

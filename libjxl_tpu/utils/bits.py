@@ -88,10 +88,13 @@ class BitWriter:
 
     def to_bytes(self) -> bytes:
         """Pack all written bits into bytes (zero-padded to byte boundary)."""
-        return pack_bits_lsb(
-            np.array(self._nbits, dtype=np.int64),
-            np.array(self._words, dtype=np.uint64),
-        ).tobytes()
+        nbits = np.array(self._nbits, dtype=np.int64)
+        words = np.array(self._words, dtype=np.uint64)
+        from libjxl_tpu.utils import native
+        packed = native.pack_bits(nbits, words)
+        if packed is not None:
+            return packed
+        return pack_bits_lsb(nbits, words).tobytes()
 
 
 def pack_bits_lsb(nbits: np.ndarray, values: np.ndarray) -> np.ndarray:

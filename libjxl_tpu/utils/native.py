@@ -148,3 +148,67 @@ def gradient_residuals_native(plane: np.ndarray) -> np.ndarray | None:
     out = np.empty((h, w), dtype=np.uint32)
     lib.jxlt_gradient_residuals(plane.ctypes.data, h, w, out.ctypes.data)
     return out
+
+
+def lossless_group_encode(packed: np.ndarray, gw: int, gh: int,
+                          counts: np.ndarray, start: np.ndarray,
+                          slots: np.ndarray) -> tuple[bytes, int] | None:
+    """One-shot (C, gd, gd) packed-residual plane -> ANS stream bytes.
+
+    Tokenize (default hybrid-uint) + rANS + pack in native code; returns
+    (packed_bytes, total_bits) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_lossless_group_encode_bound"):
+        lib.jxlt_lossless_group_encode.restype = ctypes.c_int64
+        lib.jxlt_lossless_group_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.jxlt_lossless_group_encode_bound = True
+    if packed.dtype == np.uint8:
+        elem = 1
+    elif packed.dtype == np.uint16:
+        elem = 2
+    elif packed.dtype == np.uint32:
+        elem = 4
+    else:
+        return None
+    packed = np.ascontiguousarray(packed)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    start = np.ascontiguousarray(start, dtype=np.int64)
+    slots = np.ascontiguousarray(slots, dtype=np.int32)
+    nch, gd, _ = packed.shape
+    n = nch * gw * gh
+    cap = 8 * n + 64 + (n // 2) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    total_bits = lib.jxlt_lossless_group_encode(
+        packed.ctypes.data, elem, nch, gd, gw, gh,
+        counts.ctypes.data, start.ctypes.data, slots.ctypes.data,
+        out.ctypes.data, cap)
+    if total_bits < 0:
+        return None
+    return out[: (total_bits + 7) // 8].tobytes(), int(total_bits)
+
+
+def pack_bits(nbits: np.ndarray, values: np.ndarray) -> bytes | None:
+    """Native LSB-first packing; returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_pack_bits_bound"):
+        lib.jxlt_pack_bits.restype = ctypes.c_int64
+        lib.jxlt_pack_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.jxlt_pack_bits_bound = True
+    nbits = np.ascontiguousarray(nbits, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    cap = int(nbits.sum()) // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    total = lib.jxlt_pack_bits(nbits.ctypes.data, values.ctypes.data,
+                               len(nbits), out.ctypes.data, cap)
+    if total < 0:
+        return None
+    return out[: (total + 7) // 8].tobytes()

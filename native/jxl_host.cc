@@ -217,3 +217,84 @@ EXPORT void jxlt_gradient_residuals(const int32_t* plane, int64_t h,
 }
 
 EXPORT int64_t jxlt_version() { return 1; }
+
+// ---------------------------------------------------------------------------
+// One-shot lossless group stream: hybrid-uint tokenize (split=4, msb=2,
+// lsb=0 — the default HybridUintConfig) + reverse-pass rANS + LSB-first
+// bit packing, all in a single call over the group's valid rectangle.
+// Mirrors enc_ans.cc WriteTokens for one clustered context.
+// ---------------------------------------------------------------------------
+EXPORT int64_t jxlt_lossless_group_encode(
+    const void* packed_v, int32_t elem_bytes, int64_t nch, int64_t gd,
+    int64_t gw, int64_t gh, const int32_t* counts, const int64_t* start,
+    const int32_t* slots, uint8_t* out, int64_t cap) {
+  const int64_t n = nch * gw * gh;
+  std::vector<int32_t> tokens(n);
+  std::vector<uint8_t> tnbits(n);
+  std::vector<uint32_t> tbits(n);
+  int64_t k = 0;
+  for (int64_t c = 0; c < nch; ++c) {
+    for (int64_t y = 0; y < gh; ++y) {
+      const int64_t row = (c * gd + y) * gd;
+      for (int64_t x = 0; x < gw; ++x) {
+        uint32_t v = (elem_bytes == 1)
+                         ? ((const uint8_t*)packed_v)[row + x]
+                         : (elem_bytes == 2)
+                               ? ((const uint16_t*)packed_v)[row + x]
+                               : ((const uint32_t*)packed_v)[row + x];
+        if (v < 16) {
+          tokens[k] = (int32_t)v;
+          tnbits[k] = 0;
+          tbits[k] = 0;
+        } else {
+          int nbit = 31 - __builtin_clz(v);
+          int nb = nbit - 2;
+          tokens[k] = 16 + ((nbit - 4) << 2) +
+                      (int32_t)((v - (1u << nbit)) >> nb);
+          tnbits[k] = (uint8_t)nb;
+          tbits[k] = v & ((1u << nb) - 1);
+        }
+        ++k;
+      }
+    }
+  }
+  // Reverse rANS pass (same flow as jxlt_ans_encode_stream).
+  std::vector<uint32_t> rev_bits;
+  std::vector<uint8_t> rev_nbits;
+  rev_bits.reserve(n + n / 8 + 8);
+  rev_nbits.reserve(n + n / 8 + 8);
+  uint32_t state = kAnsSignature << 16;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    if (tnbits[i]) {
+      rev_bits.push_back(tbits[i]);
+      rev_nbits.push_back(tnbits[i]);
+    }
+    int32_t t = tokens[i];
+    uint32_t freq = (uint32_t)counts[t];
+    if ((state >> (32 - kAnsLogTabSize)) >= freq) {
+      rev_bits.push_back(state & 0xFFFF);
+      rev_nbits.push_back(16);
+      state >>= 16;
+    }
+    state = ((state / freq) << kAnsLogTabSize) +
+            (uint32_t)slots[start[t] + state % freq];
+  }
+  BitSink sink{out, cap};
+  sink.Write(32, state);
+  for (int64_t i = (int64_t)rev_bits.size() - 1; i >= 0; --i) {
+    sink.Write(rev_nbits[i], rev_bits[i]);
+  }
+  if (sink.overflow) return -1;
+  return sink.bitpos;
+}
+
+// Pack variable-length LSB-first codes into bytes (BitWriter::to_bytes).
+EXPORT int64_t jxlt_pack_bits(const int64_t* nbits, const uint64_t* values,
+                              int64_t n, uint8_t* out, int64_t cap) {
+  BitSink sink{out, cap};
+  for (int64_t i = 0; i < n; ++i) {
+    sink.Write((uint32_t)nbits[i], values[i]);
+  }
+  if (sink.overflow) return -1;
+  return sink.bitpos;
+}
