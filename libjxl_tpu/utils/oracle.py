@@ -468,3 +468,59 @@ def oracle_encode_jpeg(jpeg_bytes: bytes, *, effort: int = 3) -> bytes:
         return b"".join(chunks)
     finally:
         _jxl.JxlEncoderDestroy(enc)
+
+
+def oracle_butteraugli(img0_u8: np.ndarray, img1_u8: np.ndarray,
+                       pnorm: float = 3.0):
+    """(distance_pnorm, distance_max, distmap) via JxlButteraugliCompute."""
+    if _jxl is None:
+        raise OracleError("libjxl shared library not available")
+    _jxl.JxlButteraugliApiCreate.restype = ctypes.c_void_p
+    _jxl.JxlButteraugliApiCreate.argtypes = [ctypes.c_void_p]
+    _jxl.JxlButteraugliApiDestroy.argtypes = [ctypes.c_void_p]
+    _jxl.JxlButteraugliCompute.restype = ctypes.c_void_p
+    _jxl.JxlButteraugliCompute.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(JxlPixelFormat), ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.POINTER(JxlPixelFormat), ctypes.c_void_p, ctypes.c_size_t]
+    _jxl.JxlButteraugliResultGetDistance.restype = ctypes.c_float
+    _jxl.JxlButteraugliResultGetDistance.argtypes = [
+        ctypes.c_void_p, ctypes.c_float]
+    _jxl.JxlButteraugliResultGetMaxDistance.restype = ctypes.c_float
+    _jxl.JxlButteraugliResultGetMaxDistance.argtypes = [ctypes.c_void_p]
+    _jxl.JxlButteraugliResultGetDistmap.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_uint32)]
+    _jxl.JxlButteraugliResultDestroy.argtypes = [ctypes.c_void_p]
+
+    api = _jxl.JxlButteraugliApiCreate(None)
+    if not api:
+        raise OracleError("ButteraugliApiCreate failed")
+    try:
+        h, w, _ = img0_u8.shape
+        fmt = JxlPixelFormat(3, JXL_TYPE_UINT8, JXL_LITTLE_ENDIAN, 0)
+        a = np.ascontiguousarray(img0_u8)
+        b = np.ascontiguousarray(img1_u8)
+        res = _jxl.JxlButteraugliCompute(
+            api, w, h, ctypes.byref(fmt), a.ctypes.data_as(ctypes.c_void_p),
+            a.nbytes, ctypes.byref(fmt),
+            b.ctypes.data_as(ctypes.c_void_p), b.nbytes)
+        if not res:
+            raise OracleError("ButteraugliCompute failed")
+        try:
+            dist = float(_jxl.JxlButteraugliResultGetDistance(res, pnorm))
+            try:
+                dmax = float(_jxl.JxlButteraugliResultGetMaxDistance(res))
+            except AttributeError:
+                dmax = float("nan")
+            buf = ctypes.POINTER(ctypes.c_float)()
+            stride = ctypes.c_uint32(0)
+            _jxl.JxlButteraugliResultGetDistmap(res, ctypes.byref(buf),
+                                               ctypes.byref(stride))
+            distmap = np.ctypeslib.as_array(
+                buf, shape=(h, stride.value))[:, :w].copy()
+            return dist, dmax, distmap
+        finally:
+            _jxl.JxlButteraugliResultDestroy(res)
+    finally:
+        _jxl.JxlButteraugliApiDestroy(api)
