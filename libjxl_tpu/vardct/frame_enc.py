@@ -51,20 +51,26 @@ class LossyOptions:
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                  ) -> bytes:
-    """Encode (h, w, 3) uint8 sRGB to a VarDCT JXL codestream."""
+    """Encode (h, w, 3) uint8 sRGB to a VarDCT JXL codestream.
+
+    The e3-class heuristics of the reference: adaptive quantization field
+    (enc_adaptive_quantization.cc), dead-zone thresholds and Y-roundtrip
+    chroma-from-luma (enc_group.cc:329-520, enc_chroma_from_luma.cc)."""
     options = options or LossyOptions()
     if pixels.ndim != 3 or pixels.shape[2] < 3:
         raise ValueError("lossy encoder expects RGB input")
     h, w, _ = pixels.shape
     d = max(options.distance, 0.01)
 
+    from libjxl_tpu.vardct.adaptive_quant import (
+        adaptive_quant_field, compute_scale_from_quant, initial_quant_dc,
+    )
+    from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
+
     # ---- color transform -------------------------------------------------
     srgb = pixels[:, :, :3].astype(np.float64) / 255.0
     linear = srgb_to_linear(srgb)
     xyb = linear_to_xyb(np.moveaxis(linear, -1, 0))
-    # The decoder's CfL restore adds base_correlation_b (default 1.0) * Y
-    # to B (chroma_from_luma.h:109), so the stored B plane is B - Y.
-    xyb[2] -= xyb[1]
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
@@ -72,51 +78,111 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     xyb_p = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
                    mode="edge")
 
-    # ---- quantization ----------------------------------------------------
-    q_mul = 0.84 / d                 # AC quantization multiplier
-    qf = 64
-    global_scale = int(np.clip(round(K_GLOBAL_SCALE_DENOM * q_mul / qf),
-                               1, (1 << 16) - 1))
-    quant_dc_int = int(np.clip(round(1.2 / d * K_GLOBAL_SCALE_DENOM /
-                                     global_scale), 1, (1 << 16) - 1))
+    # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
+    quant_dc_f = initial_quant_dc(d)
+    if options.effort <= 4:
+        # Falcon-class: constant field
+        qf_field = np.full((yb, xb), 0.79 / d, np.float32)
+        global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
+            quant_dc_f, 0.79 / d, qf_field)
+    else:
+        # Hare-class and slower: adaptive field; without gaborish the
+        # field is computed at 0.62x the distance (enc_heuristics.cc:1120)
+        qf_field, _ = adaptive_quant_field(xyb_p, d * 0.62)
+        global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
+            quant_dc_f, 0.39 / d, qf_field)
     quantizer = Quantizer(global_scale, quant_dc_int)
     matrices = DequantMatrices()
     bctx = BlockCtxMap()
 
-    inv_gs = quantizer.inv_global_scale
-    scaled_dequant = inv_gs / qf
-    table = matrices.tables[0].reshape(3, 64).astype(np.float64)  # DCT8
-    x_dm = (1 / 1.25) ** (3 - 2.0)   # x_qm_scale = 3 default
-    b_dm = 1.0                       # b_qm_scale = 2
-    dm = np.array([x_dm, 1.0, b_dm])[:, None]
-    dequant_step = table * scaled_dequant * dm  # (3, 64)
+    # x_qm_scale from distance (enc_frame.cc:673-678)
+    x_qm_scale = 3
+    for step in (2.5, 5.5, 9.5):
+        if d > step:
+            x_qm_scale += 1
+    x_qm_mul = 1.25 ** (x_qm_scale - 2)
 
-    # ---- DCT + quantize all blocks --------------------------------------
+    inv_gs = quantizer.inv_global_scale
+    table = matrices.tables[0].reshape(3, 64).astype(np.float64)  # DCT8
+    inv_table = 1.0 / table                        # quant weights
+
+    # ---- DCT ------------------------------------------------------------
+    blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
+    from libjxl_tpu.vardct.dct import dct_matrix
+    m8 = dct_matrix(8)
+    coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
+    stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
+
+    # ---- quantize Y with dead zone, roundtrip for CfL -------------------
+    # thresholds: quadrants of the coefficient block (enc_group.cc:357-360);
+    # stored layout is transposed but the quadrant values are symmetric.
+    def quadrant_thresholds(t0, t_rest):
+        th = np.full((8, 8), t_rest)
+        th[:4, :4] = t0
+        th[0, 0] = 0.0          # DC slot never thresholded away here
+        return th.reshape(64)
+
+    thres_y = quadrant_thresholds(0.56, 0.62)
+    thres_xb = quadrant_thresholds(0.58, 0.62)
+
+    qac = quantizer.scale * raw_quant.astype(np.float64)   # (yb, xb)
+    qm = inv_table                                         # (3, 64)
+
+    def quantize(c, coefs, qm_mul, thres):
+        val = coefs * (qm[c][None, None] * (qac[:, :, None] * qm_mul))
+        q = np.where(np.abs(val) >= thres[None, None], np.rint(val), 0.0)
+        return q.astype(np.int32)
+
+    q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
+    # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
+    inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
+    y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
+        (table[1][None, None] * inv_qac[:, :, None])
+
+    # ---- chroma-from-luma search (per 64x64 tile, least squares) --------
+    tx_n = cdiv(xb, 8)
+    ty_n = cdiv(yb, 8)
+    ytox_map = np.zeros((ty_n, tx_n), np.int32)
+    ytob_map = np.zeros((ty_n, tx_n), np.int32)
+    color_scale = 1.0 / 84.0
+    for ty in range(ty_n):
+        for tx in range(tx_n):
+            ys, xs = slice(ty * 8, min((ty + 1) * 8, yb)), \
+                slice(tx * 8, min((tx + 1) * 8, xb))
+            yv = y_rt[ys, xs, 1:].ravel()
+            denom = float(np.dot(yv, yv))
+            if denom < 1e-9:
+                continue
+            xv = stored[ys, xs, 0, 1:].ravel()
+            bv = stored[ys, xs, 2, 1:].ravel()
+            fx = np.clip(round(np.dot(xv, yv) / denom / color_scale),
+                         -128, 127)
+            fb = np.clip(round((np.dot(bv, yv) / denom - 1.0) / color_scale),
+                         -128, 127)
+            ytox_map[ty, tx] = int(fx)
+            ytob_map[ty, tx] = int(fb)
+
+    # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
+    fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
+        color_scale
+    fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
+        color_scale
+    x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
+    b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
+    q_x = quantize(0, x_res, x_qm_mul, thres_xb)
+    q_b = quantize(2, b_res, 1.0, thres_xb)
+    q_ac = np.stack([q_x, q_y, q_b], axis=2)               # (yb, xb, 3, 64)
+
+    # ---- DC -------------------------------------------------------------
+    # decode adds cfl_dc_factors (0, ., 1.0)*dequantized-Y-DC
+    # (frame_dec.decode_dc_group), so B stores b_dc - dcy_dequantized.
     mul_dc = quantizer.mul_dc(matrices.dc_quant)
-    if options.use_device:
-        # fused XLA program: sRGB->XYB + batched MXU DCT + quantize
-        import jax.numpy as jnp
-        from libjxl_tpu.models.vardct_pipeline import vardct_encode_device
-        ph, pw = yb * 8, xb * 8
-        rgb_p = np.pad(np.moveaxis(pixels[:, :, :3], -1, 0),
-                       ((0, 0), (0, ph - h), (0, pw - w)), mode="edge")
-        q_ac_d, q_dc_d = vardct_encode_device(
-            jnp.asarray(rgb_p[None]),
-            jnp.asarray(dequant_step, dtype=jnp.float32),
-            jnp.asarray(1.0 / np.array(mul_dc), dtype=jnp.float32))
-        q_ac = np.asarray(q_ac_d[0]).astype(np.int32)
-        q_ac = q_ac.transpose(1, 0, 2).reshape(yb, xb, 3, 64)
-        q_dc = np.asarray(q_dc_d[0]).astype(np.int32).transpose(1, 2, 0)
-    else:
-        blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
-        from libjxl_tpu.vardct.dct import dct_matrix
-        m8 = dct_matrix(8)
-        coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
-        stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
-        q_ac = np.round(stored / dequant_step[None, None]).astype(np.int32)
-        dc_float = stored[:, :, :, 0]                   # (yb, xb, 3)
-        q_dc = np.round(dc_float /
-                        np.array(mul_dc)[None, None]).astype(np.int32)
+    q_dc_y = np.round(stored[:, :, 1, 0] / mul_dc[1]).astype(np.int32)
+    dcy_deq = q_dc_y * mul_dc[1]
+    q_dc_x = np.round(stored[:, :, 0, 0] / mul_dc[0]).astype(np.int32)
+    q_dc_b = np.round((stored[:, :, 2, 0] - dcy_deq) /
+                      mul_dc[2]).astype(np.int32)
+    q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
 
     # ---- AC tokens -------------------------------------------------------
     order = natural_order(0)
@@ -137,7 +203,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                     for c in (1, 0, 2):
                         _tokenize_block(
                             toks, q_ac[y, x, c], order, nzeros_img[c], bx,
-                            by, bctx, qf, c)
+                            by, bctx, int(raw_quant[y, x]), c)
 
     codes = build_entropy_codes(
         [tokens_to_array(t) if t else np.zeros((0, 2), np.int64)
@@ -162,8 +228,11 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
+    fh.x_qm_scale = x_qm_scale
     fh.loop_filter.gab = False
-    fh.loop_filter.epf_iters = 0
+    # EPF iterations from distance (enc_frame.cc:333-342); EPF0 (the
+    # third pass) is not implemented decoder-side yet, so cap at 2.
+    fh.loop_filter.epf_iters = min(2, sum(d >= t for t in (0.7, 1.5, 4.0)))
     meta.nonserialized_xsize = w
     meta.nonserialized_ysize = h
     fh.visit(FieldWriter(bw), meta)
@@ -199,14 +268,20 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         sw.write((upper - 1).bit_length() if upper > 1 else 0, count - 1)
         cw = (bwd + 7) >> 3
         chh = (bhd + 7) >> 3
+        tx0, ty0 = x0 >> 3, y0 >> 3
         am = ModularImage(bwd, bhd, 32)
-        am.channel.append(Channel(np.zeros((chh, cw), np.int32), 3, 3))
-        am.channel.append(Channel(np.zeros((chh, cw), np.int32), 3, 3))
+        am.channel.append(Channel(
+            ytox_map[ty0:ty0 + chh, tx0:tx0 + cw].copy(), 3, 3))
+        am.channel.append(Channel(
+            ytob_map[ty0:ty0 + chh, tx0:tx0 + cw].copy(), 3, 3))
         acs_qf = np.zeros((2, count), np.int32)
         acs_qf[0, :] = 0                     # DCT8 strategy
-        acs_qf[1, :] = qf - 1                # raw qf - 1
+        # raw qf - 1 per block, raster order within the DC group
+        acs_qf[1, :] = (raw_quant[y0:y0 + bhd, x0:x0 + bwd] - 1).ravel()
         am.channel.append(Channel(acs_qf))
-        am.channel.append(Channel(np.zeros((bhd, bwd), np.int32)))
+        # EPF sharpness: the fast-tier constant 4 (enc_heuristics.cc:907)
+        sharp = 4 if fh.loop_filter.epf_iters > 0 else 0
+        am.channel.append(Channel(np.full((bhd, bwd), sharp, np.int32)))
         modular_encode(sw, am, group_id=1 + 2 * fd.num_dc_groups + g,
                        tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)])
 

@@ -61,3 +61,34 @@ def test_lossy_odd_size(rng):
     data = encode_lossy(img)
     ref = oracle_decode(data, num_channels=3).pixels
     assert np.abs(decode(data).astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_lossy_rate_quality_parity():
+    """e3-parity guard: at d=1.0 our stream should be within 25% of the
+    size the system libjxl produces at the same distance, with decoded
+    quality in the same butteraugli class."""
+    import numpy as np
+    import pytest
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance_srgb
+    from libjxl_tpu.utils.oracle import oracle_available
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(11)
+    low = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    img = np.kron(low, np.ones((8, 8, 1))).astype(np.uint8)
+    img = np.clip(img.astype(int) + rng.integers(-6, 6, img.shape),
+                  0, 255).astype(np.uint8)
+
+    data = encode_lossy(img, LossyOptions(distance=1.0))
+    dec = decode(data)
+    ba = butteraugli_distance_srgb(img, dec)
+    assert ba < 2.5
+    if not oracle_available():
+        pytest.skip("libjxl not found")
+    from libjxl_tpu.utils.oracle import oracle_decode, oracle_encode
+    ref = oracle_encode(img, lossless=False, effort=3)
+    ref_ba = butteraugli_distance_srgb(
+        img, oracle_decode(ref).pixels[:, :, :3])
+    assert len(data) < 1.25 * len(ref)
+    assert ba < ref_ba + 0.8
