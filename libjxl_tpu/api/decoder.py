@@ -85,7 +85,9 @@ def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
 
 def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
     """Decode one VarDCT frame to a float XYB image, then apply the
-    restoration filters; returns (3, H, W) XYB (pre-color-transform)."""
+    restoration filters and frame upsampling; returns (3, H, W) XYB
+    (pre-color-transform). Stage order per dec_cache.cc:142-217:
+    gaborish -> EPF -> upsampling."""
     from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
     from libjxl_tpu.render.filters import compute_sigma, epf_step1, \
         epf_step2, gaborish
@@ -128,6 +130,20 @@ def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
         xyb = epf_step1(xyb, inv_sigma, lf)
         if lf.epf_iters >= 2:
             xyb = epf_step2(xyb, inv_sigma, lf)
+    if fh.flags & FrameFlags.SPLINES:
+        from libjxl_tpu.render.splines import render_splines
+        xyb = render_splines(xyb, dec.splines,
+                             dec.cmap.ytox_ratio(0), dec.cmap.ytob_ratio(0))
+    if fh.upsampling > 1:
+        from libjxl_tpu.render.upsample import upsample_image
+        shift = fh.upsampling.bit_length() - 1
+        xyb = upsample_image(xyb, shift, meta.transform_data)
+    if fh.flags & FrameFlags.NOISE:
+        from libjxl_tpu.render.noise import add_noise
+        xyb = add_noise(xyb[:, :meta.ysize, :meta.xsize], dec.noise_lut,
+                        fh.group_dim,
+                        base_correlation_x=dec.cmap.base_correlation_x,
+                        base_correlation_b=dec.cmap.base_correlation_b)
     return xyb
 
 
@@ -141,9 +157,8 @@ def decode(data: bytes) -> np.ndarray:
     fh = frame.header
     if fh.encoding != FrameEncoding.MODULAR:
         from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
-        if fh.upsampling != 1:
-            raise FormatError("upsampling not yet supported")
         xyb = decode_vardct_frame(meta, frame)
+        xyb = xyb[:, :meta.ysize, :meta.xsize]
         intensity = meta.m.tone_mapping.intensity_target
         linear = xyb_to_linear(xyb, intensity_target=intensity)
         srgb = linear_to_srgb(linear)

@@ -124,9 +124,14 @@ class VarDCTFrameDecoder:
 
     def decode_dc_global(self, r: BitReader) -> None:
         fh = self.fh
-        if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
-                       FrameFlags.NOISE):
-            raise FormatError("image features not yet supported (VarDCT)")
+        if fh.flags & FrameFlags.PATCHES:
+            raise FormatError("patches not yet supported (VarDCT)")
+        if fh.flags & FrameFlags.SPLINES:
+            from libjxl_tpu.render.splines import decode_splines
+            self.splines = decode_splines(r, self.fd.xsize * self.fd.ysize)
+        if fh.flags & FrameFlags.NOISE:
+            from libjxl_tpu.render.noise import decode_noise
+            self.noise_lut = decode_noise(r)
         self.matrices.decode_dc(r)
         self.quantizer.read(r)
         self.bctx.read(r)

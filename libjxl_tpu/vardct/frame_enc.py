@@ -47,6 +47,8 @@ class LossyOptions:
     distance: float = 1.0
     effort: int = 3
     use_device: bool = False     # JAX/TPU path for color+DCT+quantize
+    splines = None               # render.splines.Splines to embed
+    noise = None                 # 8-entry strength LUT to embed
 
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
@@ -228,6 +230,11 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
+    from libjxl_tpu.core.frame_header import FrameFlags
+    if options.splines is not None:
+        fh.flags |= FrameFlags.SPLINES
+    if options.noise is not None:
+        fh.flags |= FrameFlags.NOISE
     fh.x_qm_scale = x_qm_scale
     fh.loop_filter.gab = False
     # EPF iterations from distance (enc_frame.cc:333-342); EPF0 (the
@@ -239,6 +246,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- sections --------------------------------------------------------
     def dc_global(sw: BitWriter) -> None:
+        # image features come first (ProcessDCGlobal: patches, splines,
+        # noise, then the quantizer state)
+        if options.splines is not None:
+            from libjxl_tpu.render.splines import serialize_splines
+            serialize_splines(sw, options.splines)
+        if options.noise is not None:
+            for v in options.noise:
+                sw.write(10, int(round(v * 1024)))
         sw.write(1, 1)                       # DequantMatrices::DecodeDC def.
         write_u32(sw, _GLOBAL_SCALE_DIST, global_scale)
         write_u32(sw, _QUANT_DC_DIST, quant_dc_int)

@@ -1,0 +1,144 @@
+"""Image features: upsampling, noise synthesis, splines (reference
+``stage_upsampling.cc``, ``dec_noise.cc``/``stage_noise.cc``,
+``splines.cc``; oracle cross-checks via the system libjxl)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.utils.oracle import oracle_available
+
+pytestmark = pytest.mark.skipif(not oracle_available(),
+                                reason="libjxl not found")
+
+
+def _oracle_opts(img, opts, d=1.0, effort=3, float_opts=None):
+    import ctypes
+
+    from libjxl_tpu.utils import oracle as orc
+    _jxl = orc._jxl
+    _jxl.JxlEncoderSetFrameDistance.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_float]
+    enc = _jxl.JxlEncoderCreate(None)
+    try:
+        info = orc.JxlBasicInfo()
+        _jxl.JxlEncoderInitBasicInfo(ctypes.byref(info))
+        h, w, _ = img.shape
+        info.xsize, info.ysize = w, h
+        info.bits_per_sample = 8
+        info.num_color_channels = 3
+        assert _jxl.JxlEncoderSetBasicInfo(enc, ctypes.byref(info)) == 0
+        color = orc.JxlColorEncoding()
+        _jxl.JxlColorEncodingSetToSRGB(ctypes.byref(color), 0)
+        assert _jxl.JxlEncoderSetColorEncoding(enc, ctypes.byref(color)) == 0
+        st = _jxl.JxlEncoderFrameSettingsCreate(enc, None)
+        _jxl.JxlEncoderSetFrameDistance(st, d)
+        _jxl.JxlEncoderFrameSettingsSetOption(st, 0, effort)
+        for k, v in (opts or {}).items():
+            assert _jxl.JxlEncoderFrameSettingsSetOption(st, k, v) == 0
+        if float_opts:
+            _jxl.JxlEncoderFrameSettingsSetFloatOption.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_float]
+            for k, v in float_opts.items():
+                assert _jxl.JxlEncoderFrameSettingsSetFloatOption(
+                    st, k, v) == 0
+        fmt = orc.JxlPixelFormat(3, orc.JXL_TYPE_UINT8,
+                                 orc.JXL_LITTLE_ENDIAN, 0)
+        carr = np.ascontiguousarray(img)
+        assert _jxl.JxlEncoderAddImageFrame(
+            st, ctypes.byref(fmt),
+            carr.ctypes.data_as(ctypes.c_void_p), carr.nbytes) == 0
+        _jxl.JxlEncoderCloseInput(enc)
+        chunks = []
+        chunk = np.empty(1 << 20, np.uint8)
+        while True:
+            ptr = ctypes.cast(chunk.ctypes.data,
+                              ctypes.POINTER(ctypes.c_uint8))
+            avail = ctypes.c_size_t(chunk.nbytes)
+            stt = _jxl.JxlEncoderProcessOutput(enc, ctypes.byref(ptr),
+                                               ctypes.byref(avail))
+            chunks.append(chunk[:chunk.nbytes - avail.value].tobytes())
+            if stt == orc.JXL_ENC_SUCCESS:
+                break
+        return b"".join(chunks)
+    finally:
+        _jxl.JxlEncoderDestroy(enc)
+
+
+def _test_image(h=152, w=160, seed=1):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    img = np.asarray(Image.fromarray(
+        rng.integers(0, 256, (40, 40, 3), np.uint8)).resize(
+            (w, h), Image.BICUBIC))
+    return img.astype(np.uint8)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_upsampling_decode_matches_oracle(factor):
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    img = _test_image()
+    data = _oracle_opts(img, {2: factor})     # RESAMPLING
+    ours = decode(data)
+    ref = oracle_decode(data).pixels[:, :, :3]
+    assert ours.shape == ref.shape
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_noise_decode_distribution():
+    """0.7's noise RNG pipeline predates the (normative) render-pipeline
+    one we implement, so compare amplitude, not values."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    img = np.full((128, 128, 3), 128, np.uint8)
+    data = _oracle_opts(img, None, effort=7, float_opts={5: 3200.0})
+    ours = decode(data).astype(float)
+    ref = oracle_decode(data).pixels[:, :, :3].astype(float)
+    amp_ours = np.abs(ours - 128).mean()
+    amp_ref = np.abs(ref - 128).mean()
+    assert amp_ours > 0.1                      # noise was applied
+    assert abs(amp_ours - amp_ref) < 0.3 * max(amp_ref, 0.2)
+
+
+def test_noise_deterministic():
+    from libjxl_tpu.render.noise import generate_noise_planes
+    a = generate_noise_planes(64, 48, 256)
+    b = generate_noise_planes(64, 48, 256)
+    assert np.array_equal(a, b)
+    assert a.min() >= 1.0 and a.max() < 2.0
+
+
+def test_splines_roundtrip_and_oracle():
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.render.splines import QuantizedSpline, Splines
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    img = np.full((128, 128, 3), 140, np.uint8)
+    color = np.zeros((3, 32), np.int64)
+    color[1, 0] = 60
+    color[0, 0] = 10
+    color[1, 2] = 20
+    sigma = np.zeros(32, np.int64)
+    sigma[0] = 8
+    sp = Splines(0, [QuantizedSpline([(30, 10), (-10, 25), (5, -15)],
+                                     color, sigma)], [(30.0, 30.0)])
+    opts = LossyOptions(distance=1.0)
+    opts.splines = sp
+    data = encode_lossy(img, opts)
+    ours = decode(data)
+    assert np.abs(ours.astype(int) - 140).max() > 30   # spline visible
+    ref = oracle_decode(data).pixels[:, :, :3]
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_noise_encode_side():
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    img = np.full((96, 96, 3), 128, np.uint8)
+    opts = LossyOptions(distance=1.0)
+    opts.noise = [0.15] * 8
+    data = encode_lossy(img, opts)
+    ours = decode(data).astype(float)
+    ref = oracle_decode(data).pixels[:, :, :3].astype(float)
+    assert abs(np.abs(ours - 128).mean() - np.abs(ref - 128).mean()) < 2.0
