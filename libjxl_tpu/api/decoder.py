@@ -1,10 +1,14 @@
 """High-level decoder: codestream -> pixels.
 
-Round-1 scope: full Modular (lossless/integer) frames; VarDCT arrives with
-the render pipeline. Mirrors the section flow of ``lib/jxl/dec_frame.cc``.
+Full multi-frame flow (reference ``lib/jxl/dec_frame.cc``,
+``render_pipeline/stage_blending.cc``): frames are decoded to float
+channel stacks, composited onto a canvas with the header blend mode,
+and stored into reference-frame slots for patches/animation reuse.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -13,7 +17,7 @@ from libjxl_tpu.api.codestream import (
 )
 from libjxl_tpu.core.fields import FormatError, read_f16
 from libjxl_tpu.core.frame_header import (
-    ColorTransform, FrameEncoding, FrameFlags,
+    ColorTransform, FrameEncoding, FrameFlags, FrameType,
 )
 from libjxl_tpu.core.geometry import FrameDimensions
 from libjxl_tpu.core.toc import ac_group_index
@@ -33,7 +37,8 @@ def _decode_dequant_dc(r: BitReader) -> tuple:
     return dc_quant
 
 
-def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
+def decode_modular_frame(meta: CodecMetadata, frame,
+                         return_dc_quant: bool = False):
     """Decode one modular frame's sections into channel data."""
     fh = frame.header
     fd = frame.dims
@@ -41,13 +46,13 @@ def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
                    FrameFlags.NOISE):
         raise FormatError("image features not yet supported in decoder")
     dec = ModularFrameDecoder(fh, meta.m, fd)
+    dc_quant = None
 
     single = len(frame.sections) == 1
     if single:
         r = BitReader(frame.sections[0])
-        _decode_dequant_dc(r)
+        dc_quant = _decode_dequant_dc(r)
         dec.decode_global_info(r)
-        x0, y0, w, h = 0, 0, fd.xsize, fd.ysize
         dec.decode_group(r, (0, 0, fd.dc_group_dim, fd.dc_group_dim), 3,
                          1000, stream_id_modular_dc(fd, 0))
         for pass_idx in range(fh.passes.num_passes):
@@ -56,7 +61,7 @@ def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
                              maxs, stream_id_modular_ac(fd, 0, pass_idx))
     else:
         r = BitReader(frame.sections[0])
-        _decode_dequant_dc(r)
+        dc_quant = _decode_dequant_dc(r)
         dec.decode_global_info(r)
         for g in range(fd.num_dc_groups):
             r = BitReader(frame.sections[1 + g])
@@ -80,14 +85,18 @@ def decode_modular_frame(meta: CodecMetadata, frame) -> np.ndarray:
                         fd.group_dim), mins, maxs,
                     stream_id_modular_ac(fd, g, pass_idx))
     fi = dec.finalize()
+    if return_dc_quant:
+        return fi, dc_quant
     return fi
 
 
-def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
+def decode_vardct_frame(meta: CodecMetadata, frame,
+                        reference_frames=None) -> np.ndarray:
     """Decode one VarDCT frame to a float XYB image, then apply the
-    restoration filters and frame upsampling; returns (3, H, W) XYB
-    (pre-color-transform). Stage order per dec_cache.cc:142-217:
-    gaborish -> EPF -> upsampling."""
+    restoration filters, patches/splines, frame upsampling and noise;
+    returns (3, H, W) XYB (pre-color-transform). Stage order per
+    dec_cache.cc:142-217: gaborish -> EPF -> patches -> splines ->
+    upsampling -> noise."""
     from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
     from libjxl_tpu.render.filters import compute_sigma, epf_step1, \
         epf_step2, gaborish
@@ -95,6 +104,7 @@ def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
     fh = frame.header
     fd = frame.dims
     dec = VarDCTFrameDecoder(fh, meta.m, fd)
+    dec.reference_frames = reference_frames or [None] * 4
     single = len(frame.sections) == 1
     if single:
         r = BitReader(frame.sections[0])
@@ -130,6 +140,17 @@ def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
         xyb = epf_step1(xyb, inv_sigma, lf)
         if lf.epf_iters >= 2:
             xyb = epf_step2(xyb, inv_sigma, lf)
+    if fh.flags & FrameFlags.PATCHES:
+        from libjxl_tpu.render.patches import apply_patches
+        nec = meta.m.num_extra_channels
+        if nec:
+            img = np.concatenate(
+                [xyb, np.zeros((nec,) + xyb.shape[1:], xyb.dtype)])
+        else:
+            img = xyb
+        img = apply_patches(img, dec.patches, dec.reference_frames,
+                            meta.m.extra_channel_info)
+        xyb = img[:3]
     if fh.flags & FrameFlags.SPLINES:
         from libjxl_tpu.render.splines import render_splines
         xyb = render_splines(xyb, dec.splines,
@@ -140,20 +161,172 @@ def decode_vardct_frame(meta: CodecMetadata, frame) -> np.ndarray:
         xyb = upsample_image(xyb, shift, meta.transform_data)
     if fh.flags & FrameFlags.NOISE:
         from libjxl_tpu.render.noise import add_noise
-        xyb = add_noise(xyb[:, :meta.ysize, :meta.xsize], dec.noise_lut,
-                        fh.group_dim,
+        h = min(xyb.shape[1], fd.ysize * fh.upsampling)
+        w = min(xyb.shape[2], fd.xsize * fh.upsampling)
+        xyb = add_noise(xyb[:, :h, :w], dec.noise_lut, fh.group_dim,
                         base_correlation_x=dec.cmap.base_correlation_x,
                         base_correlation_b=dec.cmap.base_correlation_b)
     return xyb
 
 
+@dataclass
+class DecodedFrame:
+    header: object
+    pixels: np.ndarray          # (h, w, 3+nec) float in output space
+    duration: int = 0
+
+
+def _frame_to_float(meta: CodecMetadata, fs, refs):
+    """Decode one frame to float channels.
+
+    Returns (output_space_image, pre_ct_image): output is (3+nec, h, w)
+    sRGB-encoded floats; pre_ct is the pre-color-transform image (for
+    save_before_color_transform reference slots)."""
+    from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
+
+    fh = fs.header
+    nec = meta.m.num_extra_channels
+    bits = meta.m.bit_depth.bits_per_sample
+    maxval = float((1 << min(bits, 16)) - 1)
+    if fh.encoding != FrameEncoding.MODULAR:
+        xyb = decode_vardct_frame(meta, fs, refs)
+        pre_ct = xyb
+        intensity = meta.m.tone_mapping.intensity_target
+        linear = xyb_to_linear(xyb, intensity_target=intensity)
+        out = linear_to_srgb(linear).astype(np.float32)
+        ec = []
+        mfd_img = fs_modular_extra(meta, fs)
+        for i in range(nec):
+            if mfd_img is not None and i < len(mfd_img):
+                ec.append(mfd_img[i].astype(np.float32) / maxval)
+            else:
+                ec.append(np.ones(out.shape[1:], np.float32))
+        img = np.concatenate([out] + [e[None] for e in ec]) if ec else out
+        return img, pre_ct
+    if fh.color_transform == ColorTransform.XYB:
+        # XYB modular: channels are quantized Y, X, (B-Y), scaled by the
+        # DC quants (dec_modular.cc:575-633)
+        fi, dc_quant = decode_modular_frame(meta, fs, return_dc_quant=True)
+        chy = fi.channel[0].plane.astype(np.float32)
+        chx = fi.channel[1].plane.astype(np.float32)
+        chb = fi.channel[2].plane.astype(np.float32)
+        xyb = np.stack([chx * dc_quant[0], chy * dc_quant[1],
+                        (chb + chy) * dc_quant[2]])
+        intensity = meta.m.tone_mapping.intensity_target
+        out = linear_to_srgb(xyb_to_linear(
+            xyb, intensity_target=intensity)).astype(np.float32)
+        return out, xyb
+    fi = decode_modular_frame(meta, fs)
+    planes = [ch.plane.astype(np.float32) / maxval for ch in fi.channel]
+    if fh.color_transform == ColorTransform.YCBCR:
+        raise FormatError("YCbCr modular output not yet supported")
+    if len(planes) < 3 + nec:
+        raise FormatError(
+            "grayscale multi-frame compositing not yet supported")
+    img = np.stack(planes)
+    return img, img
+
+
+def fs_modular_extra(meta, fs):
+    """Extra-channel planes for VarDCT frames (decoded in the modular
+    sub-streams) — not yet surfaced; alpha defaults to opaque."""
+    return None
+
+
+def decode_frames(data: bytes):
+    """Decode ALL frames (animation / layered images): returns
+    (CodecMetadata, [DecodedFrame]) with blending applied."""
+    from libjxl_tpu.api.container import extract_codestream
+    meta, frames = parse_codestream(extract_codestream(data))
+    nec = meta.m.num_extra_channels
+    H, W = meta.ysize, meta.xsize
+    refs = [None] * 4
+    canvas = np.zeros((3 + nec, H, W), np.float32)
+    displayed = []
+    for fs in frames:
+        fh = fs.header
+        img, pre_ct = _frame_to_float(meta, fs, refs)
+        if fh.frame_type == FrameType.REFERENCE_ONLY:
+            slot = fh.save_as_reference
+            refs[slot] = pre_ct if fh.save_before_color_transform else img
+            continue
+        if fh.frame_type == FrameType.DC_FRAME:
+            raise FormatError("DC frames not yet supported")
+        # composite onto the canvas
+        x0 = fh.frame_origin_x0 if fh.custom_size_or_origin else 0
+        y0 = fh.frame_origin_y0 if fh.custom_size_or_origin else 0
+        canvas = _blend_frame(canvas, img, fh, x0, y0, meta, refs)
+        if fh.save_as_reference != 0:
+            refs[fh.save_as_reference] = \
+                pre_ct if fh.save_before_color_transform else canvas.copy()
+        duration = fh.animation_frame.duration if meta.m.have_animation \
+            else 0
+        displayed.append(DecodedFrame(
+            fh, np.moveaxis(canvas.copy(), 0, -1), duration))
+        if fh.is_last:
+            break
+    return meta, displayed
+
+
+def _blend_frame(canvas, img, fh, x0, y0, meta, refs=None):
+    """(stage_blending.cc): composite ``img`` at (x0, y0). The blending
+    background is the source reference slot when populated, else the
+    running canvas."""
+    from libjxl_tpu.render.blending import blend_rect, \
+        frame_blend_to_patch_mode
+    bi0 = fh.blending_info
+    if refs is not None and bi0.source != 0 and \
+            refs[bi0.source] is not None and \
+            refs[bi0.source].shape == canvas.shape:
+        canvas = refs[bi0.source]
+    H, W = canvas.shape[1:]
+    fh_h, fh_w = img.shape[1:]
+    # clip to canvas
+    cx0, cy0 = max(0, x0), max(0, y0)
+    cx1 = min(W, x0 + fh_w)
+    cy1 = min(H, y0 + fh_h)
+    if cx1 <= cx0 or cy1 <= cy0:
+        return canvas
+    sub = img[:, cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0]
+    if sub.shape[0] < canvas.shape[0]:
+        pad = np.ones((canvas.shape[0] - sub.shape[0],) + sub.shape[1:],
+                      np.float32)
+        sub = np.concatenate([sub, pad])
+    bi = fh.blending_info
+    mode = frame_blend_to_patch_mode(bi.mode)
+    color_blending = (mode, bi.alpha_channel, bool(bi.clamp))
+    ec_blending = []
+    for eb in (fh.extra_channel_blending_info or []):
+        ec_blending.append((frame_blend_to_patch_mode(eb.mode),
+                            eb.alpha_channel, bool(eb.clamp)))
+    while len(ec_blending) < canvas.shape[0] - 3:
+        ec_blending.append(color_blending)
+    out = canvas.copy()
+    out[:, cy0:cy1, cx0:cx1] = blend_rect(
+        canvas[:, cy0:cy1, cx0:cx1], sub, color_blending, ec_blending,
+        meta.m.extra_channel_info)
+    return out
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode a JXL codestream to an (h, w, c) numpy array.
 
-    Integer output at the metadata bit depth (uint8/uint16)."""
+    Integer output at the metadata bit depth (uint8/uint16); for
+    animations this is the final composited frame (use
+    :func:`decode_frames` for all of them)."""
     from libjxl_tpu.api.container import extract_codestream
     meta, frames = parse_codestream(extract_codestream(data))
-    frame = frames[-1]
+    multi = len(frames) > 1 or frames[0].header.custom_size_or_origin
+    bits = meta.m.bit_depth.bits_per_sample
+    if multi:
+        _, displayed = decode_frames(data)
+        out = displayed[-1].pixels
+        maxv = (1 << min(bits, 16)) - 1
+        out = np.clip(np.round(out * maxv), 0, maxv)
+        return out.astype(np.uint8 if bits <= 8 else np.uint16)
+
+    # single-frame fast paths (no float conversion for modular)
+    frame = frames[0]
     fh = frame.header
     if fh.encoding != FrameEncoding.MODULAR:
         from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
@@ -163,19 +336,16 @@ def decode(data: bytes) -> np.ndarray:
         linear = xyb_to_linear(xyb, intensity_target=intensity)
         srgb = linear_to_srgb(linear)
         out = np.moveaxis(srgb, 0, -1)
-        bits = meta.m.bit_depth.bits_per_sample
         maxv = (1 << bits) - 1 if bits <= 16 else 255
         out = np.clip(np.round(out * maxv), 0, maxv)
         return out.astype(np.uint8 if bits <= 8 else np.uint16)
     if fh.color_transform == ColorTransform.XYB:
         raise FormatError("XYB modular (lossy) not yet supported")
     fi = decode_modular_frame(meta, frame)
-    nb = len(fi.channel)
     planes = [ch.plane for ch in fi.channel]
     if fh.color_transform == ColorTransform.YCBCR:
         raise FormatError("YCbCr output not yet supported")
     out = np.stack(planes, axis=-1)
-    bits = meta.m.bit_depth.bits_per_sample
     if bits <= 8:
         out = np.clip(out, 0, 255).astype(np.uint8)
     elif bits <= 16:

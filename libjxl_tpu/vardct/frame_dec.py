@@ -125,7 +125,11 @@ class VarDCTFrameDecoder:
     def decode_dc_global(self, r: BitReader) -> None:
         fh = self.fh
         if fh.flags & FrameFlags.PATCHES:
-            raise FormatError("patches not yet supported (VarDCT)")
+            from libjxl_tpu.render.patches import decode_patches
+            self.patches = decode_patches(
+                r, self.fd.xsize_padded, self.fd.ysize_padded,
+                self.meta.num_extra_channels,
+                getattr(self, "reference_frames", [None] * 4))
         if fh.flags & FrameFlags.SPLINES:
             from libjxl_tpu.render.splines import decode_splines
             self.splines = decode_splines(r, self.fd.xsize * self.fd.ysize)

@@ -142,3 +142,112 @@ def test_noise_encode_side():
     ours = decode(data).astype(float)
     ref = oracle_decode(data).pixels[:, :, :3].astype(float)
     assert abs(np.abs(ours - 128).mean() - np.abs(ref - 128).mean()) < 2.0
+
+
+def test_patches_decode_matches_oracle():
+    """Reference-only XYB-modular atlas frame + patch dictionary
+    (generated by the system libjxl at e8 with patches forced)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    rng = np.random.default_rng(0)
+    img = np.full((160, 160, 3), 230, np.uint8)
+    glyph = rng.random((12, 8)) > 0.5
+    for gy in range(8):
+        for gx in range(12):
+            if (gx + gy) % 2:
+                continue
+            y0, x0 = 8 + gy * 18, 8 + gx * 12
+            img[y0:y0 + 12, x0:x0 + 8][glyph] = [20, 30, 40]
+    data = _oracle_opts(img, {8: 1}, d=1.0, effort=8)
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.api.container import extract_codestream
+    _, frames = parse_codestream(extract_codestream(data))
+    if not any(f.header.flags & 2 for f in frames):
+        pytest.skip("encoder did not emit patches")
+    ours = decode(data)
+    ref = oracle_decode(data).pixels[:, :, :3]
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_animation_decode():
+    import ctypes
+
+    from libjxl_tpu.api.decoder import decode_frames
+    from libjxl_tpu.utils import oracle as orc
+    _jxl = orc._jxl
+
+    class BlendInfo(ctypes.Structure):
+        _fields_ = [("blendmode", ctypes.c_int), ("source", ctypes.c_uint32),
+                    ("alpha", ctypes.c_uint32), ("clamp", ctypes.c_int)]
+
+    class LayerInfo(ctypes.Structure):
+        _fields_ = [("have_crop", ctypes.c_int),
+                    ("crop_x0", ctypes.c_int32), ("crop_y0", ctypes.c_int32),
+                    ("xsize", ctypes.c_uint32), ("ysize", ctypes.c_uint32),
+                    ("blend_info", BlendInfo),
+                    ("save_as_reference", ctypes.c_uint32)]
+
+    class FrameHeaderMini(ctypes.Structure):
+        _fields_ = [("duration", ctypes.c_uint32),
+                    ("timecode", ctypes.c_uint32),
+                    ("name_length", ctypes.c_uint32),
+                    ("is_last", ctypes.c_int),
+                    ("layer_info", LayerInfo)]
+
+    f1 = np.full((64, 64, 3), 100, np.uint8)
+    f2 = f1.copy()
+    f2[20:40, 20:40] = 200
+    enc = _jxl.JxlEncoderCreate(None)
+    try:
+        info = orc.JxlBasicInfo()
+        _jxl.JxlEncoderInitBasicInfo(ctypes.byref(info))
+        info.xsize = info.ysize = 64
+        info.bits_per_sample = 8
+        info.num_color_channels = 3
+        info.uses_original_profile = 1
+        info.have_animation = 1
+        assert _jxl.JxlEncoderSetBasicInfo(enc, ctypes.byref(info)) == 0
+        color = orc.JxlColorEncoding()
+        _jxl.JxlColorEncodingSetToSRGB(ctypes.byref(color), 0)
+        assert _jxl.JxlEncoderSetColorEncoding(enc, ctypes.byref(color)) == 0
+        fmt = orc.JxlPixelFormat(3, orc.JXL_TYPE_UINT8,
+                                 orc.JXL_LITTLE_ENDIAN, 0)
+        for img in (f1, f2):
+            st = _jxl.JxlEncoderFrameSettingsCreate(enc, None)
+            _jxl.JxlEncoderSetFrameLossless(st, 1)
+            _jxl.JxlEncoderFrameSettingsSetOption(st, 0, 3)
+            fhm = FrameHeaderMini()
+            ctypes.memset(ctypes.byref(fhm), 0, ctypes.sizeof(fhm))
+            fhm.duration = 1
+            _jxl.JxlEncoderSetFrameHeader.argtypes = [ctypes.c_void_p,
+                                                      ctypes.c_void_p]
+            assert _jxl.JxlEncoderSetFrameHeader(st, ctypes.byref(fhm)) == 0
+            carr = np.ascontiguousarray(img)
+            assert _jxl.JxlEncoderAddImageFrame(
+                st, ctypes.byref(fmt),
+                carr.ctypes.data_as(ctypes.c_void_p), carr.nbytes) == 0
+        _jxl.JxlEncoderCloseInput(enc)
+        chunks = []
+        chunk = np.empty(1 << 20, np.uint8)
+        while True:
+            ptr = ctypes.cast(chunk.ctypes.data,
+                              ctypes.POINTER(ctypes.c_uint8))
+            avail = ctypes.c_size_t(chunk.nbytes)
+            stt = _jxl.JxlEncoderProcessOutput(enc, ctypes.byref(ptr),
+                                               ctypes.byref(avail))
+            chunks.append(chunk[:chunk.nbytes - avail.value].tobytes())
+            if stt == orc.JXL_ENC_SUCCESS:
+                break
+        data = b"".join(chunks)
+    finally:
+        _jxl.JxlEncoderDestroy(enc)
+
+    meta, frames = decode_frames(data)
+    assert len(frames) == 2
+    assert [f.duration for f in frames] == [1, 1]
+    out0 = np.clip(np.round(frames[0].pixels[:, :, :3] * 255), 0,
+                   255).astype(np.uint8)
+    out1 = np.clip(np.round(frames[1].pixels[:, :, :3] * 255), 0,
+                   255).astype(np.uint8)
+    assert np.array_equal(out0, f1)
+    assert np.array_equal(out1, f2)
