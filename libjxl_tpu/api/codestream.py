@@ -85,6 +85,11 @@ def read_frame_sections(r: BitReader, meta: CodecMetadata) -> FrameSections:
         if fh.upsampling > 1:
             xsize = -(-xsize // fh.upsampling)
             ysize = -(-ysize // fh.upsampling)
+        if fh.dc_level > 0:
+            # DC frames are stored at 1/8 per level (frame_header.h)
+            div = 1 << (3 * fh.dc_level)
+            xsize = -(-xsize // div)
+            ysize = -(-ysize // div)
         dims = FrameDimensions(xsize, ysize, fh.group_dim, maxhs, maxvs)
     n = num_toc_entries(dims.num_groups, dims.num_dc_groups,
                         fh.passes.num_passes)

@@ -91,7 +91,8 @@ def decode_modular_frame(meta: CodecMetadata, frame,
 
 
 def decode_vardct_frame(meta: CodecMetadata, frame,
-                        reference_frames=None) -> np.ndarray:
+                        reference_frames=None,
+                        dc_image=None) -> np.ndarray:
     """Decode one VarDCT frame to a float XYB image, then apply the
     restoration filters, patches/splines, frame upsampling and noise;
     returns (3, H, W) XYB (pre-color-transform). Stage order per
@@ -105,6 +106,12 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
     fd = frame.dims
     dec = VarDCTFrameDecoder(fh, meta.m, fd)
     dec.reference_frames = reference_frames or [None] * 4
+    if fh.flags & FrameFlags.USE_DC_FRAME:
+        if dc_image is None:
+            raise FormatError("frame needs a DC frame that is missing")
+        # the stored DC frame is the 8x-downsampled image (dec_frame.cc:352)
+        yb, xb = fd.ysize_blocks, fd.xsize_blocks
+        dec.dc = dc_image[:, :yb, :xb].astype(np.float32)
     single = len(frame.sections) == 1
     if single:
         r = BitReader(frame.sections[0])
@@ -176,7 +183,7 @@ class DecodedFrame:
     duration: int = 0
 
 
-def _frame_to_float(meta: CodecMetadata, fs, refs):
+def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     """Decode one frame to float channels.
 
     Returns (output_space_image, pre_ct_image): output is (3+nec, h, w)
@@ -189,7 +196,8 @@ def _frame_to_float(meta: CodecMetadata, fs, refs):
     bits = meta.m.bit_depth.bits_per_sample
     maxval = float((1 << min(bits, 16)) - 1)
     if fh.encoding != FrameEncoding.MODULAR:
-        xyb = decode_vardct_frame(meta, fs, refs)
+        dc_image = (dc_store or {}).get(fh.dc_level + 1)
+        xyb = decode_vardct_frame(meta, fs, refs, dc_image)
         pre_ct = xyb
         intensity = meta.m.tone_mapping.intensity_target
         linear = xyb_to_linear(xyb, intensity_target=intensity)
@@ -241,17 +249,19 @@ def decode_frames(data: bytes):
     nec = meta.m.num_extra_channels
     H, W = meta.ysize, meta.xsize
     refs = [None] * 4
+    dc_store = {}
     canvas = np.zeros((3 + nec, H, W), np.float32)
     displayed = []
     for fs in frames:
         fh = fs.header
-        img, pre_ct = _frame_to_float(meta, fs, refs)
+        img, pre_ct = _frame_to_float(meta, fs, refs, dc_store)
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             slot = fh.save_as_reference
             refs[slot] = pre_ct if fh.save_before_color_transform else img
             continue
         if fh.frame_type == FrameType.DC_FRAME:
-            raise FormatError("DC frames not yet supported")
+            dc_store[fh.dc_level] = pre_ct
+            continue
         # composite onto the canvas
         x0 = fh.frame_origin_x0 if fh.custom_size_or_origin else 0
         y0 = fh.frame_origin_y0 if fh.custom_size_or_origin else 0

@@ -49,6 +49,7 @@ class LossyOptions:
     use_device: bool = False     # JAX/TPU path for color+DCT+quantize
     splines = None               # render.splines.Splines to embed
     noise = None                 # 8-entry strength LUT to embed
+    progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
 
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
@@ -175,6 +176,26 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     q_b = quantize(2, b_res, 1.0, thres_xb)
     q_ac = np.stack([q_x, q_y, q_b], axis=2)               # (yb, xb, 3, 64)
 
+    # ---- progressive pass split (enc_progressive_split.cc:30-80) --------
+    pass_shifts = (2, 1, 0) if options.progressive else (0,)
+
+    def _sr0(v, shift):
+        neg = (v < 0).astype(np.int64)
+        add = (neg << shift) - neg
+        return (v.astype(np.int64) + add) >> shift
+
+    if len(pass_shifts) == 1:
+        q_passes = [q_ac]
+    else:
+        q_passes = []
+        prev_shift = 0
+        for p, sh in enumerate(pass_shifts):
+            v = q_ac.astype(np.int64)
+            if p > 0:
+                v = v - (_sr0(v, prev_shift) << prev_shift)
+            q_passes.append(_sr0(v, sh).astype(np.int32))
+            prev_shift = sh
+
     # ---- DC -------------------------------------------------------------
     # decode adds cfl_dc_factors (0, ., 1.0)*dequantized-Y-DC
     # (frame_dec.decode_dc_group), so B stores b_dc - dcy_dequantized.
@@ -186,32 +207,36 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                       mul_dc[2]).astype(np.int32)
     q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
 
-    # ---- AC tokens -------------------------------------------------------
+    # ---- AC tokens (per pass) -------------------------------------------
     order = natural_order(0)
-    group_tokens = [[] for _ in range(fd.num_groups)]
+    num_passes = len(pass_shifts)
+    group_tokens = [[[] for _ in range(fd.num_groups)]
+                    for _ in range(num_passes)]
     gdb = fd.group_dim // 8
-    for gy in range(fd.ysize_groups):
-        for gx in range(fd.xsize_groups):
-            g = gy * fd.xsize_groups + gx
-            toks = group_tokens[g]
-            by0, bx0 = gy * gdb, gx * gdb
-            gh = min(gdb, yb - by0)
-            gw = min(gdb, xb - bx0)
-            # nzeros prediction state is per-group (GroupDecCache)
-            nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
-            for by in range(gh):
-                for bx in range(gw):
-                    y, x = by0 + by, bx0 + bx
-                    for c in (1, 0, 2):
-                        _tokenize_block(
-                            toks, q_ac[y, x, c], order, nzeros_img[c], bx,
-                            by, bctx, int(raw_quant[y, x]), c)
+    for p in range(num_passes):
+        qp = q_passes[p]
+        for gy in range(fd.ysize_groups):
+            for gx in range(fd.xsize_groups):
+                g = gy * fd.xsize_groups + gx
+                toks = group_tokens[p][g]
+                by0, bx0 = gy * gdb, gx * gdb
+                gh = min(gdb, yb - by0)
+                gw = min(gdb, xb - bx0)
+                # nzeros prediction state is per-group (GroupDecCache)
+                nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
+                for by in range(gh):
+                    for bx in range(gw):
+                        y, x = by0 + by, bx0 + bx
+                        for c in (1, 0, 2):
+                            _tokenize_block(
+                                toks, qp[y, x, c], order, nzeros_img[c],
+                                bx, by, bctx, int(raw_quant[y, x]), c)
 
-    codes = build_entropy_codes(
+    codes_per_pass = [build_entropy_codes(
         [tokens_to_array(t) if t else np.zeros((0, 2), np.int64)
-         for t in group_tokens],
+         for t in group_tokens[p]],
         num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
-        histo_shift=11, max_clusters=24)
+        histo_shift=11, max_clusters=24) for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
@@ -236,6 +261,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if options.noise is not None:
         fh.flags |= FrameFlags.NOISE
     fh.x_qm_scale = x_qm_scale
+    if options.progressive:
+        fh.passes.num_passes = 3
+        fh.passes.shift = (2, 1, 0)
+        fh.passes.num_downsample = 0
     fh.loop_filter.gab = False
     # EPF iterations from distance (enc_frame.cc:333-342); EPF0 (the
     # third pass) is not implemented decoder-side yet, so cap at 2.
@@ -305,14 +334,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         nbits = max((fd.num_groups - 1).bit_length(), 0)
         if nbits:
             sw.write(nbits, 0)               # num_histograms - 1 = 0
-        write_u32(sw, K_ORDER_ENC, 0)        # used_orders = 0 (natural)
-        write_entropy_codes(sw, codes)
+        for p in range(num_passes):
+            write_u32(sw, K_ORDER_ENC, 0)    # used_orders = 0 (natural)
+            write_entropy_codes(sw, codes_per_pass[p])
 
-    def ac_group(sw: BitWriter, g: int) -> None:
+    def ac_group(sw: BitWriter, g: int, p: int = 0) -> None:
         # histogram selector: 0 bits (num_histograms == 1)
-        arr = tokens_to_array(group_tokens[g]) if group_tokens[g] else \
-            np.zeros((0, 2), np.int64)
-        write_tokens(sw, arr, codes)
+        arr = tokens_to_array(group_tokens[p][g]) if group_tokens[p][g] \
+            else np.zeros((0, 2), np.int64)
+        write_tokens(sw, arr, codes_per_pass[p])
 
     def section(*parts) -> bytes:
         sw = BitWriter()
@@ -321,7 +351,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
-    single = fd.num_groups == 1
+    single = fd.num_groups == 1 and num_passes == 1
     if single:
         # one section: DCGlobal | DCGroup | ACGlobal | ACGroup, continuous
         # bits, padded only at the very end (enc_frame.cc:1489-1492).
@@ -332,8 +362,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         for g in range(fd.num_dc_groups):
             sections.append(section(lambda sw, g=g: dc_group(sw, g)))
         sections.append(section(ac_global))
-        for g in range(fd.num_groups):
-            sections.append(section(lambda sw, g=g: ac_group(sw, g)))
+        for p in range(num_passes):
+            for g in range(fd.num_groups):
+                sections.append(section(
+                    lambda sw, g=g, p=p: ac_group(sw, g, p)))
 
     write_toc(bw, [len(s) for s in sections])
     out = bytearray(bw.to_bytes())

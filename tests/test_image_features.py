@@ -251,3 +251,45 @@ def test_animation_decode():
                    255).astype(np.uint8)
     assert np.array_equal(out0, f1)
     assert np.array_equal(out1, f2)
+
+
+def test_progressive_ac_roundtrip():
+    """3-pass qprogressive AC: bit shifts split/reassemble exactly and
+    libjxl decodes our multi-pass stream."""
+    from PIL import Image
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    rng = np.random.default_rng(1)
+    img = np.asarray(Image.fromarray(
+        rng.integers(0, 256, (40, 40, 3), np.uint8)).resize(
+            (200, 180), Image.BICUBIC)).astype(np.uint8)
+    base = decode(encode_lossy(img, LossyOptions(distance=1.0)))
+    prog_data = encode_lossy(img, LossyOptions(distance=1.0,
+                                               progressive=True))
+    prog = decode(prog_data)
+    assert np.array_equal(base, prog)
+    ref = oracle_decode(prog_data).pixels[:, :, :3]
+    assert np.abs(ref.astype(int) - prog.astype(int)).max() <= 1
+
+
+def test_progressive_dc_frame_decode():
+    """DC frames (PROGRESSIVE_DC): 1/8-scale frame feeds the main
+    frame's DC."""
+    from PIL import Image
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    rng = np.random.default_rng(1)
+    img = np.asarray(Image.fromarray(
+        rng.integers(0, 256, (40, 40, 3), np.uint8)).resize(
+            (200, 180), Image.BICUBIC)).astype(np.uint8)
+    data = _oracle_opts(img, {19: 1}, d=1.0, effort=7)
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.api.container import extract_codestream
+    _, frames = parse_codestream(extract_codestream(data))
+    assert any(f.header.frame_type == 1 for f in frames)
+    ours = decode(data)
+    ref = oracle_decode(data).pixels[:, :, :3]
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
