@@ -112,7 +112,16 @@ def encode_lossless(pixels: np.ndarray,
         fwd_rct(img, 0, 6)  # YCoCg
         transforms.append(Transform(id=TransformId.RCT, begin_c=0,
                                     rct_type=6))
-    tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+    learned = options.effort >= 5
+    if learned:
+        # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
+        # predictors chosen by entropy on the actual image
+        from libjxl_tpu.modular.enc_ma import learn_tree
+        tree = learn_tree([(i, img.channel[i].plane)
+                           for i in range(len(img.channel))],
+                          max_leaves=48 if options.effort < 8 else 96)
+    else:
+        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
     num_ctx = (len(tree) + 1) // 2
     wp_header = GroupHeader().wp_header
 
@@ -142,6 +151,11 @@ def encode_lossless(pixels: np.ndarray,
                 continue
             sub.channel.append(Channel(
                 ch.plane[y0:y0 + chh, x0:x0 + cw], ch.hshift, ch.vshift))
+        if learned:
+            from libjxl_tpu.modular.enc_ma import tokenize_with_tree
+            return tokenize_with_tree(
+                [(ci, sub.channel[ci].plane) for ci in
+                 range(len(sub.channel))], tree, sid)
         toks = []
         for ci in range(len(sub.channel)):
             toks.extend(map(tuple, np.asarray(tokens_to_array(
@@ -151,6 +165,12 @@ def encode_lossless(pixels: np.ndarray,
 
     global_toks = []
     for ci in global_chans:
+        if learned:
+            from libjxl_tpu.modular.enc_ma import tokenize_with_tree
+            t = tokenize_with_tree([(ci, img.channel[ci].plane)], tree,
+                                   stream_id_global())
+            global_toks.append(t)
+            continue
         t = encode_modular_channel_tokens(img, ci, stream_id_global(), tree,
                                           wp_header)
         global_toks.append(tokens_to_array(t))

@@ -1,0 +1,317 @@
+"""MA tree learning for the modular encoder (reference
+``lib/jxl/modular/encoding/enc_ma.cc`` LearnTree / FindBestSplit).
+
+Greedy CART over the context properties: at each node, pick the
+(property, splitval) pair that minimizes the summed token entropy of the
+two children; leaves also choose the best of a small predictor set.
+All property planes are computed vectorized (numpy); the learner works
+on a subsample of positions for large images."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.modular.predict import (
+    PREDICTOR_GRADIENT, PREDICTOR_LEFT, PREDICTOR_TOP, PREDICTOR_WEIGHTED,
+    PREDICTOR_ZERO,
+)
+from libjxl_tpu.modular.tree import TreeNode
+
+
+def _have_wp() -> bool:
+    from libjxl_tpu.utils import native
+    return native.available()
+
+
+# properties we consider for splits (context_predict.h:508-530 ids);
+# p15 (the WP max-error) needs the native WP sweep
+def _split_props():
+    base = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    return base + (15,) if _have_wp() else base
+
+
+def _candidate_predictors():
+    base = (PREDICTOR_GRADIENT, PREDICTOR_LEFT, PREDICTOR_TOP,
+            PREDICTOR_ZERO)
+    return base + (PREDICTOR_WEIGHTED,) if _have_wp() else base
+
+
+_SPLIT_PROPS = None          # resolved lazily
+_CANDIDATE_PREDICTORS = None
+
+
+def _shift(plane, dy, dx):
+    """Neighbor plane with the JXL border rules handled separately."""
+    h, w = plane.shape
+    out = np.zeros_like(plane)
+    ys = slice(dy, h) if dy >= 0 else slice(0, h + dy)
+    yd = slice(0, h - dy) if dy >= 0 else slice(-dy, h)
+    xs = slice(dx, w) if dx >= 0 else slice(0, w + dx)
+    xd = slice(0, w - dx) if dx >= 0 else slice(-dx, w)
+    out[yd, xd] = plane[ys, xs]
+    return out
+
+
+def neighbor_planes(plane: np.ndarray):
+    """Vectorized _neighbors (context_predict.h Predict border rules)."""
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    left = np.zeros_like(p)
+    left[:, 1:] = p[:, :-1]
+    left[1:, 0] = p[:-1, 0]          # x==0, y>0 -> top
+    top = np.zeros_like(p)
+    top[1:] = p[:-1]
+    top[0] = left[0]
+    topleft = np.zeros_like(p)
+    topleft[1:, 1:] = p[:-1, :-1]
+    topleft[0, :] = left[0, :]
+    topleft[1:, 0] = left[1:, 0]
+    topright = np.zeros_like(p)
+    topright[1:, :-1] = p[:-1, 1:]
+    topright[1:, -1] = top[1:, -1]
+    topright[0] = top[0]
+    leftleft = np.zeros_like(p)
+    leftleft[:, 2:] = p[:, :-2]
+    leftleft[:, :2] = left[:, :2]
+    toptop = np.zeros_like(p)
+    toptop[2:] = p[:-2]
+    toptop[:2] = top[:2]
+    return left, top, topleft, topright, leftleft, toptop
+
+
+def property_planes(plane: np.ndarray, chan_idx: int, group_id: int):
+    """-> dict prop_id -> int64 plane (properties 0..15)."""
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    left, top, topleft, topright, leftleft, toptop = neighbor_planes(p)
+    wp_pred = wp_prop = None
+    if _have_wp():
+        from libjxl_tpu.utils import native
+        res = native.wp_plane(plane.astype(np.int32))
+        if res is not None:
+            wp_pred, wp_prop = (r.astype(np.int64) for r in res)
+    grad = left + top - topleft
+    prev_grad = np.zeros_like(grad)
+    prev_grad[:, 1:] = grad[:, :-1]   # reset to 0 at row starts
+    yy = np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
+    xx = np.broadcast_to(np.arange(w, dtype=np.int64)[None, :], (h, w))
+    return {
+        0: np.full((h, w), chan_idx, np.int64),
+        1: np.full((h, w), group_id, np.int64),
+        2: yy, 3: xx,
+        4: np.abs(top), 5: np.abs(left),
+        6: top, 7: left,
+        8: left - prev_grad,
+        9: grad,
+        10: left - topleft,
+        11: topleft - top,
+        12: top - topright,
+        13: top - toptop,
+        14: left - leftleft,
+        **({15: wp_prop} if wp_prop is not None else {}),
+    }, {"left": left, "top": top, "topleft": topleft,
+        "topright": topright, "leftleft": leftleft, "toptop": toptop,
+        "wp_pred": wp_pred}
+
+
+def predictions(nb, predictor: int):
+    if predictor == PREDICTOR_WEIGHTED:
+        return nb["wp_pred"]
+    if predictor == PREDICTOR_ZERO:
+        return np.zeros_like(nb["left"])
+    if predictor == PREDICTOR_LEFT:
+        return nb["left"]
+    if predictor == PREDICTOR_TOP:
+        return nb["top"]
+    if predictor == PREDICTOR_GRADIENT:
+        grad = nb["left"] + nb["top"] - nb["topleft"]
+        mn = np.minimum(nb["left"], nb["top"])
+        mx = np.maximum(nb["left"], nb["top"])
+        return np.clip(grad, mn, mx)
+    raise ValueError(predictor)
+
+
+def _entropy_of_tokens(tokens: np.ndarray) -> float:
+    """Empirical shannon entropy (bits) of the token ids + raw bits."""
+    if tokens.size == 0:
+        return 0.0
+    counts = np.bincount(tokens)
+    counts = counts[counts > 0]
+    p = counts / tokens.size
+    return float(-(p * np.log2(p)).sum() * tokens.size)
+
+
+def _tokenize(vals: np.ndarray):
+    """packed value -> (token id, nbits) arrays (default hybrid config)."""
+    packed = np.where(vals >= 0, 2 * vals, -2 * vals - 1).astype(np.int64)
+    small = packed < 16
+    n = np.zeros_like(packed)
+    v = np.maximum(packed, 1)
+    for s in (16, 8, 4, 2, 1):
+        m = v >= (1 << s)
+        n = np.where(m, n + s, n)
+        v = np.where(m, v >> s, v)
+    token = np.where(small, packed, 16 + ((n - 4) << 2) +
+                     ((packed - (1 << n)) >> np.maximum(n - 2, 0)))
+    nbits = np.where(small, 0, n - 2)
+    return token, nbits
+
+
+def _cost(tokens, nbits) -> float:
+    return _entropy_of_tokens(tokens) + float(nbits.sum())
+
+
+def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
+               group_id: int = 0):
+    """channels: list of (chan_idx, plane). Returns (tree_nodes,
+    leaf predictor list) in the decode tree layout."""
+    cand = _candidate_predictors()
+    split_props = _split_props()
+    props_all = []
+    resid_by_pred = {}
+    for pred in cand:
+        resid_by_pred[pred] = []
+    for chan_idx, plane in channels:
+        props, nb = property_planes(plane, chan_idx, group_id)
+        flat = {k: v.ravel() for k, v in props.items()}
+        props_all.append(flat)
+        for pred in cand:
+            resid_by_pred[pred].append(
+                (plane.astype(np.int64) - predictions(nb, pred)).ravel())
+    props = {k: np.concatenate([f[k] for f in props_all])
+             for k in props_all[0]}
+    resid = {p: np.concatenate(v) for p, v in resid_by_pred.items()}
+    n = next(iter(resid.values())).size
+    if n > sample_limit:
+        idx = np.random.default_rng(0).choice(n, sample_limit, replace=False)
+        props = {k: v[idx] for k, v in props.items()}
+        resid = {p: v[idx] for p, v in resid.items()}
+
+    tok = {}
+    for p, v in resid.items():
+        tok[p] = _tokenize(v)
+
+    # node: (mask,) grown greedily
+    class _Node:
+        def __init__(self, mask):
+            self.mask = mask
+            self.prop = -1
+            self.splitval = 0
+            self.left = self.right = None
+            self.predictor = PREDICTOR_GRADIENT
+            self.cost = None
+
+        def best_pred(self):
+            best = None
+            for p in cand:
+                t, nb = tok[p]
+                c = _cost(t[self.mask], nb[self.mask])
+                if best is None or c < best[0]:
+                    best = (c, p)
+            self.cost, self.predictor = best
+            return best[0]
+
+    root = _Node(np.ones(next(iter(props.values())).size, bool))
+    root.best_pred()
+    leaves = [root]
+    while len(leaves) < max_leaves:
+        # find best (leaf, prop, split) improvement
+        best = None
+        for leaf in leaves:
+            if leaf.mask.sum() < 256 or getattr(leaf, "no_gain", False):
+                continue
+            found = False
+            for prop in split_props:
+                vals = props[prop][leaf.mask]
+                if vals.size == 0:
+                    continue
+                qs = np.unique(np.percentile(
+                    vals, (6, 12, 25, 37, 50, 63, 75, 88, 94)).astype(
+                        np.int64))
+                for sv in qs:
+                    sel = props[prop] > sv
+                    lm = leaf.mask & sel
+                    rm = leaf.mask & ~sel
+                    if lm.sum() < 64 or rm.sum() < 64:
+                        continue
+                    cl = min(_cost(tok[p][0][lm], tok[p][1][lm])
+                             for p in cand)
+                    cr = min(_cost(tok[p][0][rm], tok[p][1][rm])
+                             for p in cand)
+                    gain = leaf.cost - (cl + cr) - 96  # split overhead
+                    if gain > 0 and (best is None or gain > best[0]):
+                        best = (gain, leaf, prop, int(sv))
+                        found = True
+            if not found:
+                leaf.no_gain = True
+        if best is None:
+            break
+        _, leaf, prop, sv = best
+        sel = props[prop] > sv
+        leaf.prop = prop
+        leaf.splitval = sv
+        leaf.left = _Node(leaf.mask & sel)      # lchild: prop > splitval
+        leaf.right = _Node(leaf.mask & ~sel)
+        leaf.left.best_pred()
+        leaf.right.best_pred()
+        leaves.remove(leaf)
+        leaves += [leaf.left, leaf.right]
+
+    # serialize to the decode layout (dec_ma.cc:107-159): nodes appear in
+    # the order the decoder's pending-queue emits them; an internal node
+    # at index i with q nodes still pending points at i+q+1 / i+q+2.
+    nodes = []
+    queue = [root]
+    while queue:
+        node = queue.pop(0)
+        if node.left is None:
+            nodes.append(TreeNode(-1, 0, 0, 0, node.predictor, 0, 1))
+        else:
+            base = len(nodes) + len(queue) + 1
+            nodes.append(TreeNode(node.prop, node.splitval, base, base + 1,
+                                  0, 0, 1))
+            queue.append(node.left)
+            queue.append(node.right)
+    # leaf context ids follow decode order
+    leaf_id = 0
+    for n in nodes:
+        if n.is_leaf:
+            n.lchild = leaf_id
+            leaf_id += 1
+    return nodes
+
+
+def tokenize_with_tree(channels, tree, group_id: int) -> np.ndarray:
+    """Vectorized token stream for a learned tree: (N, 2) array of
+    (leaf context, packed residual) in decode traversal order (channels
+    sequential, row-major). ``channels``: list of (chan_idx, plane)."""
+    out = []
+    for chan_idx, plane in channels:
+        props, nb = property_planes(plane, chan_idx, group_id)
+        preds = {p: predictions(nb, p) for p in _candidate_predictors()}
+        h, w = plane.shape
+        ctx = np.zeros((h, w), np.int32)
+        pred_id = np.zeros((h, w), np.int32)
+
+        def assign(idx, mask):
+            node = tree[idx]
+            if node.is_leaf:
+                ctx[mask] = node.context
+                pred_id[mask] = node.predictor
+                return
+            sel = props[node.property] > node.splitval
+            assign(node.lchild, mask & sel)
+            assign(node.rchild, mask & ~sel)
+
+        assign(0, np.ones((h, w), bool))
+        resid = plane.astype(np.int64).copy()
+        for p, pp in preds.items():
+            m = pred_id == p
+            resid[m] -= pp[m]
+        packed = np.where(resid >= 0, 2 * resid,
+                          -2 * resid - 1).astype(np.int64)
+        out.append(np.stack([ctx.ravel().astype(np.int64),
+                             packed.ravel()], axis=1))
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    return np.concatenate(out)

@@ -212,3 +212,23 @@ def pack_bits(nbits: np.ndarray, values: np.ndarray) -> bytes | None:
     if total < 0:
         return None
     return out[: (total + 7) // 8].tobytes()
+
+
+def wp_plane(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Whole-plane weighted-predictor sweep: (pred, p15_property)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_wp_plane_bound"):
+        lib.jxlt_wp_plane.restype = None
+        lib.jxlt_wp_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.jxlt_wp_plane_bound = True
+    plane = np.ascontiguousarray(plane, dtype=np.int32)
+    h, w = plane.shape
+    pred = np.empty((h, w), np.int32)
+    prop = np.empty((h, w), np.int32)
+    lib.jxlt_wp_plane(plane.ctypes.data, w, h, None,
+                      pred.ctypes.data, prop.ctypes.data)
+    return pred, prop

@@ -15,6 +15,9 @@
 #include <cstring>
 #include <vector>
 
+#include <cstdlib>
+#include <algorithm>
+#include <cmath>
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -297,4 +300,103 @@ EXPORT int64_t jxlt_pack_bits(const int64_t* nbits, const uint64_t* values,
   }
   if (sink.overflow) return -1;
   return sink.bitpos;
+}
+
+// ---------------------------------------------------------------------------
+// Weighted predictor sweep over a whole plane: outputs the WP prediction
+// and the WP error property (p15) per pixel (context_predict.h State,
+// default WPHeader). Used by the encoder's tree learner/tokenizer.
+// ---------------------------------------------------------------------------
+namespace {
+struct WpConsts {
+  // default WPHeader (context_predict.h:28-61)
+  int p1C = 16, p2C = 10, p3Ca = 7, p3Cb = 7, p3Cc = 7, p3Cd = 0, p3Ce = 0;
+  int w[4] = {13, 12, 12, 12};
+};
+static inline int FloorLog2(uint64_t x) { return 63 - __builtin_clzll(x); }
+}  // namespace
+
+EXPORT void jxlt_wp_plane(const int32_t* plane, int64_t w, int64_t h,
+                          const int32_t* hdr9, int32_t* out_pred,
+                          int32_t* out_prop) {
+  static int64_t divlookup[64];
+  for (int i = 0; i < 64; i++) divlookup[i] = (1ll << 24) / (i + 1);
+  const int kBits = 3;
+  const int kRound = ((1 << kBits) >> 1) - 1;
+  WpConsts c;
+  if (hdr9) {
+    c.p1C = hdr9[0]; c.p2C = hdr9[1]; c.p3Ca = hdr9[2]; c.p3Cb = hdr9[3];
+    c.p3Cc = hdr9[4]; c.p3Cd = hdr9[5]; c.p3Ce = hdr9[6];
+    // hdr9[7..10] would be weights; keep defaults unless provided fully
+  }
+  std::vector<int64_t> pred_errors[4];
+  std::vector<int64_t> error((w + 2) * 2, 0);
+  for (int i = 0; i < 4; i++) pred_errors[i].assign((w + 2) * 2, 0);
+  int64_t prediction[4];
+
+  for (int64_t y = 0; y < h; y++) {
+    int64_t cur_row = (y & 1) ? 0 : (w + 2);
+    int64_t prev_row = (y & 1) ? (w + 2) : 0;
+    for (int64_t x = 0; x < w; x++) {
+      // neighbors with border rules
+      int64_t left = x ? plane[y * w + x - 1]
+                       : (y ? plane[(y - 1) * w + x] : 0);
+      int64_t top = y ? plane[(y - 1) * w + x] : left;
+      int64_t topleft = (x && y) ? plane[(y - 1) * w + x - 1] : left;
+      int64_t topright = (x + 1 < w && y) ? plane[(y - 1) * w + x + 1] : top;
+      int64_t toptop = y > 1 ? plane[(y - 2) * w + x] : top;
+
+      int64_t pos_n = prev_row + x;
+      int64_t pos_ne = x < w - 1 ? pos_n + 1 : pos_n;
+      int64_t pos_nw = x > 0 ? pos_n - 1 : pos_n;
+      int64_t weights[4];
+      for (int i = 0; i < 4; i++) {
+        int64_t werr = pred_errors[i][pos_n] + pred_errors[i][pos_ne] +
+                       pred_errors[i][pos_nw];
+        int shift = FloorLog2(werr + 1) - 5;
+        if (shift < 0) shift = 0;
+        weights[i] = 4 + ((c.w[i] * divlookup[werr >> shift]) >> shift);
+      }
+      int64_t N = top << kBits, W = left << kBits, NE = topright << kBits;
+      int64_t NW = topleft << kBits, NN = toptop << kBits;
+      int64_t teW = x == 0 ? 0 : error[cur_row + x - 1];
+      int64_t teN = error[pos_n];
+      int64_t teNW = error[pos_nw];
+      int64_t teNE = error[pos_ne];
+      int64_t sumWN = teN + teW;
+      // property: max-abs of the tracked errors
+      int64_t p = teW;
+      if (std::llabs(teN) > std::llabs(p)) p = teN;
+      if (std::llabs(teNW) > std::llabs(p)) p = teNW;
+      if (std::llabs(teNE) > std::llabs(p)) p = teNE;
+      out_prop[y * w + x] = (int32_t)p;
+      prediction[0] = W + NE - N;
+      prediction[1] = N - (((sumWN + teNE) * c.p1C) >> 5);
+      prediction[2] = W - (((sumWN + teNW) * c.p2C) >> 5);
+      prediction[3] =
+          N - ((teNW * c.p3Ca + teN * c.p3Cb + teNE * c.p3Cc +
+                (NN - N) * c.p3Cd + (NW - W) * c.p3Ce) >> 5);
+      int64_t weight_sum = weights[0] + weights[1] + weights[2] + weights[3];
+      int log_weight = FloorLog2(weight_sum);
+      for (int i = 0; i < 4; i++) weights[i] >>= (log_weight - 4);
+      weight_sum = weights[0] + weights[1] + weights[2] + weights[3];
+      int64_t s = (weight_sum >> 1) - 1;
+      for (int i = 0; i < 4; i++) s += prediction[i] * weights[i];
+      int64_t pred = (s * divlookup[weight_sum - 1]) >> 24;
+      if (((teN ^ teW) | (teN ^ teNW)) <= 0) {
+        int64_t mx = std::max(W, std::max(NE, N));
+        int64_t mn = std::min(W, std::min(NE, N));
+        pred = std::max(mn, std::min(mx, pred));
+      }
+      out_pred[y * w + x] = (int32_t)((pred + kRound) >> kBits);
+      // update errors with the true value
+      int64_t val = ((int64_t)plane[y * w + x]) << kBits;
+      error[cur_row + x] = pred - val;
+      for (int i = 0; i < 4; i++) {
+        int64_t err = (std::llabs(prediction[i] - val) + kRound) >> kBits;
+        pred_errors[i][cur_row + x] = err;
+        pred_errors[i][prev_row + x + 1] += err;
+      }
+    }
+  }
 }

@@ -98,3 +98,24 @@ def test_encode_gray_alpha(rng):
     img = rng.integers(0, 256, (30, 30, 2), dtype=np.uint8)
     data = _roundtrip(img)
     assert np.array_equal(oracle_decode(data, num_channels=2).pixels, img)
+
+
+def test_lossless_learned_tree_roundtrip():
+    """effort>=5: MA tree learning with per-leaf predictors (incl. the
+    weighted predictor); denser than the fixed-tree path and decodable by
+    both our decoder and libjxl."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    rng = np.random.default_rng(5)
+    img = np.clip(np.cumsum(rng.integers(-3, 4, (96, 112, 3)), axis=1),
+                  0, 255).astype(np.uint8)
+    fast = encode_lossless(img, EncodeOptions(effort=2))
+    dense = encode_lossless(img, EncodeOptions(effort=7))
+    assert np.array_equal(decode(dense), img)
+    assert len(dense) < len(fast)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(dense).pixels[:, :, :3], img)
