@@ -99,8 +99,8 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
     dec_cache.cc:142-217: gaborish -> EPF -> patches -> splines ->
     upsampling -> noise."""
     from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
-    from libjxl_tpu.render.filters import compute_sigma, epf_step1, \
-        epf_step2, gaborish
+    from libjxl_tpu.render.filters import compute_sigma, epf_step0, \
+        epf_step1, epf_step2, gaborish
 
     fh = frame.header
     fd = frame.dims
@@ -134,6 +134,23 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
                 for p in range(fh.passes.num_passes)]
             dec.decode_ac_group(readers, g, fh.passes.num_passes)
 
+    if not dec.is_444:
+        # chroma upsampling is the first render stage (dec_cache.cc:142)
+        from libjxl_tpu.color.xyb import chroma_upsample
+        from libjxl_tpu.core.geometry import cdiv
+        planes = []
+        for c in range(3):
+            p = dec.pixels_c[c]
+            # crop to the visible subsampled size first: the pipeline
+            # mirrors at the image edge rather than using padding blocks
+            p = p[:cdiv(fd.ysize, 1 << dec.vs[c]),
+                  :cdiv(fd.xsize, 1 << dec.hs[c])]
+            for _ in range(dec.hs[c]):
+                p = chroma_upsample(p, horizontal=True)
+            for _ in range(dec.vs[c]):
+                p = chroma_upsample(p, horizontal=False)
+            planes.append(p[:fd.ysize, :fd.xsize])
+        dec.pixels = np.stack(planes)
     xyb = dec.pixels[:, :fd.ysize, :fd.xsize]
     lf = fh.loop_filter
     if lf.gab:
@@ -143,7 +160,7 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
                                   dec.raw_quant, dec.epf_sharpness,
                                   dec.quantizer.scale)
         if lf.epf_iters >= 3:
-            raise FormatError("EPF0 pass not yet implemented")
+            xyb = epf_step0(xyb, inv_sigma, lf)
         xyb = epf_step1(xyb, inv_sigma, lf)
         if lf.epf_iters >= 2:
             xyb = epf_step2(xyb, inv_sigma, lf)
@@ -199,9 +216,14 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
         dc_image = (dc_store or {}).get(fh.dc_level + 1)
         xyb = decode_vardct_frame(meta, fs, refs, dc_image)
         pre_ct = xyb
-        intensity = meta.m.tone_mapping.intensity_target
-        linear = xyb_to_linear(xyb, intensity_target=intensity)
-        out = linear_to_srgb(linear).astype(np.float32)
+        if fh.color_transform == ColorTransform.YCBCR:
+            from libjxl_tpu.color.xyb import ycbcr_to_rgb
+            out = np.stack(ycbcr_to_rgb(xyb[0], xyb[1],
+                                        xyb[2])).astype(np.float32)
+        else:
+            intensity = meta.m.tone_mapping.intensity_target
+            linear = xyb_to_linear(xyb, intensity_target=intensity)
+            out = linear_to_srgb(linear).astype(np.float32)
         ec = []
         mfd_img = fs_modular_extra(meta, fs)
         for i in range(nec):
@@ -227,7 +249,7 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     fi = decode_modular_frame(meta, fs)
     planes = [ch.plane.astype(np.float32) / maxval for ch in fi.channel]
     if fh.color_transform == ColorTransform.YCBCR:
-        raise FormatError("YCbCr modular output not yet supported")
+        planes = _ycbcr_planes_to_rgb(planes, fh)
     if len(planes) < 3 + nec:
         raise FormatError(
             "grayscale multi-frame compositing not yet supported")
@@ -339,12 +361,17 @@ def decode(data: bytes) -> np.ndarray:
     frame = frames[0]
     fh = frame.header
     if fh.encoding != FrameEncoding.MODULAR:
-        from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
+        from libjxl_tpu.color.xyb import (
+            linear_to_srgb, xyb_to_linear, ycbcr_to_rgb,
+        )
         xyb = decode_vardct_frame(meta, frame)
         xyb = xyb[:, :meta.ysize, :meta.xsize]
-        intensity = meta.m.tone_mapping.intensity_target
-        linear = xyb_to_linear(xyb, intensity_target=intensity)
-        srgb = linear_to_srgb(linear)
+        if fh.color_transform == ColorTransform.YCBCR:
+            srgb = np.stack(ycbcr_to_rgb(xyb[0], xyb[1], xyb[2]))
+        else:
+            intensity = meta.m.tone_mapping.intensity_target
+            linear = xyb_to_linear(xyb, intensity_target=intensity)
+            srgb = linear_to_srgb(linear)
         out = np.moveaxis(srgb, 0, -1)
         maxv = (1 << bits) - 1 if bits <= 16 else 255
         out = np.clip(np.round(out * maxv), 0, maxv)
@@ -354,10 +381,33 @@ def decode(data: bytes) -> np.ndarray:
     fi = decode_modular_frame(meta, frame)
     planes = [ch.plane for ch in fi.channel]
     if fh.color_transform == ColorTransform.YCBCR:
-        raise FormatError("YCbCr output not yet supported")
+        maxval = float((1 << min(bits, 16)) - 1)
+        planes = [p.astype(np.float32) / maxval for p in planes]
+        planes = _ycbcr_planes_to_rgb(planes, fh)
+        out = np.stack([p * maxval for p in planes], axis=-1)
+        out = np.clip(np.round(out), 0, maxval)
+        return out.astype(np.uint8 if bits <= 8 else np.uint16)
     out = np.stack(planes, axis=-1)
     if bits <= 8:
         out = np.clip(out, 0, 255).astype(np.uint8)
     elif bits <= 16:
         out = np.clip(out, 0, 65535).astype(np.uint16)
     return out
+
+
+def _ycbcr_planes_to_rgb(planes, fh):
+    """Chroma-upsample subsampled planes, then YCbCr->RGB
+    (stage_chroma_upsampling.cc + stage_ycbcr.cc)."""
+    from libjxl_tpu.color.xyb import chroma_upsample, ycbcr_to_rgb
+    cs = fh.chroma_subsampling
+    color = list(planes[:3])
+    target_h = max(p.shape[0] for p in color)
+    target_w = max(p.shape[1] for p in color)
+    for c in range(3):
+        for _ in range(cs.hshift(c)):
+            color[c] = chroma_upsample(color[c], horizontal=True)
+        for _ in range(cs.vshift(c)):
+            color[c] = chroma_upsample(color[c], horizontal=False)
+        color[c] = color[c][:target_h, :target_w]
+    r, g, b = ycbcr_to_rgb(color[0], color[1], color[2])
+    return [r, g, b] + list(planes[3:])

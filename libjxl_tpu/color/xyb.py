@@ -58,3 +58,27 @@ def linear_to_srgb(linear: np.ndarray) -> np.ndarray:
     enc = np.where(a <= 0.0031308, a * 12.92,
                    1.055 * a ** (1 / 2.4) - 0.055)
     return np.sign(linear) * enc
+
+
+def ycbcr_to_rgb(cb: "np.ndarray", y: "np.ndarray", cr: "np.ndarray"):
+    """Full-range BT.601 (stage_ycbcr.cc; values in [0,1]-scale floats,
+    buffer order Cb, Y, Cr)."""
+    yv = y + 128.0 / 255
+    r = 1.402 * cr + yv
+    g = yv + (-0.114 * 1.772 / 0.587) * cb + (-0.299 * 1.402 / 0.587) * cr
+    b = 1.772 * cb + yv
+    return r, g, b
+
+
+def chroma_upsample(plane: "np.ndarray", horizontal: bool) -> "np.ndarray":
+    """2x chroma upsampling with the 3/4-1/4 kernel
+    (stage_chroma_upsampling.cc)."""
+    p = plane
+    if not horizontal:
+        p = p.T
+    left = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((p.shape[0], p.shape[1] * 2), p.dtype)
+    out[:, 0::2] = 0.75 * p + 0.25 * left
+    out[:, 1::2] = 0.75 * p + 0.25 * right
+    return out if horizontal else out.T

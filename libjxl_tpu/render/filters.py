@@ -147,3 +147,50 @@ def epf_step2(xyb: np.ndarray, inv_sigma_block: np.ndarray, lf) -> np.ndarray:
             acc[c] += weight * _shift(p[c], dx, dy, pad)
     out = acc / wsum
     return np.where(skip[None, :, :], xyb, out).astype(xyb.dtype)
+
+
+_NEIGHBORS0 = ((0, -2), (-1, -1), (0, -1), (1, -1), (-2, 0), (-1, 0),
+               (1, 0), (2, 0), (-1, 1), (0, 1), (1, 1), (0, 2))  # (dx, dy)
+
+
+def epf_step0(xyb: np.ndarray, inv_sigma_block: np.ndarray, lf) -> np.ndarray:
+    """EPF pass 0 (5x5 diamond kernel with plus-shaped SADs;
+    stage_epf.cc EPF0Stage). Runs before passes 1 and 2 when
+    epf_iters == 3."""
+    c3, h, w = xyb.shape
+    pad = 4
+    p = _mirror_pad(xyb, pad)
+    scales = np.asarray(lf.epf_channel_scale, dtype=np.float64)
+
+    sads = []
+    for dx, dy in _NEIGHBORS0:
+        sad = np.zeros((h, w))
+        for ox, oy in _PLUS:
+            for c in range(3):
+                a = _shift(p[c], dx + ox, dy + oy, pad)
+                b = _shift(p[c], ox, oy, pad)
+                sad += scales[c] * np.abs(a - b)
+        sads.append(sad)
+
+    sm = lf.epf_pass0_sigma_scale * 1.65
+    bsm = sm * lf.epf_border_sad_mul
+    xmul = np.full(w, sm)
+    xmul[0::8] = bsm
+    xmul[7::8] = bsm
+    ymul_border = np.zeros(h, dtype=bool)
+    ymul_border[0::8] = True
+    ymul_border[7::8] = True
+    sad_mul = np.where(ymul_border[:, None], bsm, xmul[None, :])
+    inv_sigma = np.repeat(np.repeat(inv_sigma_block, 8, 0), 8, 1)[:h, :w]
+    skip = inv_sigma < K_MIN_SIGMA
+    isig = inv_sigma * sad_mul
+
+    wsum = np.ones((h, w))
+    acc = xyb.astype(np.float64).copy()
+    for (dx, dy), sad in zip(_NEIGHBORS0, sads):
+        weight = np.maximum(1.0 + sad * isig, 0.0)
+        wsum += weight
+        for c in range(3):
+            acc[c] += weight * _shift(p[c], dx, dy, pad)
+    out = acc / wsum
+    return np.where(skip[None, :, :], xyb, out).astype(xyb.dtype)

@@ -106,6 +106,10 @@ class VarDCTFrameDecoder:
         else:
             self.dc = [np.zeros((yb >> self.vs[c], xb >> self.hs[c]),
                                 dtype=np.float32) for c in range(3)]
+            # per-channel pixel planes at the subsampled resolutions
+            self.pixels_c = [np.zeros(((yb >> self.vs[c]) * 8,
+                                       (xb >> self.hs[c]) * 8),
+                                      dtype=np.float32) for c in range(3)]
         tx = cdiv(xb, K_COLOR_TILE_DIM_IN_BLOCKS)
         ty = cdiv(yb, K_COLOR_TILE_DIM_IN_BLOCKS)
         self.ytox_map = np.zeros((ty, tx), dtype=np.int32)
@@ -390,8 +394,27 @@ class VarDCTFrameDecoder:
                                     x >> self.hs[c]] = qblock[c]
             return
         if not self.is_444:
-            raise FormatError(
-                "subsampled chroma pixel reconstruction not yet supported")
+            # DCT8-only (enforced in decode_ac_group): per-channel planes
+            inv_gs = self.quantizer.inv_global_scale
+            quant = int(self.raw_quant[y, x])
+            scaled_dequant = inv_gs / quant
+            x_dm = (1 / 1.25) ** (self.fh.x_qm_scale - 2.0)
+            b_dm = (1 / 1.25) ** (self.fh.b_qm_scale - 2.0)
+            dms = (x_dm, 1.0, b_dm)
+            tflat = self.matrices.table_for_strategy(0).reshape(3, -1)
+            for c in range(3):
+                if ((x >> self.hs[c]) << self.hs[c] != x or
+                        (y >> self.vs[c]) << self.vs[c] != y):
+                    continue
+                xc, yc = x >> self.hs[c], y >> self.vs[c]
+                dq = adjust_quant_bias(qblock[c], c) * \
+                    (tflat[c] * scaled_dequant * dms[c])
+                st = dq.reshape(8, 8).copy()
+                st[0, 0] = self.dc[c][yc, xc]
+                pix = idct2d(coeffs_stored_to_rc(st, 8, 8))
+                self.pixels_c[c][yc * 8:(yc + 1) * 8,
+                                 xc * 8:(xc + 1) * 8] = pix
+            return
         cx, cy = COVERED_X[raw], COVERED_Y[raw]
         size = cx * cy * 64
         inv_gs = self.quantizer.inv_global_scale

@@ -104,3 +104,17 @@ def test_transcode_oracle_cross(cfg):
     # we reconstruct the exact .jpg from LIBJXL's .jxl (exercises the
     # chroma-from-luma jpeg path: force_cfl_jpeg_recompression default)
     assert decode_to_jpeg(oracle_encode_jpeg(jb)) == jb
+
+
+@pytest.mark.skipif(not oracle_available(), reason="libjxl not found")
+@pytest.mark.parametrize("sub", [0, 1, 2])
+def test_transcoded_jpeg_pixel_decode(sub):
+    """Pixel (non-reconstruction) decode of transcoded JPEGs: YCbCr
+    VarDCT frames incl. chroma upsampling, matches libjxl within +-1."""
+    from libjxl_tpu.api.decoder import decode as jxl_decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    jb = _jpeg_bytes(shape=(112, 120), quality=90, subsampling=sub)
+    jxl = encode_jpeg(jb)
+    ours = jxl_decode(jxl)
+    ref = oracle_decode(jxl).pixels[:, :, :3]
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
