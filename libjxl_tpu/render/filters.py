@@ -194,3 +194,33 @@ def epf_step0(xyb: np.ndarray, inv_sigma_block: np.ndarray, lf) -> np.ndarray:
             acc[c] += weight * _shift(p[c], dx, dy, pad)
     out = acc / wsum
     return np.where(skip[None, :, :], xyb, out).astype(xyb.dtype)
+
+
+def gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
+    """Approximate inverse-gaborish sharpening applied by the encoder when
+    the gaborish loop filter is on (enc_gaborish.cc:21-75): Symmetric5
+    with the butteraugli-tuned kGaborish weights, normalized."""
+    kg = (-0.09495815671340026, -0.041031725066768575,
+          0.013710004822696948, 0.006510206083837737,
+          -0.0014789063378272242)
+    s = 1.0 + 4 * (kg[0] + kg[1] + kg[2] + kg[4] + 2 * kg[3])
+    n = 1.0 / s
+    # quadrant layout c r R / r d L / R L D (convolve.h WeightsSymmetric5)
+    w_c, w_r, w_R = n, n * kg[0], n * kg[2]
+    w_d, w_D, w_L = n * kg[1], n * kg[4], n * kg[3]
+    out = np.empty_like(xyb)
+    for c in range(3):
+        p = _mirror_pad(xyb[c], 2)
+
+        def sh(dy, dx):
+            h, w = xyb[c].shape
+            return p[2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
+
+        out[c] = (w_c * sh(0, 0) +
+                  w_r * (sh(0, -1) + sh(0, 1) + sh(-1, 0) + sh(1, 0)) +
+                  w_R * (sh(0, -2) + sh(0, 2) + sh(-2, 0) + sh(2, 0)) +
+                  w_d * (sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)) +
+                  w_D * (sh(-2, -2) + sh(-2, 2) + sh(2, -2) + sh(2, 2)) +
+                  w_L * (sh(-1, -2) + sh(-2, -1) + sh(-2, 1) + sh(-1, 2) +
+                         sh(1, -2) + sh(2, -1) + sh(2, 1) + sh(1, 2)))
+    return out

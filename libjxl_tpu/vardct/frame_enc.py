@@ -77,6 +77,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
+    # gaborish is on at hare-class efforts: sharpen now, decoder smooths
+    # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
+    use_gab = options.effort >= 5 and d > 0.5
+    # the adaptive quant field uses PRE-gaborish values
+    # (enc_heuristics.cc:1117 comment); sharpen after computing it
+    xyb_pre_gab = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                         mode="edge")
+    if use_gab:
+        from libjxl_tpu.render.filters import gaborish_inverse
+        xyb = gaborish_inverse(xyb)
     # pad to block grid (edge replicate)
     xyb_p = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
                    mode="edge")
@@ -89,9 +99,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
             quant_dc_f, 0.79 / d, qf_field)
     else:
-        # Hare-class and slower: adaptive field; without gaborish the
-        # field is computed at 0.62x the distance (enc_heuristics.cc:1120)
-        qf_field, _ = adaptive_quant_field(xyb_p, d * 0.62)
+        # Hare-class and slower: adaptive field (enc_heuristics.cc:1118-
+        # 1126; without gaborish the distance gets a 0.62x correction)
+        qf_field, _ = adaptive_quant_field(
+            xyb_pre_gab, d if use_gab else d * 0.62)
         global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
             quant_dc_f, 0.39 / d, qf_field)
     quantizer = Quantizer(global_scale, quant_dc_int)
@@ -265,7 +276,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         fh.passes.num_passes = 3
         fh.passes.shift = (2, 1, 0)
         fh.passes.num_downsample = 0
-    fh.loop_filter.gab = False
+    fh.loop_filter.gab = use_gab
     # EPF iterations from distance (enc_frame.cc:333-342); EPF0 (the
     # third pass) is not implemented decoder-side yet, so cap at 2.
     fh.loop_filter.epf_iters = min(2, sum(d >= t for t in (0.7, 1.5, 4.0)))
