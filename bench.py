@@ -28,7 +28,7 @@ def main():
 
     n_images = 6
     imgs = [make_image(s) for s in range(n_images)]
-    opts = EncodeOptions(use_device=True)
+    opts = EncodeOptions(use_device=True, entropy="prefix-device")
 
     # warmup: compile + first-transfer stall absorption (same shapes)
     encode_lossless_many(imgs[:2], opts)

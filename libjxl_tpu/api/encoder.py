@@ -43,6 +43,8 @@ class EncodeOptions:
     use_rct: bool = True           # YCoCg for RGB
     group_size_shift: int = 1      # 256x256 groups
     use_device: bool = False       # JAX/TPU group-parallel compute path
+    entropy: str = "ans"           # "ans" (host rANS) or "prefix-device"
+                                   # (Huffman packed ON the TPU)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -66,6 +68,8 @@ def encode_lossless(pixels: np.ndarray,
     """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
     options = options or EncodeOptions()
     if options.use_device:
+        if options.entropy == "prefix-device":
+            return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
     img, bits, nch = _image_from_pixels(pixels)
     h, w = img.h, img.w
@@ -246,15 +250,20 @@ def encode_lossless_device(pixels: np.ndarray,
 def encode_lossless_many(images, options: EncodeOptions | None = None
                          ) -> list:
     """Pipelined batch encode: all device steps + d2h transfers are
-    enqueued up front (async dispatch), overlapping the host entropy
-    coding of earlier images — the batch/serving mode of BASELINE
-    config 5."""
+    enqueued up front (async dispatch), overlapping the host work of
+    earlier images — the batch/serving mode of BASELINE config 5."""
+    options = options or EncodeOptions()
+    imgs = [im[:, :, None] if im.ndim == 2 else im for im in images]
+    if options.entropy == "prefix-device":
+        # three-phase pipeline: residuals+histogram, device Huffman
+        # packing, host splicing — per-phase batching keeps the link and
+        # both TPU passes busy across images
+        h1 = [_prefix_pass1(im, options) for im in imgs]
+        h2 = [_prefix_pass2(st) for st in h1]
+        return [_prefix_assemble(st) for st in h2]
     from libjxl_tpu.models.lossless import (
         encode_image_device_collect, encode_image_device_dispatch,
     )
-
-    options = options or EncodeOptions()
-    imgs = [im[:, :, None] if im.ndim == 2 else im for im in images]
     group_dim = 128 << options.group_size_shift
     handles = [encode_image_device_dispatch(
         im, group_dim=group_dim,
@@ -368,6 +377,181 @@ def _assemble_lossless_device(pixels: np.ndarray, options: EncodeOptions,
                 max_workers=min(8, os.cpu_count() or 1)) as ex:
             sections.extend(ex.map(ac_group_section,
                                    range(fd.num_groups)))
+
+    write_toc(bw, [len(s) for s in sections])
+    out = bytearray(bw.to_bytes())
+    for s in sections:
+        out.extend(s)
+    return bytes(out)
+
+
+def encode_lossless_device_prefix(pixels: np.ndarray,
+                                  options: EncodeOptions | None = None
+                                  ) -> bytes:
+    """Fully device-side entropy coding: pass 1 computes residuals +
+    histogram on the TPU (residuals never leave the device); the host
+    builds a canonical prefix code from the histogram; pass 2 packs the
+    complete Huffman bitstream on the TPU (cumsum positions + disjoint
+    segment sums). The d2h payload is the compressed stream itself."""
+    h1 = _prefix_pass1(pixels, options or EncodeOptions())
+    h2 = _prefix_pass2(h1)
+    return _prefix_assemble(h2)
+
+
+def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions):
+    import jax.numpy as jnp
+
+    from libjxl_tpu.models.lossless import (
+        encode_groups_device, frame_groups_host,
+    )
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    group_dim = 128 << options.group_size_shift
+    use_rct = options.use_rct and nch >= 3
+    groups, _ = frame_groups_host(pixels, group_dim)
+    gx_groups = -(-w // group_dim)
+    payload, wide = encode_groups_device(
+        jnp.asarray(groups), h, w, gx=gx_groups, use_rct=use_rct,
+        out16=pixels.dtype == np.uint8, emit_planes=False)
+    payload.copy_to_host_async()
+    return dict(options=options, h=h, w=w, nch=nch,
+                bits=8 if pixels.dtype == np.uint8 else 16,
+                gx_groups=gx_groups, ng=groups.shape[0],
+                payload=payload, wide=wide)
+
+
+def _prefix_pass2(st: dict) -> dict:
+    import jax.numpy as jnp
+
+    from libjxl_tpu.entropy.ans import build_prefix_codes_from_histogram
+    from libjxl_tpu.models.lossless import prefix_pack_device
+
+    ng = st["ng"]
+    buf = np.asarray(st["payload"])
+    hist = buf[4 * ng:].view(np.uint32).astype(np.int64)
+    codes = build_prefix_codes_from_histogram(hist)
+    lengths = np.asarray(codes.prefix_depths[0], dtype=np.int32)
+    cbits = np.asarray(codes.prefix_bits[0], dtype=np.uint32)
+    lut_len = np.zeros(256, np.int32)
+    lut_bits = np.zeros(256, np.uint32)
+    lut_len[:len(lengths)] = lengths
+    lut_bits[:len(cbits)] = cbits
+
+    # exact total bits (histogram * (code length + mantissa bits))
+    toks = np.arange(len(hist))
+    tok_nbits = np.where(toks < 16, 0, ((toks - 16) >> 2) + 2)
+    total_bits = int(np.sum(hist * (lut_len[:len(hist)] + tok_nbits)))
+    cap_words = max(1024, total_bits // 16 + 64)
+    cap_words = 1 << int(np.ceil(np.log2(cap_words)))
+
+    words_dev, per_group_dev = prefix_pack_device(
+        st["wide"], st["h"], st["w"], jnp.asarray(lut_bits),
+        jnp.asarray(lut_len), gx=st["gx_groups"], cap_words=cap_words)
+    # bucket the transferred length: device slicing compiles per shape,
+    # so round up to 64Ki-word chunks (<=128KB extra on the wire)
+    needed = (total_bits + 15) // 16 + 1
+    bucket = min(cap_words, ((needed + 65535) // 65536) * 65536)
+    words_slice = words_dev[:bucket]
+    words_slice.copy_to_host_async()
+    st2 = dict(st)
+    st2.update(codes=codes, words_dev=words_slice,
+               per_group_dev=per_group_dev, total_bits=total_bits)
+    return st2
+
+
+def _prefix_assemble(st: dict) -> bytes:
+    options = st["options"]
+    h, w, bits = st["h"], st["w"], st["bits"]
+    nch = st["nch"]
+    gray = nch == 1
+    use_rct = options.use_rct and nch >= 3
+    codes = st["codes"]
+    words = np.asarray(st["words_dev"])
+    per_group = np.asarray(st["per_group_dev"]).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(per_group)])
+
+    def group_bits(g: int) -> tuple[bytes, int]:
+        b0, b1 = int(starts[g]), int(starts[g + 1])
+        nbits_g = b1 - b0
+        if nbits_g == 0:
+            return b"", 0
+        w0 = b0 >> 4
+        sshift = b0 & 15
+        w1 = (b1 + 15) >> 4
+        seg = words[w0:w1 + 1].astype(np.uint32)
+        if sshift:
+            nxt = np.empty_like(seg)
+            nxt[:-1] = seg[1:]
+            nxt[-1] = 0
+            seg = ((seg >> sshift) | (nxt << (16 - sshift))) & 0xFFFF
+        return seg.astype("<u2").tobytes(), nbits_g
+
+    # ---- headers (same as the other device path) ------------------------
+    bw = BitWriter()
+    write_signature(bw)
+    size = SizeHeader()
+    size.set(w, h)
+    write_bundle(bw, size)
+    from libjxl_tpu.core.headers import ExtraChannelInfo
+    meta = ImageMetadata(
+        xyb_encoded=False,
+        bit_depth=BitDepth(bits_per_sample=bits),
+        color_encoding=ColorEncoding.srgb(gray=gray),
+        modular_16_bit_buffer_sufficient=bits <= 12,
+    )
+    write_bundle(bw, meta)
+    ctd = CustomTransformData()
+    ctd.xyb_encoded = False
+    write_bundle(bw, ctd)
+    bw.zero_pad_to_byte()
+
+    fh = FrameHeader(encoding=FrameEncoding.MODULAR,
+                     color_transform=ColorTransform.NONE,
+                     group_size_shift=options.group_size_shift)
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    fh.visit(FieldWriter(bw), meta)
+    fd = FrameDimensions(w, h, fh.group_dim)
+
+    tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+    transforms = ([Transform(id=TransformId.RCT, begin_c=0, rct_type=6)]
+                  if use_rct else [])
+
+    def dc_global_section() -> bytes:
+        sw = BitWriter()
+        sw.write(1, 1)
+        sw.write(1, 1)
+        write_tree(sw, tree)
+        write_entropy_codes(sw, codes)
+        gh = GroupHeader(use_global_tree=True, transforms=transforms)
+        gh.write(sw)
+        if fd.num_groups == 1:
+            data, nbits_g = group_bits(0)
+            sw.append_packed(data, nbits_g)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    def ac_group_section(g: int) -> bytes:
+        sw = BitWriter()
+        gh = GroupHeader(use_global_tree=True)
+        gh.write(sw)
+        data, nbits_g = group_bits(g)
+        sw.append_packed(data, nbits_g)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    if fd.num_groups == 1 and fh.passes.num_passes == 1:
+        sections = [dc_global_section()]
+    else:
+        sections = [dc_global_section()]
+        for g in range(fd.num_dc_groups):
+            sections.append(b"")
+        sections.append(b"")
+        for g in range(fd.num_groups):
+            sections.append(ac_group_section(g))
 
     write_toc(bw, [len(s) for s in sections])
     out = bytearray(bw.to_bytes())

@@ -655,3 +655,30 @@ def write_tokens(w: BitWriter, tokens: np.ndarray,
     w.write(32, state)
     w.write_array(np.array(rev_nbits[::-1], dtype=np.int64),
                   np.array(rev_bits[::-1], dtype=np.uint64))
+
+
+def build_prefix_codes_from_histogram(hist: np.ndarray
+                                      ) -> EntropyEncodingData:
+    """Single-context PREFIX (Brotli-style Huffman) codes from a token
+    histogram — the device entropy-packing path (fjxl-like tradeoff:
+    ~2-4% larger than ANS, but the packing parallelizes)."""
+    codes = EntropyEncodingData()
+    codes.use_prefix_code = True
+    codes.context_map = np.zeros(1, dtype=np.int32)
+    codes.num_histograms = 1
+    codes.uint_configs = [HybridUintConfig(4, 2, 0)]
+    codes.log_alpha_size = PREFIX_MAX_BITS
+    h = np.trim_zeros(np.asarray(hist, dtype=np.int64), trim="b")
+    if h.size == 0:
+        h = np.array([1], dtype=np.int64)
+    lengths = build_prefix_lengths(h)
+    codes.prefix_lengths.append(lengths)
+    mcodes = canonical_codes(lengths)
+    codes.prefix_bits.append([(_reverse_bits(c, int(l)) if l else 0)
+                              for c, l in zip(mcodes, lengths)])
+    depths = np.asarray(lengths).copy()
+    if np.count_nonzero(h) == 1:
+        depths[:] = 0
+    codes.prefix_depths.append(depths)
+    codes.counts.append(h)
+    return codes

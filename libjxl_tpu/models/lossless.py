@@ -29,9 +29,11 @@ from libjxl_tpu.ops.modular_ops import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("gx", "use_rct", "out16"))
+@functools.partial(jax.jit, static_argnames=("gx", "use_rct", "out16",
+                                             "emit_planes"))
 def encode_groups_device(groups: jnp.ndarray, h, w, gx: int = 1,
-                         use_rct: bool = True, out16: bool = True):
+                         use_rct: bool = True, out16: bool = True,
+                         emit_planes: bool = True):
     """Device side of lossless encode.
 
     groups: (G, C, gd, gd) integer (any int dtype); ``h``/``w`` are the
@@ -68,11 +70,11 @@ def encode_groups_device(groups: jnp.ndarray, h, w, gx: int = 1,
     # single d2h payload: residual planes + per-group max + histogram —
     # the host link has ~25ms fixed latency per transfer, so one fetch
     # beats three (SURVEY.md §7 transfer discipline)
-    payload = jnp.concatenate([
-        packed8.reshape(-1),
-        gmax.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
-        hist.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
-    ])
+    parts = [gmax.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
+             hist.astype(jnp.uint32).view(jnp.uint8).reshape(-1)]
+    if emit_planes:
+        parts.insert(0, packed8.reshape(-1))
+    payload = jnp.concatenate(parts)
     return payload, wide
 
 
@@ -152,3 +154,67 @@ def encode_image_device_collect(dev):
         else:
             out.append(packed8[g])
     return out, mask, hist
+
+
+@functools.partial(jax.jit, static_argnames=("gx", "cap_words"))
+def prefix_pack_device(wide, h, w, code_bits, code_len, gx: int = 1,
+                       cap_words: int = 1 << 20):
+    """Second-pass device kernel: entropy-code the residual planes into
+    ONE continuous LSB-first bitstream on the TPU.
+
+    ``wide``: (G, C, gd, gd) packed residuals (pass-1 output, stays on
+    device); ``code_bits``/``code_len``: canonical prefix code LUTs
+    (LSB-first code bits, lengths) built on host from the pass-1
+    histogram. Each token is emitted as two entries (huffman code, raw
+    mantissa bits); bit positions come from an exclusive cumsum and the
+    words from two disjoint segment-sums — no sequential packing loop,
+    so the MXU/VPU stays busy and the d2h payload is the *compressed*
+    stream (~2 bits/px instead of 16).
+
+    Returns (words uint16[cap_words], group_bit_totals int32[G]).
+    """
+    g, c, gd, _ = wide.shape
+    v = wide.astype(jnp.uint32)
+    # validity mask from image extents (same layout as encode_groups_device)
+    row0 = (jnp.arange(g) // gx) * gd
+    col0 = (jnp.arange(g) % gx) * gd
+    ymask = row0[:, None] + jnp.arange(gd)[None, :] < h
+    xmask = col0[:, None] + jnp.arange(gd)[None, :] < w
+    valid = (ymask[:, None, :, None] & xmask[:, None, None, :])
+    valid = jnp.broadcast_to(valid, v.shape)
+
+    token = _token_id(v)
+    n = jnp.maximum(_floor_log2_u32(jnp.maximum(v, 1)), 2)
+    nbits = jnp.where(v < 16, 0, n - 2).astype(jnp.uint32)
+    raw = jnp.where(v < 16, 0, v & ((jnp.uint32(1) << nbits) - 1))
+
+    clen = code_len[token].astype(jnp.uint32)
+    cbits = code_bits[token].astype(jnp.uint32)
+    # two emissions per token: huffman code then raw bits (LSB-first)
+    lens = jnp.stack([jnp.where(valid, clen, 0),
+                      jnp.where(valid, nbits, 0)], axis=-1).reshape(-1)
+    vals = jnp.stack([jnp.where(valid, cbits, 0),
+                      jnp.where(valid, raw, 0)], axis=-1).reshape(-1)
+    pos = jnp.cumsum(lens) - lens                 # exclusive, group-major
+    word = (pos >> 4).astype(jnp.int32)
+    off = (pos & 15).astype(jnp.uint32)
+    shifted = vals << off                          # < 2^31
+    lo = shifted & jnp.uint32(0xFFFF)
+    hi = shifted >> 16
+    words = jax.ops.segment_sum(lo, word, num_segments=cap_words,
+                                indices_are_sorted=True)
+    words = words + jax.ops.segment_sum(hi, word + 1,
+                                        num_segments=cap_words,
+                                        indices_are_sorted=True)
+    per_group = jnp.sum(lens.reshape(g, -1), axis=1).astype(jnp.int32)
+    return words.astype(jnp.uint16), per_group
+
+
+def _floor_log2_u32(v):
+    n = jnp.zeros_like(v, dtype=jnp.int32)
+    x = v
+    for s in (16, 8, 4, 2, 1):
+        m = x >= (jnp.uint32(1) << s)
+        n = jnp.where(m, n + s, n)
+        x = jnp.where(m, x >> jnp.uint32(s), x)
+    return n

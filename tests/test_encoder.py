@@ -119,3 +119,22 @@ def test_lossless_learned_tree_roundtrip():
     if oracle_available():
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(dense).pixels[:, :, :3], img)
+
+
+def test_lossless_prefix_device_roundtrip():
+    """Device-side Huffman packing (prefix mode): bitstream is produced
+    on the accelerator; both decoders accept it."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    rng = np.random.default_rng(9)
+    img = np.clip(np.cumsum(rng.integers(-3, 4, (300, 420, 3)), axis=1),
+                  0, 255).astype(np.uint8)
+    opts = EncodeOptions(use_device=True, entropy="prefix-device")
+    data = encode_lossless(img, opts)
+    assert np.array_equal(decode(data), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(data).pixels[:, :, :3], img)
