@@ -1,0 +1,249 @@
+"""AC strategy selection + variable-size transform encoding (reference
+``lib/jxl/enc_ac_strategy.cc`` FindBestAcStrategy, ``enc_group.cc``).
+
+Hierarchical rate-distortion choice between DCT8, DCT16X16 and DCT32X32
+per 32x32 superblock; candidate evaluation is batched per strategy
+(one einsum per transform size). Chosen regions are quantized with
+their strategy's dequant table, LLF positions feed the DC grid through
+DCFromLowestFrequencies."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libjxl_tpu.vardct.ac_strategy import (
+    COVERED_X, COVERED_Y, STRATEGY_ORDER, natural_order,
+)
+from libjxl_tpu.vardct.dct import (
+    coeffs_rc_to_stored, dct_matrix, dc_from_llf,
+)
+from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
+
+ACS_DCT8 = 0
+ACS_DCT16 = 4
+ACS_DCT32 = 5
+
+
+def _regions(arr: np.ndarray, by0, bx0, nblk_y, nblk_x):
+    """Gather (n, nblk_y*8, nblk_x*8) pixel regions at block coords."""
+    out = np.empty((len(by0), nblk_y * 8, nblk_x * 8), arr.dtype)
+    for i, (by, bx) in enumerate(zip(by0, bx0)):
+        out[i] = arr[by * 8:(by + nblk_y) * 8, bx * 8:(bx + nblk_x) * 8]
+    return out
+
+
+def _batched_dct(regions: np.ndarray) -> np.ndarray:
+    """(n, R, C) pixels -> (n, R, C) coefficients."""
+    r, c = regions.shape[1:]
+    mr = dct_matrix(r)
+    mc = dct_matrix(c)
+    return np.einsum("ur,nrc,vc->nuv", mr, regions, mc)
+
+
+def _rate_estimate(q: np.ndarray, covered: int) -> np.ndarray:
+    """Cheap bits estimate per region: ~token+mantissa bits for nonzeros
+    (enc_ac_strategy.cc EstimateEntropy spirit). q: (n, size)."""
+    aq = np.abs(q[:, covered:])
+    nz = aq > 0
+    bits = np.where(nz, np.log2(aq + 1) * 2.0 + 1.2, 0.02)
+    return bits.sum(axis=1) + 12.0
+
+
+def _quantize_y(coef_stored, table_flat, qac, thres):
+    val = coef_stored * (table_flat[None, :] * qac[:, None])
+    return np.where(np.abs(val) >= thres[None, :], np.rint(val), 0.0)
+
+
+def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
+    """Dead-zone thresholds over the stored layout (enc_group.cc:60-70,
+    329-360); quadrant structure, wider dead zone on bigger blocks."""
+    rows, cols = min(nblk_y, nblk_x) * 8, max(nblk_y, nblk_x) * 8
+    t0, tr = (0.56, 0.62) if c_is_y else (0.58, 0.62)
+    th = np.full((rows, cols), tr)
+    th[:rows // 2, :cols // 2] = t0
+    if not c_is_y and nblk_x * nblk_y >= 4:
+        th = np.maximum(th - 0.00744 * nblk_x * nblk_y, 0.5)
+    th[0, 0] = 0.0
+    return th.reshape(-1)
+
+
+def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
+               quantizer, distance: float):
+    """RD selection on the Y channel. Returns (acs_raw, anchors,
+    raw_quant') with merged regions given their anchor's max qf."""
+    yb8, xb8 = raw_quant.shape
+    inv_gs = quantizer.inv_global_scale
+    lam = 5.5 / (distance * distance)     # distortion weight
+
+    def region_cost(strategy, by, bx):
+        nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
+        pix = y_plane[by * 8:(by + nby) * 8, bx * 8:(bx + nbx) * 8]
+        coef = _batched_dct(pix[None])[0]
+        qf = int(raw_quant[by:by + nby, bx:bx + nbx].max())
+        table = matrices.table_for_strategy(strategy)[1].reshape(-1)
+        stored = coeffs_rc_to_stored(coef).reshape(-1)
+        inv_table = 1.0 / table
+        qac = quantizer.scale * qf
+        th = _thresholds(nby, nbx, True)
+        val = stored * (inv_table * qac)
+        q = np.where(np.abs(val) >= th, np.rint(val), 0.0)
+        covered = nby * nbx
+        rate = float(_rate_estimate(q[None], covered)[0])
+        dq = adjust_quant_bias(q, 1) * table * (inv_gs / qf)
+        err = dq - stored
+        err[:covered] = 0.0                # LLF handled via DC
+        dist = float((err * err).sum())
+        return rate + lam * dist
+
+    acs = np.zeros((yb8, xb8), np.int32)
+    anchors = np.zeros((yb8, xb8), bool)
+    anchors[:] = True
+    rq = raw_quant.copy()
+    for sy in range(0, yb8 - 3, 4):
+        for sx in range(0, xb8 - 3, 4):
+            # group-boundary: a 32x32 region must not cross group edges
+            if (sx % 32) + 4 > 32 or (sy % 32) + 4 > 32:
+                continue
+            j8 = sum(region_cost(ACS_DCT8, sy + dy, sx + dx)
+                     for dy in range(4) for dx in range(4))
+            j16 = [region_cost(ACS_DCT16, sy + dy, sx + dx)
+                   for dy in (0, 2) for dx in (0, 2)]
+            j8q = [sum(region_cost(ACS_DCT8, sy + dy + qy, sx + dx + qx)
+                       for qy in range(2) for qx in range(2))
+                   for dy in (0, 2) for dx in (0, 2)]
+            j32 = region_cost(ACS_DCT32, sy, sx)
+            best16 = sum(min(a, b) for a, b in zip(j16, j8q))
+            if j32 < best16 and j32 < j8:
+                acs[sy:sy + 4, sx:sx + 4] = ACS_DCT32
+                anchors[sy:sy + 4, sx:sx + 4] = False
+                anchors[sy, sx] = True
+                rq[sy:sy + 4, sx:sx + 4] = \
+                    rq[sy:sy + 4, sx:sx + 4].max()
+            else:
+                for i, (dy, dx) in enumerate(((0, 0), (0, 2),
+                                              (2, 0), (2, 2))):
+                    if j16[i] < j8q[i]:
+                        y0, x0 = sy + dy, sx + dx
+                        acs[y0:y0 + 2, x0:x0 + 2] = ACS_DCT16
+                        anchors[y0:y0 + 2, x0:x0 + 2] = False
+                        anchors[y0, x0] = True
+                        rq[y0:y0 + 2, x0:x0 + 2] = \
+                            rq[y0:y0 + 2, x0:x0 + 2].max()
+    return acs, anchors, rq
+
+
+def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
+                  raw_quant: np.ndarray, matrices, quantizer,
+                  x_qm_mul: float):
+    """Quantize every anchor region with its strategy.
+
+    Returns dict keyed by (by, bx) anchor -> dict with q (3, size) int32,
+    y_rt (size,) roundtripped Y, stored residual arrays for X/B pending
+    CfL, plus the (3, yb, xb) DC float grid."""
+    yb8, xb8 = acs.shape
+    inv_gs = quantizer.inv_global_scale
+    dc_float = np.zeros((3, yb8, xb8), np.float64)
+    blocks = {}
+    for strategy in np.unique(acs[anchors]):
+        sel = anchors & (acs == strategy)
+        by0, bx0 = np.nonzero(sel)
+        nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
+        covered = nby * nbx
+        table = matrices.table_for_strategy(strategy).reshape(3, -1)
+        inv_table = 1.0 / table
+        qf = raw_quant[by0, bx0].astype(np.float64)
+        qac = quantizer.scale * qf
+        th_y = _thresholds(nby, nbx, True)
+        th_xb = _thresholds(nby, nbx, False)
+        coefs = {}
+        for c in range(3):
+            reg = _regions(xyb_p[c], by0, bx0, nby, nbx)
+            rc = _batched_dct(reg)
+            stored = np.stack([coeffs_rc_to_stored(r) for r in rc])
+            coefs[c] = stored.reshape(len(by0), -1)
+        # quantize Y + roundtrip
+        qy = _quantize_y(coefs[1], inv_table[1], qac, th_y)
+        y_rt = adjust_quant_bias(qy.reshape(-1, qy.shape[-1]), 1).reshape(
+            qy.shape) * (table[1][None, :] * (inv_gs / qf)[:, None])
+        for i, (by, bx) in enumerate(zip(by0, bx0)):
+            blocks[(by, bx)] = dict(
+                strategy=int(strategy), covered=covered,
+                stored_x=coefs[0][i], stored_b=coefs[2][i],
+                q_y=qy[i].astype(np.int32), y_rt=y_rt[i],
+                inv_table=inv_table, table=table, qf=float(qf[i]),
+                th_xb=th_xb, nby=nby, nbx=nbx)
+        # DC from the LLF of the PRE-CfL coefficients: the decoder's DC
+        # chroma-from-luma uses the global DC factors (0 for X, 1.0 for
+        # B with the dequantized Y DC), which the DC quantization step
+        # accounts for — not the per-tile AC factors.
+        mn, mx = min(nby, nbx), max(nby, nbx)
+        for c in range(3):
+            for i, (by, bx) in enumerate(zip(by0, bx0)):
+                rcl = coefs[c][i].reshape(mn * 8, mx * 8)
+                llf_st = rcl[:mn, :mx]
+                llf = llf_st.T if nby >= nbx else llf_st
+                dc_float[c, by:by + nby, bx:bx + nbx] = dc_from_llf(llf)
+    return blocks, dc_float
+
+
+def finish_chroma(blocks, dc_float, fx_full, fb_full, x_qm_mul, quantizer):
+    """Unapply CfL with the per-tile factors and quantize X/B; fills the
+    X/B DC planes. fx/fb_full: per-block (yb, xb) factors."""
+    for (by, bx), blk in blocks.items():
+        nby, nbx = blk["nby"], blk["nbx"]
+        fx = fx_full[by, bx]
+        fb = fb_full[by, bx]
+        x_res = blk["stored_x"] - fx * blk["y_rt"]
+        b_res = blk["stored_b"] - fb * blk["y_rt"]
+        qac = quantizer.scale * blk["qf"]
+        vx = x_res * (blk["inv_table"][0] * (qac * x_qm_mul))
+        vb = b_res * (blk["inv_table"][2] * qac)
+        th = blk["th_xb"]
+        qx = np.where(np.abs(vx) >= th, np.rint(vx), 0.0)
+        qb = np.where(np.abs(vb) >= th, np.rint(vb), 0.0)
+        blk["q"] = np.stack([qx, blk["q_y"], qb]).astype(np.int32)
+
+
+def tokenize_varblock(toks, blk, orders, nz, bx, by, bctx, qf, y, x):
+    """Generalized per-block tokenizer (mirror of DecodeACVarBlock)."""
+    from libjxl_tpu.core.headers import pack_signed
+    from libjxl_tpu.vardct.ac_context import zero_density_context
+
+    raw = blk["strategy"]
+    covered = blk["covered"]
+    size = covered * 64
+    log2_cov = (covered).bit_length() - 1
+    ord_ = STRATEGY_ORDER[raw]
+    cxv, cyv = COVERED_X[raw], COVERED_Y[raw]
+    for c in (1, 0, 2):
+        qcoef = blk["q"][c]
+        order = orders[ord_]
+        vals = qcoef[order[covered:]]
+        nzeros = int(np.count_nonzero(vals))
+        nzc = nz[c]
+        if bx == 0:
+            predicted = nzc[by - 1, bx] if by > 0 else 32
+        elif by == 0:
+            predicted = nzc[by, bx - 1]
+        else:
+            predicted = (nzc[by - 1, bx] + nzc[by, bx - 1] + 1) // 2
+        nzc[by:by + cyv, bx:bx + cxv] = (nzeros + covered - 1) >> log2_cov
+        block_ctx = bctx.context(0, qf, ord_, c)
+        toks.append((bctx.nonzero_context(int(predicted), block_ctx),
+                     nzeros))
+        if nzeros == 0:
+            continue
+        histo_offset = bctx.zero_density_offset(block_ctx)
+        prev = 0 if nzeros > size // 16 else 1
+        left = nzeros
+        k = covered
+        for v in vals:
+            v = int(v)
+            ctx = histo_offset + zero_density_context(left, k, covered,
+                                                      log2_cov, prev)
+            toks.append((ctx, pack_signed(v)))
+            prev = 1 if v else 0
+            left -= prev
+            k += 1
+            if left == 0:
+                break

@@ -147,6 +147,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         q = np.where(np.abs(val) >= thres[None, None], np.rint(val), 0.0)
         return q.astype(np.int32)
 
+    # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
+    use_acs = options.effort >= 5
+    if use_acs:
+        from libjxl_tpu.vardct.enc_acs import choose_acs
+        acs_map, acs_anchors, raw_quant = choose_acs(
+            xyb_p[1], raw_quant, matrices, quantizer, d)
+        qac = quantizer.scale * raw_quant.astype(np.float64)
+    else:
+        acs_map = np.zeros((yb, xb), np.int32)
+        acs_anchors = np.ones((yb, xb), bool)
+
     q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
     # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
     inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
@@ -181,6 +192,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         color_scale
     fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
         color_scale
+    if use_acs:
+        from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
+        blocks, dc_float_acs = transform_all(
+            xyb_p, acs_map, acs_anchors, raw_quant, matrices, quantizer,
+            x_qm_mul)
+        finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
+                      quantizer)
     x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
     b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
     q_x = quantize(0, x_res, x_qm_mul, thres_xb)
@@ -211,11 +229,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     # decode adds cfl_dc_factors (0, ., 1.0)*dequantized-Y-DC
     # (frame_dec.decode_dc_group), so B stores b_dc - dcy_dequantized.
     mul_dc = quantizer.mul_dc(matrices.dc_quant)
-    q_dc_y = np.round(stored[:, :, 1, 0] / mul_dc[1]).astype(np.int32)
+    if use_acs:
+        dcx_f, dcy_f, dcb_f = (dc_float_acs[0], dc_float_acs[1],
+                               dc_float_acs[2])
+    else:
+        dcx_f = stored[:, :, 0, 0]
+        dcy_f = stored[:, :, 1, 0]
+        dcb_f = stored[:, :, 2, 0]
+    q_dc_y = np.round(dcy_f / mul_dc[1]).astype(np.int32)
     dcy_deq = q_dc_y * mul_dc[1]
-    q_dc_x = np.round(stored[:, :, 0, 0] / mul_dc[0]).astype(np.int32)
-    q_dc_b = np.round((stored[:, :, 2, 0] - dcy_deq) /
-                      mul_dc[2]).astype(np.int32)
+    q_dc_x = np.round(dcx_f / mul_dc[0]).astype(np.int32)
+    q_dc_b = np.round((dcb_f - dcy_deq) / mul_dc[2]).astype(np.int32)
     q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
 
     # ---- AC tokens (per pass) -------------------------------------------
@@ -224,24 +248,49 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     group_tokens = [[[] for _ in range(fd.num_groups)]
                     for _ in range(num_passes)]
     gdb = fd.group_dim // 8
-    for p in range(num_passes):
-        qp = q_passes[p]
+    if use_acs and num_passes > 1:
+        raise ValueError("progressive + ACS search not combined yet")
+    if use_acs:
+        from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
+        from libjxl_tpu.vardct.enc_acs import tokenize_varblock
+        orders = {STRATEGY_ORDER[int(sid)]: natural_order(int(sid))
+                  for sid in np.unique(acs_map)}
         for gy in range(fd.ysize_groups):
             for gx in range(fd.xsize_groups):
                 g = gy * fd.xsize_groups + gx
-                toks = group_tokens[p][g]
+                toks = group_tokens[0][g]
                 by0, bx0 = gy * gdb, gx * gdb
                 gh = min(gdb, yb - by0)
                 gw = min(gdb, xb - bx0)
-                # nzeros prediction state is per-group (GroupDecCache)
                 nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
                 for by in range(gh):
                     for bx in range(gw):
                         y, x = by0 + by, bx0 + bx
-                        for c in (1, 0, 2):
-                            _tokenize_block(
-                                toks, qp[y, x, c], order, nzeros_img[c],
-                                bx, by, bctx, int(raw_quant[y, x]), c)
+                        if not acs_anchors[y, x]:
+                            continue
+                        tokenize_varblock(
+                            toks, blocks[(y, x)], orders, nzeros_img,
+                            bx, by, bctx, int(raw_quant[y, x]), y, x)
+    else:
+        for p in range(num_passes):
+            qp = q_passes[p]
+            for gy in range(fd.ysize_groups):
+                for gx in range(fd.xsize_groups):
+                    g = gy * fd.xsize_groups + gx
+                    toks = group_tokens[p][g]
+                    by0, bx0 = gy * gdb, gx * gdb
+                    gh = min(gdb, yb - by0)
+                    gw = min(gdb, xb - bx0)
+                    # nzeros prediction state is per-group (GroupDecCache)
+                    nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
+                    for by in range(gh):
+                        for bx in range(gw):
+                            y, x = by0 + by, bx0 + bx
+                            for c in (1, 0, 2):
+                                _tokenize_block(
+                                    toks, qp[y, x, c], order,
+                                    nzeros_img[c], bx, by, bctx,
+                                    int(raw_quant[y, x]), c)
 
     codes_per_pass = [build_entropy_codes(
         [tokens_to_array(t) if t else np.zeros((0, 2), np.int64)
@@ -317,9 +366,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         modular_encode(sw, img, group_id=1 + g,
                        tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)])
         # Modular DC group: no channels -> nothing.
-        # AC metadata:
+        # AC metadata: acs + qf entries per anchor in raster order
         upper = bwd * bhd
-        count = upper                        # one acs entry per block (DCT8)
+        a_sel = acs_anchors[y0:y0 + bhd, x0:x0 + bwd]
+        count = int(a_sel.sum())
         sw.write((upper - 1).bit_length() if upper > 1 else 0, count - 1)
         cw = (bwd + 7) >> 3
         chh = (bhd + 7) >> 3
@@ -330,9 +380,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         am.channel.append(Channel(
             ytob_map[ty0:ty0 + chh, tx0:tx0 + cw].copy(), 3, 3))
         acs_qf = np.zeros((2, count), np.int32)
-        acs_qf[0, :] = 0                     # DCT8 strategy
-        # raw qf - 1 per block, raster order within the DC group
-        acs_qf[1, :] = (raw_quant[y0:y0 + bhd, x0:x0 + bwd] - 1).ravel()
+        acs_qf[0, :] = acs_map[y0:y0 + bhd, x0:x0 + bwd][a_sel]
+        acs_qf[1, :] = raw_quant[y0:y0 + bhd, x0:x0 + bwd][a_sel] - 1
         am.channel.append(Channel(acs_qf))
         # EPF sharpness: the fast-tier constant 4 (enc_heuristics.cc:907)
         sharp = 4 if fh.loop_filter.epf_iters > 0 else 0

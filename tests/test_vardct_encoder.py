@@ -92,3 +92,44 @@ def test_lossy_rate_quality_parity():
         img, oracle_decode(ref).pixels[:, :, :3])
     assert len(data) < 1.25 * len(ref)
     assert ba < ref_ba + 0.8
+
+
+def test_lossy_acs_e7():
+    """effort>=5: AC strategy search (DCT16/DCT32 merges) — smooth image
+    should use big transforms, stream decodable by both decoders with
+    better rate than the DCT8-only path."""
+    import numpy as np
+    from PIL import Image
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance_srgb
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    rng = np.random.default_rng(4)
+    img = np.asarray(Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3), np.uint8)).resize(
+            (192, 160), Image.BICUBIC)).astype(np.uint8)
+    e3 = encode_lossy(img, LossyOptions(distance=1.0, effort=3))
+    e7 = encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    assert len(e7) < len(e3)
+    dec = decode(e7)
+    assert butteraugli_distance_srgb(img, dec) < 2.0
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        ref = oracle_decode(e7).pixels[:, :, :3]
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+    # confirm big transforms were actually used
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.core.toc import ac_group_index
+    from libjxl_tpu.utils.bits import BitReader
+    from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
+    meta, frames = parse_codestream(e7)
+    fr = frames[-1]
+    d2 = VarDCTFrameDecoder(fr.header, meta.m, fr.dims)
+    r = BitReader(fr.sections[0])
+    d2.decode_dc_global(r)
+    d2.decode_dc_group(r, 0)
+    d2.finalize_dc()
+    d2.decode_ac_global(r)
+    d2.decode_ac_group([r], 0, 1)
+    assert set(np.unique(d2.acs_raw[d2.acs_anchor])) - {0}
