@@ -190,6 +190,16 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         xyb = add_noise(xyb[:, :h, :w], dec.noise_lut, fh.group_dim,
                         base_correlation_x=dec.cmap.base_correlation_x,
                         base_correlation_b=dec.cmap.base_correlation_b)
+    if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
+        fi = dec.mfd.finalize()
+        xyb = np.asarray(xyb)
+        try:
+            xyb._ec_planes = [ch.plane for ch in fi.channel]
+        except AttributeError:   # plain ndarray: wrap in a subclass
+            class _ArrWithEC(np.ndarray):
+                pass
+            xyb = xyb.view(_ArrWithEC)
+            xyb._ec_planes = [ch.plane for ch in fi.channel]
     return xyb
 
 
@@ -225,10 +235,11 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
             linear = xyb_to_linear(xyb, intensity_target=intensity)
             out = linear_to_srgb(linear).astype(np.float32)
         ec = []
-        mfd_img = fs_modular_extra(meta, fs)
+        mfd_img = getattr(xyb, "_ec_planes", None)
         for i in range(nec):
             if mfd_img is not None and i < len(mfd_img):
-                ec.append(mfd_img[i].astype(np.float32) / maxval)
+                ec.append(mfd_img[i][:out.shape[1], :out.shape[2]].astype(
+                    np.float32) / maxval)
             else:
                 ec.append(np.ones(out.shape[1:], np.float32))
         img = np.concatenate([out] + [e[None] for e in ec]) if ec else out
@@ -255,12 +266,6 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
             "grayscale multi-frame compositing not yet supported")
     img = np.stack(planes)
     return img, img
-
-
-def fs_modular_extra(meta, fs):
-    """Extra-channel planes for VarDCT frames (decoded in the modular
-    sub-streams) — not yet surfaced; alpha defaults to opaque."""
-    return None
 
 
 def decode_frames(data: bytes):
@@ -365,6 +370,7 @@ def decode(data: bytes) -> np.ndarray:
             linear_to_srgb, xyb_to_linear, ycbcr_to_rgb,
         )
         xyb = decode_vardct_frame(meta, frame)
+        ec_planes = getattr(xyb, "_ec_planes", None)
         xyb = xyb[:, :meta.ysize, :meta.xsize]
         if fh.color_transform == ColorTransform.YCBCR:
             srgb = np.stack(ycbcr_to_rgb(xyb[0], xyb[1], xyb[2]))
@@ -375,7 +381,13 @@ def decode(data: bytes) -> np.ndarray:
         out = np.moveaxis(srgb, 0, -1)
         maxv = (1 << bits) - 1 if bits <= 16 else 255
         out = np.clip(np.round(out * maxv), 0, maxv)
-        return out.astype(np.uint8 if bits <= 8 else np.uint16)
+        out = out.astype(np.uint8 if bits <= 8 else np.uint16)
+        if ec_planes:
+            ec = np.stack([p[:meta.ysize, :meta.xsize] for p in ec_planes],
+                          axis=-1)
+            out = np.concatenate(
+                [out, np.clip(ec, 0, maxv).astype(out.dtype)], axis=-1)
+        return out
     if fh.color_transform == ColorTransform.XYB:
         raise FormatError("XYB modular (lossy) not yet supported")
     fi = decode_modular_frame(meta, frame)

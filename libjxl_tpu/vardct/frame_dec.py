@@ -341,6 +341,18 @@ class VarDCTFrameDecoder:
         for p in range(num_passes):
             if not decoders[p].check_final_state():
                 raise FormatError("AC group ANS checksum failed")
+        # modular AC data (extra channels) follows the AC tokens
+        # (dec_frame.cc ProcessACGroup -> ModularFrameDecoder::DecodeGroup)
+        if self.mfd.full_image is not None and self.mfd.full_image.channel:
+            from libjxl_tpu.modular.frame import (
+                get_downsampling_bracket, stream_id_modular_ac,
+            )
+            for p in range(num_passes):
+                mins, maxs = get_downsampling_bracket(self.fh.passes, p)
+                self.mfd.decode_group(
+                    readers[p],
+                    (bx0 * 8, by0 * 8, fd.group_dim, fd.group_dim),
+                    mins, maxs, stream_id_modular_ac(fd, group_id, p))
 
     def _decode_ac_block(self, r, decoder, ctx_offset, orders, nz,
                          c, bx, by, x, y, raw, covered, log2_cov, qcoef,

@@ -63,7 +63,19 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if pixels.ndim != 3 or pixels.shape[2] < 3:
         raise ValueError("lossy encoder expects RGB input")
     h, w, _ = pixels.shape
+    # alpha rides as a (lossless) modular extra channel in the VarDCT
+    # frame's modular sub-bitstream (enc_modular.cc:480-520)
+    alpha = pixels[:, :, 3].astype(np.int32) if pixels.shape[2] >= 4 \
+        else None
     d = max(options.distance, 0.01)
+    if pixels.dtype == np.uint16:
+        bits_per_sample = 16
+        maxval = 65535.0
+    elif pixels.dtype == np.uint8:
+        bits_per_sample = 8
+        maxval = 255.0
+    else:
+        raise ValueError("lossy encoder expects uint8/uint16 sRGB")
 
     from libjxl_tpu.vardct.adaptive_quant import (
         adaptive_quant_field, compute_scale_from_quant, initial_quant_dc,
@@ -71,7 +83,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
 
     # ---- color transform -------------------------------------------------
-    srgb = pixels[:, :, :3].astype(np.float64) / 255.0
+    srgb = pixels[:, :, :3].astype(np.float64) / maxval
     linear = srgb_to_linear(srgb)
     xyb = linear_to_xyb(np.moveaxis(linear, -1, 0))
 
@@ -304,9 +316,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     size = SizeHeader()
     size.set(w, h)
     write_bundle(bw, size)
+    from libjxl_tpu.core.headers import ExtraChannelInfo
+    eci = [ExtraChannelInfo(
+        bit_depth=BitDepth(bits_per_sample=bits_per_sample))] \
+        if alpha is not None else []
     meta = ImageMetadata(xyb_encoded=True,
-                         bit_depth=BitDepth(bits_per_sample=8),
-                         color_encoding=ColorEncoding.srgb(gray=False))
+                         bit_depth=BitDepth(bits_per_sample=bits_per_sample),
+                         color_encoding=ColorEncoding.srgb(gray=False),
+                         extra_channel_info=eci)
     write_bundle(bw, meta)
     ctd = CustomTransformData()
     ctd.xyb_encoded = True
@@ -348,9 +365,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         write_u32(sw, _QUANT_DC_DIST, quant_dc_int)
         sw.write(1, 1)                       # BlockCtxMap default
         sw.write(1, 1)                       # CfL DC default
-        # modular global: no global tree; global image has no channels ->
-        # nothing is written (ModularDecode early-returns on empty image)
+        # modular global: no global tree. With extra channels present the
+        # global image is non-empty, so a GroupHeader follows; channels
+        # small enough (<= group_dim) are coded here, larger ones in the
+        # per-group AC streams (dec_modular.cc:209-321).
         sw.write(1, 0)                       # has_global_tree = false
+        if alpha is not None:
+            from libjxl_tpu.modular.codec import ModularOptions
+            gi = ModularImage(w, h, bits_per_sample)
+            gi.channel.append(Channel(alpha))
+            modular_encode(sw, gi, group_id=0,
+                           options=ModularOptions(
+                               max_chan_size=fd.group_dim))
 
     def dc_group(sw: BitWriter, g: int) -> None:
         gx = g % fd.xsize_dc_groups
@@ -403,6 +429,25 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         arr = tokens_to_array(group_tokens[p][g]) if group_tokens[p][g] \
             else np.zeros((0, 2), np.int64)
         write_tokens(sw, arr, codes_per_pass[p])
+        # modular AC data (extra channels > group_dim) follows the tokens
+        # (enc_group.cc EncodeGroup -> ModularFrameEncoder)
+        if alpha is not None and (w > fd.group_dim or h > fd.group_dim):
+            from libjxl_tpu.modular.frame import (
+                get_downsampling_bracket, stream_id_modular_ac,
+            )
+            mins, maxs = get_downsampling_bracket(fh.passes, p)
+            if not (mins <= 0 <= maxs):
+                return                       # shift-0 channel not in pass p
+            gx = g % fd.xsize_groups
+            gy = g // fd.xsize_groups
+            x0, y0 = gx * fd.group_dim, gy * fd.group_dim
+            gw_ = min(fd.group_dim, w - x0)
+            gh_ = min(fd.group_dim, h - y0)
+            gi = ModularImage(gw_, gh_, bits_per_sample)
+            gi.channel.append(Channel(
+                alpha[y0:y0 + gh_, x0:x0 + gw_].copy()))
+            modular_encode(sw, gi,
+                           group_id=stream_id_modular_ac(fd, g, p))
 
     def section(*parts) -> bytes:
         sw = BitWriter()

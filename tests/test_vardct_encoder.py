@@ -133,3 +133,50 @@ def test_lossy_acs_e7():
     d2.decode_ac_global(r)
     d2.decode_ac_group([r], 0, 1)
     assert set(np.unique(d2.acs_raw[d2.acs_anchor])) - {0}
+
+
+@needs_oracle
+def test_lossy_alpha_roundtrip(rng):
+    """RGBA lossy: alpha is carried losslessly as a modular extra channel
+    in the VarDCT frame; both decoders restore it bit-exactly (single- and
+    multi-group layouts)."""
+    for h, w in ((60, 80), (300, 400)):
+        img = _img(rng, h, w)
+        alpha = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        rgba = np.concatenate([img, alpha.astype(np.uint8)], axis=-1)
+        data = encode_lossy(rgba, LossyOptions(distance=1.0))
+        ours = decode(data)
+        assert ours.shape == (h, w, 4)
+        assert np.array_equal(ours[:, :, 3], rgba[:, :, 3])
+        ref = oracle_decode(data, num_channels=4).pixels
+        assert np.array_equal(ref[:, :, 3], rgba[:, :, 3])
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+@needs_oracle
+def test_lossy_alpha_oracle_encoded(rng):
+    """Oracle-encoded lossy RGBA (VarDCT frame + modular EC streams in the
+    AC groups): our decoder agrees with the oracle's own decode."""
+    from libjxl_tpu.utils.oracle import oracle_encode
+    h, w = 300, 400
+    rgba = np.concatenate(
+        [_img(rng, h, w), rng.integers(0, 256, (h, w, 1), dtype=np.uint8)],
+        axis=-1)
+    data = oracle_encode(rgba, lossless=False)
+    ours = decode(data)
+    ref = oracle_decode(data, num_channels=4).pixels
+    assert np.array_equal(ours[:, :, 3], ref[:, :, 3])
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+@needs_oracle
+def test_lossy_u16_input(rng):
+    """uint16 sRGB input: 16-bit metadata, oracle decodes at 16 bits."""
+    img = (_img(rng).astype(np.uint16) * 257)
+    data = encode_lossy(img, LossyOptions(distance=1.0))
+    ours = decode(data)
+    assert ours.dtype == np.uint16
+    ref = oracle_decode(data, dtype=np.uint16, num_channels=3).pixels
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 257
+    rmse = np.sqrt(np.mean((ref.astype(float) - img.astype(float)) ** 2))
+    assert rmse < 8.0 * 257
