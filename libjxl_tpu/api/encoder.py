@@ -45,6 +45,9 @@ class EncodeOptions:
     use_device: bool = False       # JAX/TPU group-parallel compute path
     entropy: str = "ans"           # "ans" (host rANS) or "prefix-device"
                                    # (Huffman packed ON the TPU)
+    palette: int = 512             # max colors for the palette transform
+                                   # (0 disables; enc_heuristics palette)
+    squeeze: bool = False          # squeeze transform (responsive mode)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -112,10 +115,23 @@ def encode_lossless(pixels: np.ndarray,
 
     # ---- modular planning ------------------------------------------------
     transforms = []
-    if options.use_rct and nch >= 3:
+    palettized = False
+    if options.palette and nch >= 1 and not options.use_device:
+        # global palette when few distinct colors (enc_heuristics.cc /
+        # enc_palette.cc): replaces RCT entirely
+        from libjxl_tpu.modular.transforms import fwd_palette
+        t = fwd_palette(img, 0, nch - 1, options.palette)
+        if t is not None:
+            transforms.append(t)
+            palettized = True
+    if options.use_rct and nch >= 3 and not palettized:
         fwd_rct(img, 0, 6)  # YCoCg
         transforms.append(Transform(id=TransformId.RCT, begin_c=0,
                                     rct_type=6))
+    if options.squeeze:
+        from libjxl_tpu.modular.transforms import fwd_squeeze
+        fwd_squeeze(img, [])    # default parameters, signalled empty
+        transforms.append(Transform(id=TransformId.SQUEEZE, squeezes=[]))
     learned = options.effort >= 5
     if learned:
         # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
@@ -130,31 +146,38 @@ def encode_lossless(pixels: np.ndarray,
     wp_header = GroupHeader().wp_header
 
     # Stream channel assignment (dec_modular.cc DecodeGlobalInfo/Group):
-    # channels with w,h <= group_dim go to the global stream; larger ones
-    # are carved into per-group slices.
-    global_chans = []
-    group_chans = []
+    # the prefix of channels with w,h <= group_dim goes to the global
+    # stream; from the first larger channel on, channels are carved into
+    # per-group slices -- shift >= 3 into DC groups, else AC groups.
+    beginc = len(img.channel)
     for i, ch in enumerate(img.channel):
-        if ch.w <= fd.group_dim and ch.h <= fd.group_dim:
-            global_chans.append(i)
-        else:
-            group_chans.append(i)
+        if i >= img.nb_meta_channels and (ch.w > fd.group_dim or
+                                          ch.h > fd.group_dim):
+            beginc = i
+            break
+    global_chans = list(range(beginc))
+    group_chans = list(range(beginc, len(img.channel)))
 
-    # token streams: global + per AC group (no DC channels w/o squeeze)
-    def group_tokens(gidx: int):
-        gx = gidx % fd.xsize_groups
-        gy = gidx // fd.xsize_groups
-        x0, y0 = gx * fd.group_dim, gy * fd.group_dim
-        sid = stream_id_modular_ac(fd, gidx, 0)
+    def slice_sub(rect, mins, maxs):
+        """Mirror of ModularFrameDecoder.decode_group channel selection."""
+        x0, y0, rw, rh = rect
         sub = ModularImage(0, 0, img.bitdepth)
         for i in group_chans:
             ch = img.channel[i]
-            cw = min(fd.group_dim, ch.w - x0)
-            chh = min(fd.group_dim, ch.h - y0)
+            shift = min(ch.hshift, ch.vshift)
+            if shift > maxs or shift < mins:
+                continue
+            cx0, cy0 = x0 >> ch.hshift, y0 >> ch.vshift
+            cw = min(rw >> ch.hshift, ch.w - cx0)
+            chh = min(rh >> ch.vshift, ch.h - cy0)
             if cw <= 0 or chh <= 0:
                 continue
             sub.channel.append(Channel(
-                ch.plane[y0:y0 + chh, x0:x0 + cw], ch.hshift, ch.vshift))
+                ch.plane[cy0:cy0 + chh, cx0:cx0 + cw].copy(),
+                ch.hshift, ch.vshift))
+        return sub
+
+    def stream_tokens(sub, sid):
         if learned:
             from libjxl_tpu.modular.enc_ma import tokenize_with_tree
             return tokenize_with_tree(
@@ -166,6 +189,18 @@ def encode_lossless(pixels: np.ndarray,
                 encode_modular_channel_tokens(sub, ci, sid, tree,
                                               wp_header)))))
         return tokens_to_array(toks)
+
+    def dc_group_sub(gidx: int):
+        gx = gidx % fd.xsize_dc_groups
+        gy = gidx // fd.xsize_dc_groups
+        return slice_sub((gx * fd.dc_group_dim, gy * fd.dc_group_dim,
+                          fd.dc_group_dim, fd.dc_group_dim), 3, 1000)
+
+    def ac_group_sub(gidx: int):
+        gx = gidx % fd.xsize_groups
+        gy = gidx // fd.xsize_groups
+        return slice_sub((gx * fd.group_dim, gy * fd.group_dim,
+                          fd.group_dim, fd.group_dim), 0, 2)
 
     global_toks = []
     for ci in global_chans:
@@ -180,11 +215,19 @@ def encode_lossless(pixels: np.ndarray,
         global_toks.append(tokens_to_array(t))
     global_arr = (np.concatenate(global_toks) if global_toks
                   else np.zeros((0, 2), dtype=np.int64))
-    group_arrs = [group_tokens(g) for g in range(fd.num_groups)] \
-        if group_chans else [np.zeros((0, 2), dtype=np.int64)
-                             for _ in range(fd.num_groups)]
+    empty = np.zeros((0, 2), dtype=np.int64)
+    dc_subs = [dc_group_sub(g) for g in range(fd.num_dc_groups)] \
+        if group_chans else []
+    ac_subs = [ac_group_sub(g) for g in range(fd.num_groups)] \
+        if group_chans else []
+    dc_arrs = [stream_tokens(sub, stream_id_modular_dc(fd, g))
+               if sub.channel else empty for g, sub in enumerate(dc_subs)]
+    group_arrs = [stream_tokens(sub, stream_id_modular_ac(fd, g, 0))
+                  if sub.channel else empty
+                  for g, sub in enumerate(ac_subs)]
 
-    codes = build_entropy_codes([global_arr] + group_arrs, num_ctx)
+    codes = build_entropy_codes([global_arr] + dc_arrs + group_arrs,
+                                num_ctx)
 
     # ---- sections --------------------------------------------------------
     def dc_global_section() -> bytes:
@@ -200,13 +243,13 @@ def encode_lossless(pixels: np.ndarray,
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
-    def ac_group_section(g: int) -> bytes:
-        if not group_chans:
+    def stream_section(arr, nonempty: bool) -> bytes:
+        if not nonempty:
             return b""
         sw = BitWriter()
         gh = GroupHeader(use_global_tree=True)
         gh.write(sw)
-        write_tokens(sw, group_arrs[g], codes)
+        write_tokens(sw, arr, codes)
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
@@ -218,10 +261,12 @@ def encode_lossless(pixels: np.ndarray,
     else:
         sections = [dc_global_section()]
         for g in range(fd.num_dc_groups):
-            sections.append(b"")      # no DC channels without squeeze
+            sections.append(stream_section(
+                dc_arrs[g], bool(dc_subs and dc_subs[g].channel)))
         sections.append(b"")          # AC global: nothing for modular
         for g in range(fd.num_groups):
-            sections.append(ac_group_section(g))
+            sections.append(stream_section(
+                group_arrs[g], bool(ac_subs and ac_subs[g].channel)))
 
     write_toc(bw, [len(s) for s in sections])
     out = bytearray(bw.to_bytes())

@@ -544,3 +544,106 @@ def inv_palette(image: ModularImage, begin_c: int, nb_colors: int,
     else:
         image.nb_meta_channels -= 2 - nb
     del image.channel[0]
+
+
+# ---------------------------------------------------------------------------
+# Forward transforms (encoder side; enc_transforms-inl.h)
+# ---------------------------------------------------------------------------
+
+def fwd_palette(image: ModularImage, begin_c: int, end_c: int,
+                max_colors: int):
+    """Forward palette (enc_palette.cc FwdPalette, explicit-colors case).
+
+    Replaces channels [begin_c..end_c] by a single index channel plus a
+    palette meta channel when the number of distinct colors is at most
+    ``max_colors``. Returns the Transform to signal in the stream, or
+    None if the image has too many colors (image unchanged)."""
+    _check_equal_channels(image, begin_c, end_c)
+    nb = end_c - begin_c + 1
+    planes = [image.channel[begin_c + i].plane for i in range(nb)]
+    h, w = planes[0].shape
+    stacked = np.stack([p.reshape(-1) for p in planes], axis=1)
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > max_colors:
+        return None
+    idx = inverse.reshape(h, w).astype(np.int32)
+    pch = Channel(np.ascontiguousarray(colors.T).astype(np.int32), -1, -1)
+    image.channel[begin_c].plane = idx
+    del image.channel[begin_c + 1:end_c + 1]
+    image.channel.insert(0, pch)
+    if begin_c >= image.nb_meta_channels:
+        image.nb_meta_channels += 1
+    else:
+        image.nb_meta_channels += 2 - nb
+    return Transform(id=TransformId.PALETTE, begin_c=begin_c, num_c=nb,
+                     nb_colors=len(colors), nb_deltas=0, predictor=0)
+
+
+def _fwd_hsqueeze(image: ModularImage, c: int) -> Channel:
+    """Squeeze channel c horizontally in place; returns the residual
+    channel (enc_transforms-inl.h FwdHSqueeze)."""
+    ch = image.channel[c]
+    plane = ch.plane.astype(np.int64)
+    h, w = plane.shape
+    cw = (w + 1) // 2
+    rw = w - cw
+    avg = np.zeros((h, cw), np.int64)
+    res = np.zeros((h, rw), np.int64)
+    A = plane[:, 0:2 * rw:2]
+    B = plane[:, 1:2 * rw:2]
+    diff = A - B
+    avg[:, :rw] = A - _tdiv2(diff)
+    if w & 1:
+        avg[:, cw - 1] = plane[:, w - 1]
+    for x in range(rw):
+        left = plane[:, 2 * x - 1] if x > 0 else avg[:, x]
+        next_avg = avg[:, x + 1] if x + 1 < cw else avg[:, x]
+        res[:, x] = diff[:, x] - smooth_tendency(left, avg[:, x], next_avg)
+    hs = ch.hshift + 1 if ch.hshift >= 0 else ch.hshift
+    image.channel[c] = Channel(avg.astype(np.int32), hs, ch.vshift)
+    return Channel(res.astype(np.int32), hs, ch.vshift)
+
+
+def _fwd_vsqueeze(image: ModularImage, c: int) -> Channel:
+    ch = image.channel[c]
+    plane = ch.plane.astype(np.int64)
+    h, w = plane.shape
+    chh = (h + 1) // 2
+    rh = h - chh
+    avg = np.zeros((chh, w), np.int64)
+    res = np.zeros((rh, w), np.int64)
+    A = plane[0:2 * rh:2]
+    B = plane[1:2 * rh:2]
+    diff = A - B
+    avg[:rh] = A - _tdiv2(diff)
+    if h & 1:
+        avg[chh - 1] = plane[h - 1]
+    for y in range(rh):
+        top = plane[2 * y - 1] if y > 0 else avg[y]
+        next_avg = avg[y + 1] if y + 1 < chh else avg[y]
+        res[y] = diff[y] - smooth_tendency(top, avg[y], next_avg)
+    vs = ch.vshift + 1 if ch.vshift >= 0 else ch.vshift
+    image.channel[c] = Channel(avg.astype(np.int32), ch.hshift, vs)
+    return Channel(res.astype(np.int32), ch.hshift, vs)
+
+
+def fwd_squeeze(image: ModularImage, parameters: list[SqueezeParams]):
+    """Forward squeeze; mirrors MetaSqueeze's channel layout so that
+    ``inv_squeeze`` (and the reference decoder) restores the image."""
+    if not parameters:
+        parameters = default_squeeze_parameters(image)
+    for p in parameters:
+        _check_squeeze_params(p, len(image.channel))
+        beginc, endc = p.begin_c, p.begin_c + p.num_c - 1
+        if beginc < image.nb_meta_channels:
+            if endc >= image.nb_meta_channels or not p.in_place:
+                raise FormatError("invalid meta squeeze")
+            image.nb_meta_channels += p.num_c
+        offset = endc + 1 if p.in_place else len(image.channel)
+        for c in range(beginc, endc + 1):
+            if p.horizontal:
+                residual = _fwd_hsqueeze(image, c)
+            else:
+                residual = _fwd_vsqueeze(image, c)
+            image.channel.insert(offset + (c - beginc), residual)
+    return parameters

@@ -138,3 +138,50 @@ def test_lossless_prefix_device_roundtrip():
     if oracle_available():
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(data).pixels[:, :, :3], img)
+
+
+def test_lossless_palette_transform():
+    """Forward palette (enc_palette.cc behavior): few-color images encode
+    via a palette meta channel + index channel, at a large density win;
+    both decoders restore exactly."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    for h, w in ((100, 150), (300, 500)):
+        img = pal[rng.integers(0, 16, (h, w))]
+        data = encode_lossless(img, EncodeOptions(effort=5))
+        assert np.array_equal(decode(data), img)
+        plain = encode_lossless(img, EncodeOptions(effort=5, palette=0))
+        assert len(data) < len(plain) // 3
+        from libjxl_tpu.utils.oracle import oracle_available
+        if oracle_available():
+            from libjxl_tpu.utils.oracle import oracle_decode
+            assert np.array_equal(
+                oracle_decode(data, num_channels=3).pixels, img)
+
+
+def test_lossless_squeeze_transform():
+    """Forward squeeze (enc_transforms FwdSqueeze, default parameters):
+    lossless roundtrip through our decoder and the reference, including
+    DC-group and shifted AC-group channel placement."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    rng = np.random.default_rng(12)
+    h, w = 300, 400
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx // 3 + yy // 5) % 256, (yy // 2) % 256,
+                    ((xx + yy) // 4) % 256], -1).astype(np.uint8)
+    img += rng.integers(0, 6, img.shape).astype(np.uint8)
+    data = encode_lossless(img, EncodeOptions(effort=5, squeeze=True,
+                                              palette=0))
+    assert np.array_equal(decode(data), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
+                              img)
