@@ -47,6 +47,7 @@ class EncodeOptions:
                                    # (Huffman packed ON the TPU)
     palette: int = 512             # max colors for the palette transform
                                    # (0 disables; enc_heuristics palette)
+    lz77: bool = True              # RLE-mode LZ77 when runs dominate
     squeeze: bool = False          # squeeze transform (responsive mode)
 
 
@@ -74,12 +75,20 @@ def encode_lossless(pixels: np.ndarray,
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
-    img, bits, nch = _image_from_pixels(pixels)
-    h, w = img.h, img.w
+    meta, header_bytes = _modular_headers(pixels, options)
+    return header_bytes + _modular_frame_bytes(pixels, options, meta)
+
+
+def _modular_headers(pixels: np.ndarray, options,
+                     animation=None) -> tuple:
+    """Signature + SizeHeader + ImageMetadata + CustomTransformData bytes
+    for a modular-lossless codestream."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    bits = 16 if pixels.dtype == np.uint16 else 8
     gray = nch <= 2
     has_alpha = nch in (2, 4)
-
-    # ---- headers ---------------------------------------------------------
     bw = BitWriter()
     write_signature(bw)
     size = SizeHeader()
@@ -95,20 +104,34 @@ def encode_lossless(pixels: np.ndarray,
         modular_16_bit_buffer_sufficient=bits <= 12,
         extra_channel_info=eci,
     )
+    if animation is not None:
+        meta.have_animation = True
+        meta.animation = animation
     write_bundle(bw, meta)
     ctd = CustomTransformData()
     ctd.xyb_encoded = False
     write_bundle(bw, ctd)
     bw.zero_pad_to_byte()
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    return meta, bw.to_bytes()
+
+
+def _modular_frame_bytes(pixels: np.ndarray, options, meta,
+                         is_last: bool = True, duration: int = 0) -> bytes:
+    """One modular frame: FrameHeader + TOC + sections (byte-aligned)."""
+    img, bits, nch = _image_from_pixels(pixels)
+    h, w = img.h, img.w
 
     # ---- frame header ----------------------------------------------------
+    bw = BitWriter()
     fh = FrameHeader(encoding=FrameEncoding.MODULAR,
                      color_transform=ColorTransform.NONE,
                      group_size_shift=options.group_size_shift)
     fh.loop_filter.gab = False
     fh.loop_filter.epf_iters = 0
-    meta.nonserialized_xsize = w
-    meta.nonserialized_ysize = h
+    fh.is_last = is_last
+    fh.animation_frame.duration = duration
     fh.visit(FieldWriter(bw), meta)
 
     fd = FrameDimensions(w, h, fh.group_dim)
@@ -226,11 +249,11 @@ def encode_lossless(pixels: np.ndarray,
                   if sub.channel else empty
                   for g, sub in enumerate(ac_subs)]
 
-    codes = build_entropy_codes([global_arr] + dc_arrs + group_arrs,
-                                num_ctx)
+    all_arrs = [global_arr] + dc_arrs + group_arrs
+    codes = build_entropy_codes(all_arrs, num_ctx)
 
     # ---- sections --------------------------------------------------------
-    def dc_global_section() -> bytes:
+    def dc_global_section(codes, global_arr) -> bytes:
         sw = BitWriter()
         sw.write(1, 1)          # DequantMatrices::DecodeDC all_default
         sw.write(1, 1)          # has global tree
@@ -243,7 +266,7 @@ def encode_lossless(pixels: np.ndarray,
         sw.zero_pad_to_byte()
         return sw.to_bytes()
 
-    def stream_section(arr, nonempty: bool) -> bytes:
+    def stream_section(codes, arr, nonempty: bool) -> bytes:
         if not nonempty:
             return b""
         sw = BitWriter()
@@ -254,24 +277,75 @@ def encode_lossless(pixels: np.ndarray,
         return sw.to_bytes()
 
     single = fd.num_groups == 1 and fh.passes.num_passes == 1
-    if single:
-        sections = [dc_global_section()]
-        # DC group + AC group streams are empty (no channels); nothing
-        # follows in the single section.
-    else:
-        sections = [dc_global_section()]
+
+    def assemble(codes, global_arr, dc_arrs, group_arrs) -> list:
+        if single:
+            # DC group + AC group streams are empty (no channels); nothing
+            # follows in the single section.
+            return [dc_global_section(codes, global_arr)]
+        sections = [dc_global_section(codes, global_arr)]
         for g in range(fd.num_dc_groups):
             sections.append(stream_section(
-                dc_arrs[g], bool(dc_subs and dc_subs[g].channel)))
+                codes, dc_arrs[g], bool(dc_subs and dc_subs[g].channel)))
         sections.append(b"")          # AC global: nothing for modular
         for g in range(fd.num_groups):
             sections.append(stream_section(
-                group_arrs[g], bool(ac_subs and ac_subs[g].channel)))
+                codes, group_arrs[g],
+                bool(ac_subs and ac_subs[g].channel)))
+        return sections
+
+    sections = assemble(codes, global_arr, dc_arrs, group_arrs)
+    if options.lz77:
+        # RLE-mode LZ77 (enc_ans.cc ApplyLZ77_RLE): try it when value runs
+        # shrink the token stream, keep it only if the bitstream is
+        # actually smaller (context modeling often already captures runs)
+        from libjxl_tpu.entropy.ans import LZ77Params, lz77_rle_transform
+        lz = LZ77Params(enabled=True)
+        t_arrs = [lz77_rle_transform(a, num_ctx, lz, distance_multiplier=1)
+                  for a in all_arrs]
+        n_plain = sum(len(a) for a in all_arrs)
+        if n_plain - sum(len(a) for a in t_arrs) > 0.1 * n_plain:
+            codes_lz = build_entropy_codes(t_arrs, num_ctx, lz77=lz)
+            sec_lz = assemble(codes_lz, t_arrs[0],
+                              t_arrs[1:1 + len(dc_arrs)],
+                              t_arrs[1 + len(dc_arrs):])
+            if sum(map(len, sec_lz)) < sum(map(len, sections)):
+                sections = sec_lz
 
     write_toc(bw, [len(s) for s in sections])
     out = bytearray(bw.to_bytes())
     for s in sections:
         out.extend(s)
+    return bytes(out)
+
+
+def encode_animation(frames, durations=None,
+                     options: EncodeOptions | None = None,
+                     tps: tuple = (10, 1), num_loops: int = 0) -> bytes:
+    """Encode a lossless animation: a list of (h, w, c) frames with
+    per-frame durations in ticks (``tps`` = ticks per second as
+    numerator/denominator; frame_header.h duration semantics).
+
+    Every frame is a REPLACE-blended regular frame, matching the
+    reference encoder's default animation path."""
+    options = options or EncodeOptions()
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    first = frames[0]
+    if any(f.shape != first.shape or f.dtype != first.dtype
+           for f in frames):
+        raise ValueError("all frames must have the same shape and dtype")
+    from libjxl_tpu.core.headers import AnimationHeader
+    anim = AnimationHeader(tps_numerator=tps[0], tps_denominator=tps[1],
+                           num_loops=num_loops)
+    meta, header_bytes = _modular_headers(first, options, animation=anim)
+    if durations is None:
+        durations = [1] * len(frames)
+    out = bytearray(header_bytes)
+    for i, (f, d) in enumerate(zip(frames, durations)):
+        out.extend(_modular_frame_bytes(f, options, meta,
+                                        is_last=(i == len(frames) - 1),
+                                        duration=int(d)))
     return bytes(out)
 
 

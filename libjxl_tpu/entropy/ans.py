@@ -442,6 +442,77 @@ def cluster_histograms(hists: np.ndarray, max_clusters: int = 64):
     return cmap, np.stack(cluster_hists)
 
 
+def lz77_rle_transform(arr: np.ndarray, num_contexts: int,
+                       lz77: LZ77Params, min_emit: int = 4,
+                       distance_multiplier: int = 0) -> np.ndarray:
+    """RLE-flavoured LZ77 (enc_ans.cc ApplyLZ77_RLE): replace runs of a
+    repeated VALUE (distance 1) with a length token + distance token.
+
+    arr: (N, 2) (context, value). Returns (M, 3) rows of
+    (context, value, kind) with kind 0=literal, 1=copy length (value is
+    the length), 2=distance (context column is the appended distance
+    context ``num_contexts``)."""
+    arr = tokens_to_array(arr)
+    n = len(arr)
+    if n < min_emit + 1:
+        out = np.zeros((n, 3), dtype=np.int64)
+        out[:, :2] = arr
+        return out
+    val = arr[:, 1]
+    eq = np.concatenate([[False], val[1:] == val[:-1]])
+    # maximal True-runs of eq: eq[a..b] => positions a..b copy val[a-1]
+    d = np.diff(eq.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1          # exclusive
+    if eq[0]:
+        starts = np.concatenate([[0], starts])
+    if eq[-1]:
+        ends = np.concatenate([ends, [n]])
+    rows = []
+    pos = 0
+    for a, b in zip(starts, ends):
+        run = b - a
+        if run < max(min_emit, lz77.min_length) or a == 0:
+            continue
+        if a > pos:
+            lit = np.zeros((a - pos, 3), dtype=np.int64)
+            lit[:, :2] = arr[pos:a]
+            rows.append(lit)
+        # distance 1: token 0 plain, or special-distance index 1 ((1,0)
+        # in kSpecialDistances) when the stream has a distance multiplier
+        dv = 1 if distance_multiplier else 0
+        rows.append(np.array([[arr[a, 0], run, 1],
+                              [num_contexts, dv, 2]], dtype=np.int64))
+        pos = b
+    if pos == 0:
+        out = np.zeros((n, 3), dtype=np.int64)
+        out[:, :2] = arr
+        return out
+    if pos < n:
+        lit = np.zeros((n - pos, 3), dtype=np.int64)
+        lit[:, :2] = arr[pos:]
+        rows.append(lit)
+    return np.concatenate(rows)
+
+
+def _tokenize_rows(arr: np.ndarray, cfg: HybridUintConfig,
+                   lz77: LZ77Params):
+    """Per-row (token, nbits, bits) for a plain (N,2) stream or an
+    LZ77-transformed (N,3) stream."""
+    vals = arr[:, 1].astype(np.uint32)
+    toks, nbits, bits = cfg.encode_array(vals)
+    if arr.shape[1] == 3:
+        is_len = arr[:, 2] == 1
+        if is_len.any():
+            lt, ln, lb = lz77.length_uint_config.encode_array(
+                (arr[is_len, 1] - lz77.min_length).astype(np.uint32))
+            toks = toks.astype(np.int64)
+            toks[is_len] = lt.astype(np.int64) + lz77.min_symbol
+            nbits[is_len] = ln
+            bits[is_len] = lb
+    return toks, nbits, bits
+
+
 def build_entropy_codes(token_arrays, num_contexts: int,
                         use_prefix_code: bool = False,
                         allow_clustering: bool = True,
@@ -455,28 +526,32 @@ def build_entropy_codes(token_arrays, num_contexts: int,
     codes = EntropyEncodingData()
     if lz77 is not None:
         codes.lz77 = lz77
+    lz_on = codes.lz77.enabled
     codes.use_prefix_code = use_prefix_code
     cfg = HybridUintConfig(4, 2, 0)
     alpha_bits = PREFIX_MAX_BITS if use_prefix_code else 8
-    # histogram per context of token values
+    # histogram per context of token values (+1 distance context for LZ77)
+    eff_contexts = num_contexts + 1 if lz_on else num_contexts
     max_token = 0
-    hists = np.zeros((num_contexts, 1 << alpha_bits), dtype=np.int64)
+    hists = np.zeros((eff_contexts, 1 << alpha_bits), dtype=np.int64)
     for arr in token_arrays:
         if arr.size == 0:
             continue
         ctx = arr[:, 0]
-        tok, _, _ = cfg.encode_array(arr[:, 1].astype(np.uint32))
+        tok, _, _ = _tokenize_rows(arr, cfg, codes.lz77)
         if tok.size:
             max_token = max(max_token, int(tok.max()))
         np.add.at(hists, (ctx, tok), 1)
     if max_token >= (1 << alpha_bits):
         raise FormatError("token too large for alphabet")
     # cluster histograms (entropy-distance greedy, enc_cluster.cc:136-300)
-    if allow_clustering and num_contexts > 1:
+    if allow_clustering and eff_contexts > 1:
         context_map, clustered = cluster_histograms(hists, max_clusters)
     else:
-        context_map = np.arange(num_contexts)
+        context_map = np.arange(eff_contexts)
         clustered = hists
+    if lz_on:
+        codes.lz77.distance_context = int(context_map[-1])
     codes.context_map = context_map.astype(np.int32)
     codes.num_histograms = len(clustered)
     codes.uint_configs = [cfg] * codes.num_histograms
@@ -618,7 +693,7 @@ def write_tokens(w: BitWriter, tokens: np.ndarray,
     ctxs = tokens[:, 0].astype(np.int64)
     histos = codes.context_map[ctxs]
     cfg = codes.uint_configs[0]
-    toks, nbits, bits = cfg.encode_array(tokens[:, 1].astype(np.uint32))
+    toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
     if codes.use_prefix_code:
         out_nbits = np.zeros(n, dtype=np.int64)
         out_bits = np.zeros(n, dtype=np.uint64)

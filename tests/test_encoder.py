@@ -185,3 +185,59 @@ def test_lossless_squeeze_transform():
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
                               img)
+
+
+def test_lossless_lz77_rle():
+    """RLE-mode LZ77 encode (enc_ans.cc ApplyLZ77_RLE): chosen
+    automatically when it shrinks the stream; the reference decoder
+    accepts the length/distance tokens."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    rng = np.random.default_rng(8)
+    h, w = 256, 512
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :w // 2] = rng.integers(0, 256, (h, w // 2, 3))
+    img[:, w // 2:] = 128
+    data = encode_lossless(img, EncodeOptions(effort=2, palette=0))
+    plain = encode_lossless(img, EncodeOptions(effort=2, palette=0,
+                                               lz77=False))
+    assert len(data) < 0.9 * len(plain)
+    assert np.array_equal(decode(data), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
+                              img)
+
+
+def test_encode_animation():
+    """Lossless animation encode: REPLACE-blended regular frames with
+    durations; our decoder restores every frame, the reference accepts
+    the stream (enc_frame.cc animation path)."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode_frames
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_animation
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    frames = []
+    for i in range(4):
+        f = base.copy()
+        f[10 * i:10 * i + 30, :, 0] = 255
+        frames.append(f)
+    data = encode_animation(frames, durations=[2, 2, 2, 4],
+                            options=EncodeOptions(effort=2))
+    _, displayed = decode_frames(data)
+    assert len(displayed) == 4
+    assert [d.duration for d in displayed] == [2, 2, 2, 4]
+    for i, df in enumerate(displayed):
+        px = np.clip(np.round(df.pixels[:, :, :3] * 255), 0,
+                     255).astype(np.uint8)
+        assert np.array_equal(px, frames[i])
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
+                              frames[-1])
