@@ -118,8 +118,12 @@ def _modular_headers(pixels: np.ndarray, options,
 
 
 def _modular_frame_bytes(pixels: np.ndarray, options, meta,
-                         is_last: bool = True, duration: int = 0) -> bytes:
-    """One modular frame: FrameHeader + TOC + sections (byte-aligned)."""
+                         is_last: bool = True, duration: int = 0,
+                         origin: tuple | None = None) -> bytes:
+    """One modular frame: FrameHeader + TOC + sections (byte-aligned).
+
+    ``origin=(x0, y0)`` emits a cropped sub-frame at that position
+    (enc_frame.cc streaming mode: stripes composited by REPLACE blend)."""
     img, bits, nch = _image_from_pixels(pixels)
     h, w = img.h, img.w
 
@@ -132,6 +136,10 @@ def _modular_frame_bytes(pixels: np.ndarray, options, meta,
     fh.loop_filter.epf_iters = 0
     fh.is_last = is_last
     fh.animation_frame.duration = duration
+    if origin is not None:
+        fh.custom_size_or_origin = True
+        fh.frame_origin_x0, fh.frame_origin_y0 = origin
+        fh.frame_xsize, fh.frame_ysize = w, h
     fh.visit(FieldWriter(bw), meta)
 
     fd = FrameDimensions(w, h, fh.group_dim)
@@ -347,6 +355,31 @@ def encode_animation(frames, durations=None,
                                         is_last=(i == len(frames) - 1),
                                         duration=int(d)))
     return bytes(out)
+
+
+def encode_lossless_streaming(pixels: np.ndarray,
+                              options: EncodeOptions | None = None,
+                              stripe_height: int = 256):
+    """Memory-bounded streaming encode: yields codestream byte chunks as
+    horizontal stripes are encoded (enc_frame.cc EncodeFrameStreaming's
+    model — the image is written as cropped sub-frames composited by
+    REPLACE blending; peak state is one stripe, not the whole image).
+
+    ``pixels`` may be a full array or any object supporting
+    ``pixels[y0:y1]`` row slicing (e.g. a memory-mapped file)."""
+    options = options or EncodeOptions()
+    first = np.asarray(pixels[0:1])
+    h = len(pixels)
+    meta, header_bytes = _modular_headers(
+        np.empty((h,) + first.shape[1:], first.dtype), options)
+    yield header_bytes
+    n_stripes = (h + stripe_height - 1) // stripe_height
+    for i in range(n_stripes):
+        y0 = i * stripe_height
+        stripe = np.asarray(pixels[y0:y0 + stripe_height])
+        yield _modular_frame_bytes(stripe, options, meta,
+                                   is_last=(i == n_stripes - 1),
+                                   origin=(0, y0))
 
 
 def encode_lossless_device(pixels: np.ndarray,

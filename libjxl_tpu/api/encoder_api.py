@@ -1,0 +1,116 @@
+"""Object-style encoder API (reference ``lib/jxl/encode.cc``,
+``include/jxl/encode.h``): an :class:`Encoder` accepts frames (pixels or
+JPEG bytes), per-frame settings, and metadata boxes, and assembles the
+codestream/container — the JxlEncoder frame-queue model in a pythonic
+form."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class FrameSettings:
+    """Per-frame options (encode.h JxlEncoderFrameSettings, the commonly
+    used subset; everything else keeps the library default)."""
+
+    lossless: bool = True
+    distance: float = 1.0
+    effort: int = 3
+    duration: int = 0           # animation ticks
+    name: str = ""
+    progressive: bool = False
+
+
+@dataclass
+class Encoder:
+    """Queue frames and boxes, then :meth:`output` the file.
+
+    Mirrors the JxlEncoder flow: optional basic info / animation setup,
+    ``add_frame`` / ``add_jpeg_frame`` per frame, ``add_box`` for
+    metadata (Exif/XMP), ``use_container`` to force the box format."""
+
+    use_container: bool = False
+    have_animation: bool = False
+    tps: tuple = (10, 1)
+    num_loops: int = 0
+    _frames: list = field(default_factory=list)
+    _boxes: list = field(default_factory=list)
+    _jpeg: bytes | None = None
+
+    def add_frame(self, pixels: np.ndarray,
+                  settings: FrameSettings | None = None) -> None:
+        if self._jpeg is not None:
+            raise ValueError("cannot mix JPEG and pixel frames")
+        self._frames.append((np.asarray(pixels), settings or
+                             FrameSettings()))
+
+    def add_jpeg_frame(self, jpeg_bytes: bytes) -> None:
+        """Lossless JPEG recompression (encode.cc JxlEncoderAddJPEGFrame):
+        the output carries a jbrd box for byte-exact reconstruction."""
+        if self._frames or self._jpeg is not None:
+            raise ValueError("JPEG frame must be the only frame")
+        self._jpeg = jpeg_bytes
+        self.use_container = True
+
+    def add_box(self, box_type: str, payload: bytes) -> None:
+        """Metadata box (Exif/XMP/custom; encode.cc JxlEncoderAddBox)."""
+        bt = box_type.encode("latin1")
+        if len(bt) != 4:
+            raise ValueError("box type must be 4 characters")
+        self._boxes.append((bt, payload))
+        self.use_container = True
+
+    def output(self) -> bytes:
+        from libjxl_tpu.api.container import wrap_container
+
+        if self._jpeg is not None:
+            from libjxl_tpu.jpeg.transcode import encode_jpeg
+            data = encode_jpeg(self._jpeg)      # container incl. jbrd
+            if self._boxes:
+                # splice extra boxes before the codestream box
+                from libjxl_tpu.api.container import (
+                    extract_codestream, parse_boxes,
+                )
+                boxes = parse_boxes(data)
+                extra = [(b.type, b.payload) for b in boxes
+                         if b.type not in (b"JXL ", b"ftyp", b"jxlc")]
+                return wrap_container(extract_codestream(data),
+                                      extra_boxes=extra + self._boxes)
+            return data
+        if not self._frames:
+            raise ValueError("no frames queued")
+
+        first_px, first_st = self._frames[0]
+        if len(self._frames) == 1 and not self.have_animation:
+            cs = self._encode_single(first_px, first_st)
+        else:
+            cs = self._encode_multi()
+        if self.use_container or self._boxes:
+            return wrap_container(cs, extra_boxes=self._boxes)
+        return cs
+
+    def _encode_single(self, px, st: FrameSettings) -> bytes:
+        if st.lossless:
+            from libjxl_tpu.api.encoder import (
+                EncodeOptions, encode_lossless,
+            )
+            return encode_lossless(px, EncodeOptions(effort=st.effort))
+        from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+        return encode_lossy(px, LossyOptions(
+            distance=st.distance, effort=st.effort,
+            progressive=st.progressive))
+
+    def _encode_multi(self) -> bytes:
+        if any(not st.lossless for _, st in self._frames):
+            raise NotImplementedError(
+                "multi-frame lossy animation not yet supported")
+        from libjxl_tpu.api.encoder import EncodeOptions, encode_animation
+        frames = [px for px, _ in self._frames]
+        durations = [st.duration or 1 for _, st in self._frames]
+        eff = self._frames[0][1].effort
+        return encode_animation(frames, durations,
+                                EncodeOptions(effort=eff),
+                                tps=self.tps, num_loops=self.num_loops)

@@ -1,0 +1,135 @@
+"""Event-driven decoder + object encoder APIs (reference decode.cc /
+encode.cc event-loop and frame-queue models)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.api.decoder import decode, decode_frames
+from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+from libjxl_tpu.api.encoder_api import Encoder, FrameSettings
+from libjxl_tpu.api.events import ALL_EVENTS, DecoderEvent, StreamingDecoder
+
+
+def _u8(img):
+    return np.clip(np.round(img[:, :, :3] * 255), 0, 255).astype(np.uint8)
+
+
+def test_streaming_decoder_chunked(rng):
+    img = rng.integers(0, 255, (150, 200, 3), dtype=np.uint8)
+    data = encode_lossless(img, EncodeOptions(effort=2))
+    dec = StreamingDecoder()
+    seen = []
+    for i in range(0, len(data), 64):
+        dec.feed(data[i:i + 64])
+        for e, p in dec.process():
+            seen.append(e)
+            if e == DecoderEvent.BASIC_INFO:
+                assert (p.xsize, p.ysize) == (200, 150)
+            if e == DecoderEvent.FULL_IMAGE:
+                assert np.array_equal(_u8(p), img)
+    assert seen == [DecoderEvent.BASIC_INFO, DecoderEvent.COLOR_ENCODING,
+                    DecoderEvent.FRAME, DecoderEvent.FULL_IMAGE,
+                    DecoderEvent.SUCCESS]
+
+
+def test_streaming_decoder_container_boxes(rng):
+    from libjxl_tpu.api.container import wrap_container
+    img = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    data = wrap_container(encode_lossless(img, EncodeOptions(effort=2)),
+                          extra_boxes=[(b"Exif", b"test-exif")])
+    dec = StreamingDecoder()
+    dec.feed(data)
+    evs = dec.process()
+    boxes = [p for e, p in evs if e == DecoderEvent.BOX]
+    assert ("Exif", b"test-exif") in boxes
+    full = [p for e, p in evs if e == DecoderEvent.FULL_IMAGE]
+    assert len(full) == 1 and np.array_equal(_u8(full[0]), img)
+
+
+def test_streaming_decoder_skip_and_rewind(rng):
+    from libjxl_tpu.api.encoder import encode_animation
+    frames = [rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+              for _ in range(3)]
+    data = encode_animation(frames, options=EncodeOptions(effort=2))
+    dec = StreamingDecoder()
+    dec.skip_frames(2)
+    dec.feed(data)
+    evs = dec.process()
+    assert sum(1 for e, _ in evs if e == DecoderEvent.FULL_IMAGE) == 1
+    dec.rewind()
+    evs = dec.process()
+    assert sum(1 for e, _ in evs if e == DecoderEvent.FULL_IMAGE) == 3
+
+
+def test_encoder_api_single_and_boxes(rng):
+    img = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+    e = Encoder()
+    e.add_frame(img)
+    e.add_box("Exif", b"\x00\x00\x00\x00MM\x00*")
+    out = e.output()
+    assert np.array_equal(decode(out), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(out, num_channels=3).pixels,
+                              img)
+
+
+def test_encoder_api_lossy(rng):
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = np.stack([yy % 256, xx % 256, (xx + yy) % 256],
+                   -1).astype(np.uint8)
+    e = Encoder()
+    e.add_frame(img, FrameSettings(lossless=False, distance=1.0))
+    out = e.output()
+    d = decode(out)
+    assert np.sqrt(np.mean((d.astype(float) - img) ** 2)) < 8.0
+
+
+def test_encoder_api_animation(rng):
+    base = rng.integers(0, 255, (60, 70, 3), dtype=np.uint8)
+    e = Encoder(have_animation=True)
+    for i in range(3):
+        f = base.copy()
+        f[:, 10 * i:10 * i + 10] = 0
+        e.add_frame(f, FrameSettings(duration=2, effort=2))
+    out = e.output()
+    _, disp = decode_frames(out)
+    assert len(disp) == 3
+
+
+def test_encoder_api_jpeg(rng):
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    from libjxl_tpu.utils.oracle import oracle_available
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    jb = buf.getvalue()
+    e = Encoder()
+    e.add_jpeg_frame(jb)
+    out = e.output()
+    from libjxl_tpu.jpeg.transcode import decode_to_jpeg
+    assert decode_to_jpeg(out) == jb
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode_jpeg
+        assert oracle_decode_jpeg(out) == jb
+
+
+def test_streaming_encode_stripes(rng):
+    """Memory-bounded streaming encode (EncodeFrameStreaming model):
+    stripes as cropped REPLACE sub-frames; both decoders restore the
+    image exactly."""
+    from libjxl_tpu.api.encoder import encode_lossless_streaming
+    img = rng.integers(0, 255, (700, 500, 3), dtype=np.uint8)
+    chunks = list(encode_lossless_streaming(img, EncodeOptions(effort=2)))
+    assert len(chunks) == 4          # header + 3 stripes
+    data = b"".join(chunks)
+    assert np.array_equal(decode(data), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
+                              img)
