@@ -24,13 +24,24 @@ _tried = False
 
 
 def _build() -> str | None:
+    # Cache key includes the machine + compiler identity: -march=native
+    # binaries are CPU-specific, and a stale/foreign .so must never be
+    # dlopened just because the source hash matches (ADVICE r1).
     try:
         with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            src = f.read()
     except OSError:
         return None
+    import platform
+    try:
+        cxx_id = subprocess.run(["g++", "--version"], capture_output=True,
+                                timeout=10).stdout[:200]
+    except Exception:  # noqa: BLE001
+        cxx_id = b"unknown"
+    key = hashlib.sha256(src + cxx_id + platform.platform().encode() +
+                         platform.processor().encode()).hexdigest()[:16]
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    so_path = os.path.join(_BUILD_DIR, f"jxl_host_{digest}.so")
+    so_path = os.path.join(_BUILD_DIR, f"jxl_host_{key}.so")
     if os.path.exists(so_path):
         return so_path
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",

@@ -156,7 +156,7 @@ EXPORT int64_t jxlt_ans_decode_tokens(
     } else {
       uint32_t nb = split_exponent - (msb_in_token + lsb_in_token) +
                     ((token - split_token) >> (msb_in_token + lsb_in_token));
-      nb &= 31;
+      if (nb > 31) return -2;  // corrupt stream: reject, don't mask
       uint32_t low = token & ((1u << lsb_in_token) - 1);
       token >>= lsb_in_token;
       uint32_t extra = (uint32_t)src.Read(nb);
@@ -193,7 +193,7 @@ EXPORT void jxlt_gradient_reconstruct(const uint32_t* residuals, int64_t h,
     const int32_t* prev = row - w;
     for (int64_t x = 0; x < w; ++x) {
       uint32_t v = residuals[y * w + x];
-      int32_t res = (v & 1) ? -(int32_t)((v + 1) >> 1) : (int32_t)(v >> 1);
+      int32_t res = (v & 1) ? -(int32_t)(v >> 1) - 1 : (int32_t)(v >> 1);
       int32_t left = x ? row[x - 1] : (y ? prev[x] : 0);
       int32_t top = y ? prev[x] : left;
       int32_t topleft = (x && y) ? prev[x - 1] : left;
