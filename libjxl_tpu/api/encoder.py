@@ -407,12 +407,31 @@ def encode_lossless_many(images, options: EncodeOptions | None = None
     options = options or EncodeOptions()
     imgs = [im[:, :, None] if im.ndim == 2 else im for im in images]
     if options.entropy == "prefix-device":
-        # three-phase pipeline: residuals+histogram, device Huffman
-        # packing, host splicing — per-phase batching keeps the link and
-        # both TPU passes busy across images
-        h1 = [_prefix_pass1(im, options) for im in imgs]
-        h2 = [_prefix_pass2(st) for st in h1]
-        return [_prefix_assemble(st) for st in h2]
+        # Same-shape images are stacked along the group axis and encoded
+        # as ONE device program per pass (shared histogram/prefix code);
+        # mixed shapes fall back to shape-grouped sub-batches, pipelined
+        # so pass-2 compute overlaps earlier sub-batches' host splicing.
+        from itertools import groupby
+        key = lambda i: (imgs[i].shape, str(imgs[i].dtype))  # noqa: E731
+        order = sorted(range(len(imgs)), key=key)
+        out: list = [None] * len(imgs)
+        sub = []
+        for _, grp in groupby(order, key=key):
+            idxs = list(grp)
+            # sub-batches of ~8 MP keep individual transfers in the
+            # link's sweet spot and let pass-2 compute of batch k+1
+            # overlap the host splicing of batch k
+            px = imgs[idxs[0]].shape[0] * imgs[idxs[0]].shape[1]
+            per = max(1, (8 << 20) // max(px, 1))
+            for j in range(0, len(idxs), per):
+                part = idxs[j:j + per]
+                sub.append((part, _prefix_pass1(
+                    None, options, batch=[imgs[i] for i in part])))
+        sub = [(idxs, _prefix_pass2(st)) for idxs, st in sub]
+        for idxs, st in sub:
+            for i, stream in zip(idxs, _prefix_assemble(st)):
+                out[i] = stream
+        return out
     from libjxl_tpu.models.lossless import (
         encode_image_device_collect, encode_image_device_dispatch,
     )
@@ -547,41 +566,65 @@ def encode_lossless_device_prefix(pixels: np.ndarray,
     segment sums). The d2h payload is the compressed stream itself."""
     h1 = _prefix_pass1(pixels, options or EncodeOptions())
     h2 = _prefix_pass2(h1)
-    return _prefix_assemble(h2)
+    return _prefix_assemble(h2)[0]
 
 
-def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions):
+def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions,
+                  batch: list | None = None):
+    """Dispatch pass 1 (residuals + histogram) for one image or a batch
+    of same-shape images (stacked along the group axis)."""
     import jax.numpy as jnp
 
     from libjxl_tpu.models.lossless import (
-        encode_groups_device, frame_groups_host,
+        frame_groups_host, lossless_tokens_device,
     )
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    h, w, nch = pixels.shape
+    import jax
+
+    imgs = batch if batch is not None else [pixels]
+    imgs = [im[:, :, None] if im.ndim == 2 else im for im in imgs]
+    h, w, nch = imgs[0].shape
     group_dim = 128 << options.group_size_shift
-    use_rct = options.use_rct and nch >= 3
-    groups, _ = frame_groups_host(pixels, group_dim)
+    all_groups = [frame_groups_host(im, group_dim)[0] for im in imgs]
+    per_image = all_groups[0].shape[0]
+    # per-image uploads (a few MB each) overlap on the host link better
+    # than one monolithic transfer; the concat happens on device
+    devs = [jax.device_put(g) for g in all_groups]
+    groups = jnp.concatenate(devs) if len(devs) > 1 else devs[0]
     gx_groups = -(-w // group_dim)
-    payload, wide = encode_groups_device(
-        jnp.asarray(groups), h, w, gx=gx_groups, use_rct=use_rct,
-        out16=pixels.dtype == np.uint8, emit_planes=False)
+    wide, wide8, valid, payload = lossless_tokens_device(
+        groups, h, w, gx=gx_groups,
+        per_image=per_image if len(imgs) > 1 else 0,
+        out16=imgs[0].dtype == np.uint8)
     payload.copy_to_host_async()
-    return dict(options=options, h=h, w=w, nch=nch,
-                bits=8 if pixels.dtype == np.uint8 else 16,
-                gx_groups=gx_groups, ng=groups.shape[0],
-                payload=payload, wide=wide)
+    return dict(options=options, h=h, w=w, nch=nch, n_images=len(imgs),
+                bits=8 if imgs[0].dtype == np.uint8 else 16,
+                gx_groups=gx_groups, ng=per_image,
+                wide=wide, wide8=wide8, valid=valid, payload=payload,
+                n_groups_total=groups.shape[0])
 
 
 def _prefix_pass2(st: dict) -> dict:
+    """Fetch histogram + group maxes, build the canonical prefix code,
+    then pick the cheaper d2h strategy for this content:
+
+    * device-pack ("stream" mode): the TPU entropy-codes; the wire
+      carries the compressed stream (wins below ~8 bpp);
+    * host-pack ("resid" mode): the wire carries clamped 1 B/px
+      residuals; the host entropy-codes natively (wins above ~8 bpp —
+      the compressed stream would be BIGGER than the residual plane).
+
+    The emitted bitstream is identical either way (same canonical code).
+    """
     import jax.numpy as jnp
 
     from libjxl_tpu.entropy.ans import build_prefix_codes_from_histogram
-    from libjxl_tpu.models.lossless import prefix_pack_device
+    from libjxl_tpu.models.lossless import PACK_T, chunk_pack_device
+    from libjxl_tpu.utils import native
 
-    ng = st["ng"]
+    ng_total = st["n_groups_total"]
     buf = np.asarray(st["payload"])
-    hist = buf[4 * ng:].view(np.uint32).astype(np.int64)
+    gmax = buf[:4 * ng_total].view(np.uint32)
+    hist = buf[4 * ng_total:].view(np.uint32).astype(np.int64)
     codes = build_prefix_codes_from_histogram(hist)
     lengths = np.asarray(codes.prefix_depths[0], dtype=np.int32)
     cbits = np.asarray(codes.prefix_bits[0], dtype=np.uint32)
@@ -590,62 +633,90 @@ def _prefix_pass2(st: dict) -> dict:
     lut_len[:len(lengths)] = lengths
     lut_bits[:len(cbits)] = cbits
 
-    # exact total bits (histogram * (code length + mantissa bits))
+    # exact total bits + per-chunk word-alignment slack upper bound
     toks = np.arange(len(hist))
     tok_nbits = np.where(toks < 16, 0, ((toks - 16) >> 2) + 2)
     total_bits = int(np.sum(hist * (lut_len[:len(hist)] + tok_nbits)))
-    cap_words = max(1024, total_bits // 16 + 64)
-    cap_words = 1 << int(np.ceil(np.log2(cap_words)))
-
-    words_dev, per_group_dev = prefix_pack_device(
-        st["wide"], st["h"], st["w"], jnp.asarray(lut_bits),
-        jnp.asarray(lut_len), gx=st["gx_groups"], cap_words=cap_words)
-    # bucket the transferred length: device slicing compiles per shape,
-    # so round up to 64Ki-word chunks (<=128KB extra on the wire)
-    needed = (total_bits + 15) // 16 + 1
-    bucket = min(cap_words, ((needed + 65535) // 65536) * 65536)
-    words_slice = words_dev[:bucket]
-    words_slice.copy_to_host_async()
+    n_tokens = int(np.prod(st["wide"].shape))
     st2 = dict(st)
-    st2.update(codes=codes, words_dev=words_slice,
-               per_group_dev=per_group_dev, total_bits=total_bits)
+    st2.update(codes=codes, lut_bits=lut_bits, lut_len=lut_len,
+               gmax=gmax, total_bits=total_bits)
+
+    stream_bytes = total_bits // 8 + n_tokens // PACK_T * 2
+    if stream_bytes >= n_tokens and st["bits"] == 8 and native.available():
+        # host-pack mode: fetch the residual planes instead
+        piece_groups = max(1, (2 << 20) // (st["wide8"].shape[1] *
+                                            st["wide8"].shape[2] ** 2))
+        w8 = st["wide8"]
+        slices = [w8[p:p + piece_groups]
+                  for p in range(0, ng_total, piece_groups)]
+        for s in slices:
+            s.copy_to_host_async()
+        # groups whose residuals exceed 255 need the uint16 plane
+        esc = {}
+        for gi in np.nonzero(gmax > 255)[0]:
+            esc[int(gi)] = st["wide"][int(gi)]
+        for s in esc.values():
+            s.copy_to_host_async()
+        st2.update(mode="resid", wide8_slices=slices, esc=esc)
+        return st2
+
+    n_chunks = n_tokens // PACK_T
+    max_words = total_bits // 32 + n_chunks + 64
+    cap_words = 1 << max(12, int(np.ceil(np.log2(max_words))))
+    words_dev, chunk_bits_dev = chunk_pack_device(
+        st["wide"], st["valid"], jnp.asarray(lut_bits),
+        jnp.asarray(lut_len), cap_words=cap_words)
+    # Fetch the dense stream as ~2MB slices with all the copies in
+    # flight at once: the tunnel overlaps concurrent transfers. Slice
+    # sizes are bucketed (64Ki words) so slice programs cache.
+    piece = 1 << 19
+    bucket = min(cap_words, ((max_words + 65535) // 65536) * 65536)
+    slices = [words_dev[p:min(p + piece, bucket)]
+              for p in range(0, bucket, piece)]
+    for s in slices:
+        s.copy_to_host_async()
+    chunk_bits_dev.copy_to_host_async()
+    st2.update(mode="stream", words_slices=slices, words_dev=words_dev,
+               chunk_bits_dev=chunk_bits_dev)
     return st2
 
 
-def _prefix_assemble(st: dict) -> bytes:
+def _prefix_assemble(st: dict) -> list:
+    """Host half: fetch dense words + chunk bit counts, splice per-group
+    streams natively, emit headers/TOC. Returns a list of codestreams
+    (one per image in the pass-1 batch)."""
+    from libjxl_tpu.models.lossless import PACK_T
+    from libjxl_tpu.utils import native
+
     options = st["options"]
     h, w, bits = st["h"], st["w"], st["bits"]
     nch = st["nch"]
     gray = nch == 1
     use_rct = options.use_rct and nch >= 3
     codes = st["codes"]
-    words = np.asarray(st["words_dev"])
-    per_group = np.asarray(st["per_group_dev"]).astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(per_group)])
+    mode = st["mode"]
+    if mode == "stream":
+        words = np.concatenate([np.asarray(s) for s in st["words_slices"]])
+        chunk_bits = np.asarray(st["chunk_bits_dev"])
+        nw = (chunk_bits.astype(np.int64) + 31) >> 5
+        word_start = np.concatenate([[0], np.cumsum(nw)])
+        if word_start[-1] > len(words):
+            # histogram-estimated capacity was short (possible only if
+            # the estimate raced content); fetch the remaining tail
+            need = int(word_start[-1])
+            words = np.concatenate([words, np.asarray(
+                st["words_dev"][len(words):need])])
+    else:
+        wide8 = np.concatenate([np.asarray(s) for s in st["wide8_slices"]])
+        gmax = st["gmax"]
 
-    def group_bits(g: int) -> tuple[bytes, int]:
-        b0, b1 = int(starts[g]), int(starts[g + 1])
-        nbits_g = b1 - b0
-        if nbits_g == 0:
-            return b"", 0
-        w0 = b0 >> 4
-        sshift = b0 & 15
-        w1 = (b1 + 15) >> 4
-        seg = words[w0:w1 + 1].astype(np.uint32)
-        if sshift:
-            nxt = np.empty_like(seg)
-            nxt[:-1] = seg[1:]
-            nxt[-1] = 0
-            seg = ((seg >> sshift) | (nxt << (16 - sshift))) & 0xFFFF
-        return seg.astype("<u2").tobytes(), nbits_g
-
-    # ---- headers (same as the other device path) ------------------------
+    # ---- shared headers ---------------------------------------------------
     bw = BitWriter()
     write_signature(bw)
     size = SizeHeader()
     size.set(w, h)
     write_bundle(bw, size)
-    from libjxl_tpu.core.headers import ExtraChannelInfo
     meta = ImageMetadata(
         xyb_encoded=False,
         bit_depth=BitDepth(bits_per_sample=bits),
@@ -666,47 +737,112 @@ def _prefix_assemble(st: dict) -> bytes:
     meta.nonserialized_xsize = w
     meta.nonserialized_ysize = h
     fh.visit(FieldWriter(bw), meta)
+    # headers are identical across the batch; snapshot (bytes, bit count)
+    # and bit-append per image so the TOC continues at the exact bit
+    # position after the frame header (no byte alignment there)
+    header_bytes = bw.to_bytes()
+    header_bits = bw.bits_written
     fd = FrameDimensions(w, h, fh.group_dim)
 
     tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
     transforms = ([Transform(id=TransformId.RCT, begin_c=0, rct_type=6)]
                   if use_rct else [])
+    gd = fh.group_dim
+    chunks_per_group = nch * gd * gd // PACK_T
+    chunks_per_image = st["ng"] * chunks_per_group
 
-    def dc_global_section() -> bytes:
-        sw = BitWriter()
-        sw.write(1, 1)
-        sw.write(1, 1)
-        write_tree(sw, tree)
-        write_entropy_codes(sw, codes)
-        gh = GroupHeader(use_global_tree=True, transforms=transforms)
-        gh.write(sw)
-        if fd.num_groups == 1:
-            data, nbits_g = group_bits(0)
-            sw.append_packed(data, nbits_g)
-        sw.zero_pad_to_byte()
-        return sw.to_bytes()
-
-    def ac_group_section(g: int) -> bytes:
-        sw = BitWriter()
-        gh = GroupHeader(use_global_tree=True)
-        gh.write(sw)
-        data, nbits_g = group_bits(g)
-        sw.append_packed(data, nbits_g)
-        sw.zero_pad_to_byte()
-        return sw.to_bytes()
-
-    if fd.num_groups == 1 and fh.passes.num_passes == 1:
-        sections = [dc_global_section()]
+    if mode == "stream":
+        words_c = np.ascontiguousarray(words, dtype=np.uint32)
+        ws_c = np.ascontiguousarray(word_start, dtype=np.int64)
+        cb_c = np.ascontiguousarray(chunk_bits, dtype=np.uint16)
     else:
-        sections = [dc_global_section()]
-        for g in range(fd.num_dc_groups):
-            sections.append(b"")
-        sections.append(b"")
-        for g in range(fd.num_groups):
-            sections.append(ac_group_section(g))
+        lut_bits = np.ascontiguousarray(st["lut_bits"], np.uint32)
+        lut_len = np.ascontiguousarray(st["lut_len"], np.int32)
+        esc_np = {gi: np.asarray(s) for gi, s in st["esc"].items()}
 
-    write_toc(bw, [len(s) for s in sections])
-    out = bytearray(bw.to_bytes())
-    for s in sections:
-        out.extend(s)
-    return bytes(out)
+    def group_section(prefix_bytes: bytes, prefix_nbits: int,
+                      i: int, g: int) -> bytes:
+        """Complete byte-aligned section: prefix header bits + group g's
+        entropy-coded tokens (device-packed splice, or host-packed from
+        residuals), zero-padded to a byte."""
+        if mode == "stream":
+            c0 = i * chunks_per_image + g * chunks_per_group
+            sec = native.splice_section(
+                prefix_bytes, prefix_nbits, words_c, ws_c, cb_c,
+                c0, c0 + chunks_per_group)
+            if sec is None:
+                res = native.splice_chunks(words_c, ws_c, cb_c,
+                                           c0, c0 + chunks_per_group)
+                sw = BitWriter()
+                sw.append_packed(prefix_bytes, prefix_nbits)
+                if res is not None:
+                    sw.append_packed(*res)
+                else:  # pure-python fallback
+                    for c in range(c0, c0 + chunks_per_group):
+                        nb = int(cb_c[c])
+                        seg = words_c[ws_c[c]:ws_c[c] + ((nb + 31) >> 5)]
+                        for k, wv in enumerate(seg):
+                            sw.write(min(32, nb - k * 32), int(wv))
+                sw.zero_pad_to_byte()
+                sec = sw.to_bytes()
+            return sec
+        gi = i * st["ng"] + g
+        gx = g % fd.xsize_groups
+        gy = g // fd.xsize_groups
+        gw_v = min(gd, w - gx * gd)
+        gh_v = min(gd, h - gy * gd)
+        resid = esc_np.get(gi)
+        if resid is None:
+            resid = wide8[gi]
+        return native.prefix_encode_group(
+            resid, gw_v, gh_v, lut_bits, lut_len,
+            prefix_bytes, prefix_nbits)
+
+    dcw = BitWriter()
+    dcw.write(1, 1)
+    dcw.write(1, 1)
+    write_tree(dcw, tree)
+    write_entropy_codes(dcw, codes)
+    GroupHeader(use_global_tree=True, transforms=transforms).write(dcw)
+    dc_bytes, dc_bits = dcw.to_bytes(), dcw.bits_written
+
+    ghw = BitWriter()
+    GroupHeader(use_global_tree=True).write(ghw)
+    gh_bytes, gh_bits = ghw.to_bytes(), ghw.bits_written
+
+    single = fd.num_groups == 1 and fh.passes.num_passes == 1
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def image_stream(i: int) -> bytes:
+        if single:
+            sections = [group_section(dc_bytes, dc_bits, i, 0)]
+        else:
+            sw = BitWriter()
+            sw.append_packed(dc_bytes, dc_bits)
+            sw.zero_pad_to_byte()
+            sections = [sw.to_bytes()]
+            for _ in range(fd.num_dc_groups):
+                sections.append(b"")
+            sections.append(b"")
+            sections.extend(secs_by_image[i])
+        tw = BitWriter()
+        tw.append_packed(header_bytes, header_bits)
+        write_toc(tw, [len(s) for s in sections])
+        out = bytearray(tw.to_bytes())
+        for s in sections:
+            out.extend(s)
+        return bytes(out)
+
+    # native section encoders release the GIL: thread across groups
+    secs_by_image: list = [None] * st["n_images"]
+    if not single:
+        jobs = [(i, g) for i in range(st["n_images"])
+                for g in range(fd.num_groups)]
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+            flat = list(ex.map(
+                lambda ig: group_section(gh_bytes, gh_bits, *ig), jobs))
+        for i in range(st["n_images"]):
+            secs_by_image[i] = flat[i * fd.num_groups:
+                                    (i + 1) * fd.num_groups]
+    return [image_stream(i) for i in range(st["n_images"])]

@@ -156,58 +156,139 @@ def encode_image_device_collect(dev):
     return out, mask, hist
 
 
-@functools.partial(jax.jit, static_argnames=("gx", "cap_words"))
-def prefix_pack_device(wide, h, w, code_bits, code_len, gx: int = 1,
-                       cap_words: int = 1 << 20):
-    """Second-pass device kernel: entropy-code the residual planes into
-    ONE continuous LSB-first bitstream on the TPU.
+PACK_T = 64           # tokens per packed chunk
+PACK_NW = 60          # word capacity per chunk: ceil(64*30/32) + slack
 
-    ``wide``: (G, C, gd, gd) packed residuals (pass-1 output, stays on
-    device); ``code_bits``/``code_len``: canonical prefix code LUTs
-    (LSB-first code bits, lengths) built on host from the pass-1
-    histogram. Each token is emitted as two entries (huffman code, raw
-    mantissa bits); bit positions come from an exclusive cumsum and the
-    words from two disjoint segment-sums — no sequential packing loop,
-    so the MXU/VPU stays busy and the d2h payload is the *compressed*
-    stream (~2 bits/px instead of 16).
 
-    Returns (words uint16[cap_words], group_bit_totals int32[G]).
+@functools.partial(jax.jit, static_argnames=("gx", "per_image", "out16"))
+def lossless_tokens_device(groups: jnp.ndarray, h, w, gx: int = 1,
+                           per_image: int = 0, out16: bool = True):
+    """Pass 1 of the two-pass device encode: residuals + token histogram.
+
+    groups: (G_total, C, gd, gd) int pixels, possibly a whole batch of
+    images stacked along the group axis (``per_image`` groups each; 0 =
+    single image). Returns (wide residuals on device, histogram uint32 —
+    the ONLY d2h payload of this pass, ~1KB).
     """
-    g, c, gd, _ = wide.shape
-    v = wide.astype(jnp.uint32)
-    # validity mask from image extents (same layout as encode_groups_device)
-    row0 = (jnp.arange(g) // gx) * gd
-    col0 = (jnp.arange(g) % gx) * gd
+    groups = groups.astype(jnp.int32)
+    ng, nch, gd, _ = groups.shape
+    gi = jnp.arange(ng) if not per_image else jnp.arange(ng) % per_image
+    row0 = (gi // gx) * gd
+    col0 = (gi % gx) * gd
     ymask = row0[:, None] + jnp.arange(gd)[None, :] < h
     xmask = col0[:, None] + jnp.arange(gd)[None, :] < w
-    valid = (ymask[:, None, :, None] & xmask[:, None, None, :])
-    valid = jnp.broadcast_to(valid, v.shape)
+    mask = ymask[:, None, :, None] & xmask[:, None, None, :]
+    if nch >= 3:
+        rgb = groups[:, :3]
+        rest = groups[:, 3:]
+        groups = jnp.concatenate([fwd_ycocg(rgb), rest], axis=1)
+    res = gradient_residuals(groups)
+    packed = pack_signed(res)
+    token = _token_id(packed)
+    hist = token_histogram(token, jnp.broadcast_to(mask, token.shape))
+    # 8-bit inputs: post-RCT residuals fit uint16; 16-bit inputs reach
+    # 2^17 and need the full uint32 (matching encode_groups_device out16)
+    wide = packed.astype(jnp.uint16) if out16 else packed
+    # zero invalid positions so pass 2 can emit zero-length tokens for them
+    wide = jnp.where(jnp.broadcast_to(mask, wide.shape), wide,
+                     jnp.zeros((), wide.dtype))
+    valid = jnp.broadcast_to(mask, wide.shape)
+    # host-pack mode payload: clamped 1 B/px residuals + per-group
+    # wide-escape maxes. On this host link the raw residual plane is the
+    # SMALLER d2h payload whenever the stream exceeds ~8 bpp.
+    wide8 = jnp.minimum(wide, 255).astype(jnp.uint8)
+    gmax = jnp.max(jnp.where(valid, wide, 0), axis=(1, 2, 3))
+    payload = jnp.concatenate([
+        gmax.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
+        hist.astype(jnp.uint32).view(jnp.uint8).reshape(-1)])
+    return wide, wide8, valid, payload
 
+
+def _lut2_apply(tokens: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray,
+                alphabet: int = 96, chunk: int = 1 << 16):
+    # hybrid-uint cfg (4,2,0) tokens top out at 71 for 17-bit residuals
+    """Apply two small LUTs to a big token vector without gather.
+
+    TPU gathers from tiny tables run ~25x slower than VPU compare-reduce
+    (measured: 0.26s vs 0.04s for 25M lookups); this mirrors the
+    token_histogram chunked compare pattern, amortizing ONE compare
+    matrix over both tables."""
+    flat = jnp.clip(tokens, 0, alphabet - 1).reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % chunk
+    flat = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
+    ids = jnp.arange(alphabet, dtype=flat.dtype)
+    t0a = t0[:alphabet].astype(jnp.int32)
+    t1a = t1[:alphabet].astype(jnp.int32)
+
+    def body(_, tk):
+        eq = tk[:, None] == ids[None, :]
+        r0 = jnp.where(eq, t0a[None, :], 0).sum(axis=1)
+        r1 = jnp.where(eq, t1a[None, :], 0).sum(axis=1)
+        return None, (r0, r1)
+
+    _, (o0, o1) = jax.lax.scan(body, None, flat)
+    return o0.reshape(-1)[:n], o1.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("cap_words",))
+def chunk_pack_device(wide, valid, code_bits, code_len,
+                      cap_words: int = 1 << 20):
+    """Pass 2: entropy-code residuals into a dense LSB-first word stream.
+
+    Strategy (TPU-shaped, no scatter into big buffers): each PACK_T-token
+    chunk is packed independently into a word-aligned PACK_NW-word buffer
+    with a short unrolled insertion loop (pure VPU selects); the buffers
+    are then compacted into one dense uint32 stream with a word-level
+    gather. The host splices chunks bit-exactly (native
+    jxlt_splice_chunks) — slack never reaches the bitstream, only the
+    wire. Replaces WriteTokens (enc_ans.cc:1237) + emission.
+
+    Returns (dense words uint32[cap_words], chunk_bits uint16[Cn]).
+    """
+    T, NW = PACK_T, PACK_NW
+    v = wide.astype(jnp.uint32).reshape(-1)
+    valid = valid.reshape(-1)
     token = _token_id(v)
     n = jnp.maximum(_floor_log2_u32(jnp.maximum(v, 1)), 2)
     nbits = jnp.where(v < 16, 0, n - 2).astype(jnp.uint32)
     raw = jnp.where(v < 16, 0, v & ((jnp.uint32(1) << nbits) - 1))
+    cbits_i, clen_i = _lut2_apply(token, code_bits.astype(jnp.int32),
+                                  code_len.astype(jnp.int32))
+    clen = clen_i.astype(jnp.uint32)
+    cbits = cbits_i.astype(jnp.uint32)
+    comb = (cbits | (raw << clen)).reshape(-1, T)
+    lens = jnp.where(valid, clen + nbits, 0).astype(jnp.int32).reshape(-1, T)
 
-    clen = code_len[token].astype(jnp.uint32)
-    cbits = code_bits[token].astype(jnp.uint32)
-    # two emissions per token: huffman code then raw bits (LSB-first)
-    lens = jnp.stack([jnp.where(valid, clen, 0),
-                      jnp.where(valid, nbits, 0)], axis=-1).reshape(-1)
-    vals = jnp.stack([jnp.where(valid, cbits, 0),
-                      jnp.where(valid, raw, 0)], axis=-1).reshape(-1)
-    pos = jnp.cumsum(lens) - lens                 # exclusive, group-major
-    word = (pos >> 4).astype(jnp.int32)
-    off = (pos & 15).astype(jnp.uint32)
-    shifted = vals << off                          # < 2^31
-    lo = shifted & jnp.uint32(0xFFFF)
-    hi = shifted >> 16
-    words = jax.ops.segment_sum(lo, word, num_segments=cap_words,
-                                indices_are_sorted=True)
-    words = words + jax.ops.segment_sum(hi, word + 1,
-                                        num_segments=cap_words,
-                                        indices_are_sorted=True)
-    per_group = jnp.sum(lens.reshape(g, -1), axis=1).astype(jnp.int32)
-    return words.astype(jnp.uint16), per_group
+    off = jnp.cumsum(lens, axis=1) - lens
+    wt = (off >> 5).astype(jnp.int32)
+    b = (off & 31).astype(jnp.uint32)
+    lo = comb << b                      # uint32, b < 32
+    hi = jnp.where(b == 0, 0, comb >> ((jnp.uint32(32) - b) & 31))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (comb.shape[0], NW), 1)
+
+    def insert(buf, xs):
+        wtj, loj, hij = xs
+        buf = buf | jnp.where(iota == wtj[:, None], loj[:, None], 0) \
+                  | jnp.where(iota == wtj[:, None] + 1, hij[:, None], 0)
+        return buf, None
+
+    buf, _ = jax.lax.scan(
+        insert, jnp.zeros((comb.shape[0], NW), jnp.uint32),
+        (wt.T, lo.T, hi.T))
+    chunk_bits = (off[:, -1] + lens[:, -1]).astype(jnp.int32)
+
+    # word-level compaction: dense[j] = buf[cid[j], j - wstart[cid[j]]]
+    nw = (chunk_bits + 31) >> 5
+    wstart = jnp.cumsum(nw) - nw
+    marks = jnp.zeros(cap_words, jnp.int32).at[wstart].add(1, mode="drop")
+    cid = jnp.cumsum(marks) - 1
+    j = jnp.arange(cap_words)
+    src = cid * NW + (j - wstart[cid])
+    dense = buf.reshape(-1)[jnp.clip(src, 0, buf.size - 1)]
+    total_words = wstart[-1] + nw[-1]
+    dense = jnp.where(j < total_words, dense, 0)
+    return dense, chunk_bits.astype(jnp.uint16)
 
 
 def _floor_log2_u32(v):

@@ -225,6 +225,94 @@ def pack_bits(nbits: np.ndarray, values: np.ndarray) -> bytes | None:
     return out[: (total + 7) // 8].tobytes()
 
 
+def splice_chunks(words: np.ndarray, word_start: np.ndarray,
+                  chunk_bits: np.ndarray, c0: int, c1: int
+                  ) -> tuple[bytes, int] | None:
+    """Concatenate device-packed word-aligned chunks [c0, c1) into one
+    continuous LSB-first bitstream; returns (bytes, total_bits)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_splice_chunks_bound"):
+        lib.jxlt_splice_chunks.restype = ctypes.c_int64
+        lib.jxlt_splice_chunks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.jxlt_splice_chunks_bound = True
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    word_start = np.ascontiguousarray(word_start, dtype=np.int64)
+    chunk_bits = np.ascontiguousarray(chunk_bits, dtype=np.uint16)
+    total = int(chunk_bits[c0:c1].astype(np.int64).sum())
+    cap = total // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    bits = lib.jxlt_splice_chunks(
+        words.ctypes.data, word_start.ctypes.data, chunk_bits.ctypes.data,
+        c0, c1, out.ctypes.data, cap)
+    if bits < 0:
+        return None
+    return out[: (bits + 7) // 8].tobytes(), int(bits)
+
+
+def splice_section(prefix_bytes: bytes, prefix_nbits: int,
+                   words: np.ndarray, word_start: np.ndarray,
+                   chunk_bits: np.ndarray, c0: int, c1: int) -> bytes | None:
+    """Header bits + spliced chunks + byte pad: one native call per
+    section. ``words``/``word_start``/``chunk_bits`` must already be
+    contiguous arrays of dtype uint32/int64/uint16."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_splice_section_bound"):
+        lib.jxlt_splice_section.restype = ctypes.c_int64
+        lib.jxlt_splice_section.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.jxlt_splice_section_bound = True
+    total = int(chunk_bits[c0:c1].astype(np.int64).sum()) + prefix_nbits
+    cap = total // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    nbytes = lib.jxlt_splice_section(
+        prefix_bytes, prefix_nbits, words.ctypes.data,
+        word_start.ctypes.data, chunk_bits.ctypes.data,
+        c0, c1, out.ctypes.data, cap)
+    if nbytes < 0:
+        return None
+    return out[:nbytes].tobytes()
+
+
+def prefix_encode_group(packed: np.ndarray, gw: int, gh: int,
+                        lut_bits: np.ndarray, lut_len: np.ndarray,
+                        prefix_bytes: bytes, prefix_nbits: int
+                        ) -> bytes | None:
+    """Tokenize + prefix-code one group's (C, gd, gd) packed residuals
+    into a complete byte-aligned section (host-pack mode)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_prefix_encode_group_bound"):
+        lib.jxlt_prefix_encode_group.restype = ctypes.c_int64
+        lib.jxlt_prefix_encode_group.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.jxlt_prefix_encode_group_bound = True
+    packed = np.ascontiguousarray(packed)
+    elem = packed.dtype.itemsize
+    nch, gd, _ = packed.shape
+    n = nch * gw * gh
+    cap = 4 * n + prefix_nbits // 8 + 64
+    out = np.zeros(cap, dtype=np.uint8)
+    nbytes = lib.jxlt_prefix_encode_group(
+        packed.ctypes.data, elem, nch, gd, gw, gh,
+        lut_bits.ctypes.data, lut_len.ctypes.data,
+        prefix_bytes, prefix_nbits, out.ctypes.data, cap)
+    if nbytes < 0:
+        return None
+    return out[:nbytes].tobytes()
+
+
 def wp_plane(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     """Whole-plane weighted-predictor sweep: (pred, p15_property)."""
     lib = get_lib()

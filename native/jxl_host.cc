@@ -219,7 +219,192 @@ EXPORT void jxlt_gradient_residuals(const int32_t* plane, int64_t h,
   }
 }
 
-EXPORT int64_t jxlt_version() { return 1; }
+EXPORT int64_t jxlt_version() { return 2; }
+
+// Assemble a complete byte-aligned section: copy `prefix_nbits` header
+// bits (LSB-first, from prefix_bytes), then splice chunks [c0, c1), then
+// zero-pad to a byte boundary. Returns the section byte count or -1.
+// This keeps per-section host work at memcpy speed — BitWriter python
+// paths only handle the few global sections.
+EXPORT int64_t jxlt_splice_section(const uint8_t* prefix_bytes,
+                                   int64_t prefix_nbits,
+                                   const uint32_t* words,
+                                   const int64_t* word_start,
+                                   const uint16_t* chunk_bits, int64_t c0,
+                                   int64_t c1, uint8_t* out, int64_t cap) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t bytepos = 0;
+  for (int64_t i = 0; i < prefix_nbits; i += 32) {
+    int take = (int)((prefix_nbits - i < 32) ? prefix_nbits - i : 32);
+    uint32_t v = 0;
+    memcpy(&v, prefix_bytes + (i >> 3), (take + 7) >> 3);
+    v &= (take == 32) ? 0xFFFFFFFFu : ((1u << take) - 1);
+    acc |= (uint64_t)v << accbits;
+    accbits += take;
+    while (accbits >= 32) {
+      if (bytepos + 4 > cap) return -1;
+      memcpy(out + bytepos, &acc, 4);
+      bytepos += 4;
+      acc >>= 32;
+      accbits -= 32;
+    }
+  }
+  for (int64_t c = c0; c < c1; ++c) {
+    const uint32_t* w = words + word_start[c];
+    int64_t bits = chunk_bits[c];
+    int64_t nw = bits >> 5;
+    for (int64_t i = 0; i < nw; ++i) {
+      acc |= (uint64_t)w[i] << accbits;
+      if (bytepos + 4 > cap) return -1;
+      memcpy(out + bytepos, &acc, 4);
+      bytepos += 4;
+      acc >>= 32;
+    }
+    int rem = (int)(bits & 31);
+    if (rem) {
+      uint32_t last = w[nw] & ((1u << rem) - 1);
+      acc |= (uint64_t)last << accbits;
+      accbits += rem;
+      while (accbits >= 32) {
+        if (bytepos + 4 > cap) return -1;
+        memcpy(out + bytepos, &acc, 4);
+        bytepos += 4;
+        acc >>= 32;
+        accbits -= 32;
+      }
+    }
+  }
+  while (accbits > 0) {  // zero-pad to byte boundary
+    if (bytepos >= cap) return -1;
+    out[bytepos++] = (uint8_t)(acc & 0xFF);
+    acc >>= 8;
+    accbits -= 8;
+  }
+  return bytepos;
+}
+
+// Prefix-encode one group's packed residuals straight into a complete
+// byte-aligned section (header bits + tokens + pad). Used when the
+// host<->device link makes raw residual download (1 B/px) cheaper than
+// the device-packed stream (content above ~8 bpp): the TPU computes
+// residuals + histogram, the host entropy-codes. Same canonical code /
+// bitstream as the device pack path. Hybrid-uint cfg (4,2,0).
+EXPORT int64_t jxlt_prefix_encode_group(
+    const void* packed, int32_t elem_size, int64_t nch, int64_t gd,
+    int64_t gw, int64_t gh, const uint32_t* lut_bits,
+    const int32_t* lut_len, const uint8_t* prefix_bytes,
+    int64_t prefix_nbits, uint8_t* out, int64_t cap) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t bytepos = 0;
+#define FLUSH32()                        \
+  while (accbits >= 32) {                \
+    if (bytepos + 4 > cap) return -1;    \
+    memcpy(out + bytepos, &acc, 4);      \
+    bytepos += 4;                        \
+    acc >>= 32;                          \
+    accbits -= 32;                       \
+  }
+  for (int64_t i = 0; i < prefix_nbits; i += 32) {
+    int take = (int)((prefix_nbits - i < 32) ? prefix_nbits - i : 32);
+    uint32_t v = 0;
+    memcpy(&v, prefix_bytes + (i >> 3), (take + 7) >> 3);
+    v &= (take == 32) ? 0xFFFFFFFFu : ((1u << take) - 1);
+    acc |= (uint64_t)v << accbits;
+    accbits += take;
+    FLUSH32();
+  }
+  for (int64_t c = 0; c < nch; ++c) {
+    for (int64_t y = 0; y < gh; ++y) {
+      const uint8_t* row8 =
+          (const uint8_t*)packed + (c * gd + y) * gd * elem_size;
+      for (int64_t x = 0; x < gw; ++x) {
+        uint32_t v;
+        if (elem_size == 1) {
+          v = row8[x];
+        } else if (elem_size == 2) {
+          v = ((const uint16_t*)row8)[x];
+        } else {
+          v = ((const uint32_t*)row8)[x];
+        }
+        uint32_t token, nbits, raw;
+        if (v < 16) {
+          token = v;
+          nbits = 0;
+          raw = 0;
+        } else {
+          uint32_t n = 31 - __builtin_clz(v);
+          nbits = n - 2;
+          token = 16 + ((n - 4) << 2) + ((v >> nbits) & 3);
+          raw = v & ((1u << nbits) - 1);
+        }
+        uint32_t clen = (uint32_t)lut_len[token];
+        acc |= (uint64_t)(lut_bits[token] | (raw << clen)) << accbits;
+        accbits += (int)(clen + nbits);
+        FLUSH32();
+      }
+    }
+  }
+  while (accbits > 0) {
+    if (bytepos >= cap) return -1;
+    out[bytepos++] = (uint8_t)(acc & 0xFF);
+    acc >>= 8;
+    accbits -= 8;
+  }
+#undef FLUSH32
+  return bytepos;
+}
+
+// Splice word-aligned packed chunks into one continuous LSB-first
+// bitstream. The TPU packs each T-token chunk into its own word-aligned
+// buffer (libjxl_tpu/models/lossless.py chunk_pack_device); the host
+// concatenates them bit-exactly at memcpy-class speed. ``words`` holds the
+// compacted stream (chunk i occupies words[word_start[i] ..
+// word_start[i] + ceil(bits[i]/32))); returns total bits written or -1
+// on overflow. Mirrors the byte-assembly role of WriteTokens
+// (lib/jxl/enc_ans.cc:1237) with the entropy work already done on device.
+EXPORT int64_t jxlt_splice_chunks(const uint32_t* words,
+                                  const int64_t* word_start,
+                                  const uint16_t* chunk_bits, int64_t c0,
+                                  int64_t c1, uint8_t* out, int64_t cap) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t bytepos = 0;
+  for (int64_t c = c0; c < c1; ++c) {
+    const uint32_t* w = words + word_start[c];
+    int64_t bits = chunk_bits[c];
+    int64_t nw = bits >> 5;
+    for (int64_t i = 0; i < nw; ++i) {
+      acc |= (uint64_t)w[i] << accbits;
+      if (bytepos + 4 > cap) return -1;
+      memcpy(out + bytepos, &acc, 4);
+      bytepos += 4;
+      acc >>= 32;
+    }
+    int rem = bits & 31;
+    if (rem) {
+      uint32_t last = w[nw] & ((1u << rem) - 1);
+      acc |= (uint64_t)last << accbits;
+      accbits += rem;
+      while (accbits >= 32) {
+        if (bytepos + 4 > cap) return -1;
+        memcpy(out + bytepos, &acc, 4);
+        bytepos += 4;
+        acc >>= 32;
+        accbits -= 32;
+      }
+    }
+  }
+  int64_t total_bits = bytepos * 8 + accbits;
+  while (accbits > 0) {
+    if (bytepos >= cap) return -1;
+    out[bytepos++] = (uint8_t)(acc & 0xFF);
+    acc >>= 8;
+    accbits -= 8;
+  }
+  return total_bits;
+}
 
 // ---------------------------------------------------------------------------
 // One-shot lossless group stream: hybrid-uint tokenize (split=4, msb=2,
