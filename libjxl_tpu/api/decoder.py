@@ -90,6 +90,21 @@ def decode_modular_frame(meta: CodecMetadata, frame,
     return fi
 
 
+_GROUP_POOL = None
+
+
+def _group_pool():
+    """Persistent worker pool for per-group decode (the reference's
+    ThreadParallelRunner keeps workers alive too,
+    thread_parallel_runner_internal.h:50)."""
+    global _GROUP_POOL
+    if _GROUP_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        _GROUP_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+    return _GROUP_POOL
+
+
 def decode_vardct_frame(meta: CodecMetadata, frame,
                         reference_frames=None,
                         dc_image=None) -> np.ndarray:
@@ -128,11 +143,24 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         dec.finalize_dc()
         dec.decode_ac_global(BitReader(
             frame.sections[1 + fd.num_dc_groups]))
-        for g in range(fd.num_groups):
+
+        def _ac(g: int) -> None:
             readers = [BitReader(frame.sections[ac_group_index(
                 p, g, fd.num_groups, fd.num_dc_groups)])
                 for p in range(fh.passes.num_passes)]
             dec.decode_ac_group(readers, g, fh.passes.num_passes)
+
+        # AC groups are independent by design (TOC random access,
+        # doc/format_overview.md:180-193); the native token decoder
+        # releases the GIL, so host threads parallelize them. Extra-
+        # channel modular data shares decoder state -> sequential then.
+        no_ec = (dec.mfd.full_image is None or
+                 not dec.mfd.full_image.channel)
+        if no_ec and fd.num_groups > 3:
+            list(_group_pool().map(_ac, range(fd.num_groups)))
+        else:
+            for g in range(fd.num_groups):
+                _ac(g)
 
     if not dec.is_444:
         # chroma upsampling is the first render stage (dec_cache.cc:142)
@@ -153,17 +181,23 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         dec.pixels = np.stack(planes)
     xyb = dec.pixels[:, :fd.ysize, :fd.xsize]
     lf = fh.loop_filter
-    if lf.gab:
-        xyb = gaborish(xyb, lf)
-    if lf.epf_iters > 0:
-        inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
-                                  dec.raw_quant, dec.epf_sharpness,
-                                  dec.quantizer.scale)
-        if lf.epf_iters >= 3:
-            xyb = epf_step0(xyb, inv_sigma, lf)
-        xyb = epf_step1(xyb, inv_sigma, lf)
-        if lf.epf_iters >= 2:
-            xyb = epf_step2(xyb, inv_sigma, lf)
+    from libjxl_tpu.config import config as _cfg
+    if _cfg.device_filters and (lf.gab or lf.epf_iters > 0):
+        from libjxl_tpu.render.filters_jax import restore_device
+        xyb = restore_device(xyb, lf, dec.raw_quant, dec.epf_sharpness,
+                             dec.quantizer.scale)
+    else:
+        if lf.gab:
+            xyb = gaborish(xyb, lf)
+        if lf.epf_iters > 0:
+            inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
+                                      dec.raw_quant, dec.epf_sharpness,
+                                      dec.quantizer.scale)
+            if lf.epf_iters >= 3:
+                xyb = epf_step0(xyb, inv_sigma, lf)
+            xyb = epf_step1(xyb, inv_sigma, lf)
+            if lf.epf_iters >= 2:
+                xyb = epf_step2(xyb, inv_sigma, lf)
     if fh.flags & FrameFlags.PATCHES:
         from libjxl_tpu.render.patches import apply_patches
         nec = meta.m.num_extra_channels

@@ -1,0 +1,20 @@
+"""Global runtime configuration for libjxl_tpu.
+
+Mirrors the reference's layered flag system (enc_params.h /
+JxlDecoder setters) for knobs that cut across the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class RuntimeConfig:
+    # Run decode-side restoration filters (gaborish/EPF) as one XLA
+    # program instead of host numpy. Pays a per-shape compile on first
+    # use; wins on repeated shapes and on the TPU render path.
+    device_filters: bool = False
+
+
+config = RuntimeConfig()

@@ -39,6 +39,16 @@ class ColorCorrelation:
     def ytob_ratio(self, factor: int) -> float:
         return self.base_correlation_b + factor * self.color_scale
 
+    def ytox_ratio_arr(self, factors) -> "np.ndarray":
+        import numpy as np
+        return (self.base_correlation_x +
+                np.asarray(factors, np.float32) * self.color_scale)
+
+    def ytob_ratio_arr(self, factors) -> "np.ndarray":
+        import numpy as np
+        return (self.base_correlation_b +
+                np.asarray(factors, np.float32) * self.color_scale)
+
     def dc_factors(self):
         return (self.ytox_ratio(self.ytox_dc), 0.0,
                 self.ytob_ratio(self.ytob_dc))

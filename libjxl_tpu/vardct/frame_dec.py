@@ -229,6 +229,9 @@ class VarDCTFrameDecoder:
         acs_vals = img.channel[2].plane[0]
         qf_vals = img.channel[2].plane[1]
         sharp = img.channel[3].plane
+        if self._acs_paint_native(acs_vals, qf_vals, count, sharp,
+                                  x0, y0, bw, bh):
+            return
         num = 0
         for iy in range(bh):
             for ix in range(bw):
@@ -255,6 +258,51 @@ class VarDCTFrameDecoder:
                 self.used_acs |= 1 << raw
                 num += 1
 
+    def _acs_paint_native(self, acs_vals, qf_vals, count, sharp,
+                          x0, y0, bw, bh) -> bool:
+        """Native raster paint of acs/qf/sharpness (matches the
+        reference's xlim/ylim overflow checks, dec_modular.cc:515-555)."""
+        from libjxl_tpu.utils import native
+        from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        if not hasattr(lib, "jxlt_acs_paint_bound"):
+            import ctypes
+            lib.jxlt_acs_paint.restype = ctypes.c_int64
+            lib.jxlt_acs_paint.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.jxlt_acs_paint_bound = True
+        acs_vals = np.ascontiguousarray(acs_vals, np.int32)
+        qf_vals = np.ascontiguousarray(qf_vals, np.int32)
+        sharp = np.ascontiguousarray(sharp, np.int32)
+        acs_loc = np.ascontiguousarray(
+            self.acs_raw[y0:y0 + bh, x0:x0 + bw], np.int32)
+        qf_loc = np.ascontiguousarray(
+            self.raw_quant[y0:y0 + bh, x0:x0 + bw], np.int32)
+        anc_loc = np.zeros((bh, bw), np.uint8)
+        shp_loc = np.zeros((bh, bw), np.int32)
+        cov_x = np.asarray(COVERED_X, np.uint8)
+        cov_y = np.asarray(COVERED_Y, np.uint8)
+        num = lib.jxlt_acs_paint(
+            acs_vals.ctypes.data, qf_vals.ctypes.data, count,
+            sharp.ctypes.data, bw, bh, self.fd.group_dim // 8,
+            cov_x.ctypes.data, cov_y.ctypes.data, acs_loc.ctypes.data,
+            qf_loc.ctypes.data, anc_loc.ctypes.data, shp_loc.ctypes.data)
+        if num < 0:
+            raise FormatError("corrupt AC metadata")
+        for raw in np.unique(acs_vals[:num]):
+            self.used_acs |= 1 << int(raw)
+        self.acs_raw[y0:y0 + bh, x0:x0 + bw] = acs_loc
+        self.raw_quant[y0:y0 + bh, x0:x0 + bw] = qf_loc
+        self.epf_sharpness[y0:y0 + bh, x0:x0 + bw] = shp_loc
+        self.acs_anchor[y0:y0 + bh, x0:x0 + bw] |= anc_loc.astype(bool)
+        return True
+
     # ---- DC finalize ------------------------------------------------------
 
     def finalize_dc(self) -> None:
@@ -279,6 +327,232 @@ class VarDCTFrameDecoder:
             num_contexts = self.num_histograms * self.bctx.num_ac_contexts()
             self.codes[i] = decode_histograms(r, num_contexts)
 
+    # ---- AC group: native fast path --------------------------------------
+
+    def _flat_code_tables(self, p: int):
+        """Flatten pass-p ANS tables for the native decoder (cached)."""
+        if not hasattr(self, "_flat_cache"):
+            self._flat_cache = {}
+        if p in self._flat_cache:
+            return self._flat_cache[p]
+        code = self.codes[p]
+        nh = len(code.alias_symbols)
+        alias_sym = np.ascontiguousarray(
+            np.stack([np.asarray(a, np.int32) for a in code.alias_symbols]))
+        alias_off = np.ascontiguousarray(
+            np.stack([np.asarray(a, np.int32) for a in code.alias_offsets]))
+        freqs = np.zeros((nh, 256), np.int32)
+        for i, f in enumerate(code.alias_freqs):
+            f = np.asarray(f, np.int32)
+            freqs[i, :len(f)] = f
+        cfgs = np.array([[c.split_exponent, c.msb_in_token, c.lsb_in_token]
+                         for c in code.uint_configs], np.int32)
+        ctx_map = np.ascontiguousarray(code.context_map, dtype=np.int32)
+        res = (alias_sym, alias_off, freqs, cfgs, ctx_map)
+        self._flat_cache[p] = res
+        return res
+
+    def _flat_orders(self, p: int):
+        if not hasattr(self, "_ord_cache"):
+            self._ord_cache = {}
+        if p in self._ord_cache:
+            return self._ord_cache[p]
+        parts = []
+        offs = np.zeros(13 * 3, np.int64)
+        pos = 0
+        for (ordb, c), arr in self.coeff_orders[p].items():
+            offs[ordb * 3 + c] = pos
+            parts.append(np.asarray(arr, np.int32))
+            pos += len(parts[-1])
+        flat = (np.concatenate(parts) if parts
+                else np.zeros(1, np.int32))
+        res = (np.ascontiguousarray(flat), offs)
+        self._ord_cache[p] = res
+        return res
+
+    def _block_ctx3(self, bx0, by0, w_, h_):
+        """Vectorized BlockCtxMap.context for every block of the group."""
+        from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
+        bctx = self.bctx
+        acs = np.maximum(self.acs_raw[by0:by0 + h_, bx0:bx0 + w_], 0)
+        ordb = np.asarray(STRATEGY_ORDER, np.int32)[acs]
+        qf = self.raw_quant[by0:by0 + h_, bx0:bx0 + w_]
+        qf_idx = np.zeros_like(qf)
+        for t in bctx.qf_thresholds:
+            qf_idx += (qf > t).astype(np.int32)
+        dc_idx = self.quant_dc_idx[by0:by0 + h_, bx0:bx0 + w_]
+        nqf = len(bctx.qf_thresholds) + 1
+        cmap_np = np.asarray(bctx.ctx_map, np.int32)
+        out = np.empty((3, h_, w_), np.int32)
+        for c in range(3):
+            idx = (c ^ 1) if c < 2 else 2
+            idx = (idx * 13 + ordb) * nqf + qf_idx
+            idx = idx * bctx.num_dc_ctxs + dc_idx
+            out[c] = cmap_np[idx]
+        return np.ascontiguousarray(out)
+
+    def _decode_ac_group_native(self, readers, group_id: int,
+                                num_passes: int, bx0, by0,
+                                xsize_blocks, ysize_blocks) -> bool:
+        """Whole-section token decode in C++; batched reconstruction.
+        Returns False if this stream shape needs the python path."""
+        from libjxl_tpu.utils import native
+        from libjxl_tpu.vardct.ac_strategy import (
+            COVERED_X, COVERED_Y, LOG2_COVERED, STRATEGY_ORDER,
+        )
+        if not native.available() or not self.is_444:
+            return False
+        for p in range(num_passes):
+            code = self.codes[p]
+            if code.use_prefix_code or code.lz77.enabled:
+                return False
+        lib = native.get_lib()
+        if not hasattr(lib, "jxlt_ac_group_decode_bound"):
+            import ctypes
+            lib.jxlt_ac_group_decode.restype = ctypes.c_int64
+            lib.jxlt_ac_group_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int32]
+            lib.jxlt_ac_group_decode_bound = True
+
+        w_, h_ = xsize_blocks, ysize_blocks
+        acs = np.ascontiguousarray(
+            self.acs_raw[by0:by0 + h_, bx0:bx0 + w_], np.int8)
+        anchors = np.ascontiguousarray(
+            self.acs_anchor[by0:by0 + h_, bx0:bx0 + w_], np.uint8)
+        block_ctx3 = self._block_ctx3(bx0, by0, w_, h_)
+        cov_x = np.asarray(COVERED_X, np.uint8)
+        cov_y = np.asarray(COVERED_Y, np.uint8)
+        l2cov = np.asarray(LOG2_COVERED, np.uint8)
+        strat_ord = np.asarray(STRATEGY_ORDER, np.uint8)
+        coeffs = np.zeros((3, h_ * w_ * 64), np.int32)
+        selector_bits = ((self.num_histograms - 1).bit_length()
+                         if self.num_histograms > 1 else 0)
+        for p in range(num_passes):
+            r = readers[p]
+            sel = r.read(selector_bits) if selector_bits else 0
+            if sel >= self.num_histograms:
+                raise FormatError("invalid histogram selector")
+            ctx_offset = sel * self.bctx.num_ac_contexts()
+            alias_sym, alias_off, freqs, cfgs, ctx_map = \
+                self._flat_code_tables(p)
+            orders, order_off = self._flat_orders(p)
+            shift = self.fh.passes.shift[p] if self.fh.passes.shift else 0
+            data = np.frombuffer(r._data, dtype=np.uint8)
+            end = lib.jxlt_ac_group_decode(
+                data.ctypes.data, len(data), r.bits_consumed,
+                alias_sym.ctypes.data, alias_off.ctypes.data,
+                freqs.ctypes.data, cfgs.ctypes.data, ctx_map.ctypes.data,
+                len(ctx_map), ctx_offset, block_ctx3.ctypes.data,
+                acs.ctypes.data, anchors.ctypes.data,
+                cov_x.ctypes.data, cov_y.ctypes.data, l2cov.ctypes.data,
+                orders.ctypes.data, order_off.ctypes.data,
+                strat_ord.ctypes.data, self.bctx.num_ctxs, w_, h_,
+                1, shift, coeffs.ctypes.data, 1)
+            if end < 0:
+                raise FormatError(f"AC group native decode error {end}")
+            r.skip(int(end) - r.bits_consumed)
+        self._reconstruct_group_batched(bx0, by0, w_, h_, acs, anchors,
+                                        coeffs)
+        return True
+
+    def _reconstruct_group_batched(self, bx0, by0, w_, h_, acs, anchors,
+                                   coeffs) -> None:
+        """Vectorized dequant + CfL + LLF + IDCT over all anchors, one
+        strategy class at a time (dec_group.cc:156-181 batched)."""
+        from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+        from libjxl_tpu.vardct.dct import (
+            dct_matrix, idct_matrix, resample_scales,
+        )
+        anchors_b = anchors.astype(bool)
+        sizes = np.where(
+            anchors_b,
+            np.asarray(COVERED_X)[np.maximum(acs, 0)].astype(np.int64) *
+            np.asarray(COVERED_Y)[np.maximum(acs, 0)] * 64, 0)
+        offs = np.concatenate([[0], np.cumsum(sizes.ravel())[:-1]]) \
+            .reshape(h_, w_)
+        if self.jpeg_mode:
+            if (acs[anchors_b] != 0).any():
+                raise FormatError(
+                    "can only decode to JPEG if only DCT-8 is used")
+            for c in range(3):
+                q = coeffs[c].reshape(h_, w_, 64)
+                self.jpeg_coeffs[c][by0:by0 + h_, bx0:bx0 + w_] = q
+            return
+        inv_gs = self.quantizer.inv_global_scale
+        x_dm = (1 / 1.25) ** (self.fh.x_qm_scale - 2.0)
+        b_dm = (1 / 1.25) ** (self.fh.b_qm_scale - 2.0)
+        dms = (x_dm, 1.0, b_dm)
+        quant_g = self.raw_quant[by0:by0 + h_, bx0:bx0 + w_]
+        tdimb = K_COLOR_TILE_DIM_IN_BLOCKS
+        for strat in np.unique(acs[anchors_b]):
+            strat = int(strat)
+            sel = anchors_b & (acs == strat)
+            ys, xs = np.nonzero(sel)
+            n = len(ys)
+            cx, cy = COVERED_X[strat], COVERED_Y[strat]
+            size = cx * cy * 64
+            q = coeffs[:, offs[ys, xs][:, None] +
+                       np.arange(size)[None, :]]        # (3, N, size)
+            Y, X = by0 + ys, bx0 + xs
+            scaled_dequant = inv_gs / quant_g[ys, xs]   # (N,)
+            tflat = self.matrices.table_for_strategy(strat).reshape(3, -1)
+            tx = X // tdimb
+            ty = Y // tdimb
+            x_cc = self.cmap.ytox_ratio_arr(self.ytox_map[ty, tx])
+            b_cc = self.cmap.ytob_ratio_arr(self.ytob_map[ty, tx])
+            dq = np.empty((3, n, size), np.float32)
+            for c in range(3):
+                dq[c] = adjust_quant_bias(q[c], c) * \
+                    (tflat[c][None, :] * dms[c]) * \
+                    scaled_dequant[:, None]
+            dq[0] += x_cc[:, None] * dq[1]
+            dq[2] += b_cc[:, None] * dq[1]
+            if strat in (1, 2, 3, 12, 13, 14, 15, 16, 17):
+                from libjxl_tpu.vardct.transforms_small import \
+                    special_to_pixels
+                for i in range(n):
+                    for c in range(3):
+                        st = dq[c, i].reshape(8, 8).copy()
+                        st[0, 0] = self.dc[c, Y[i], X[i]]
+                        pix = special_to_pixels(strat, st)
+                        self.pixels[c, Y[i] * 8:Y[i] * 8 + 8,
+                                    X[i] * 8:X[i] * 8 + 8] = pix
+                continue
+            mn, mx = min(cx, cy), max(cx, cy)
+            stored = dq.reshape(3, n, mn * 8, mx * 8)
+            # LLF from DC (batched, f32 matmul)
+            ay = np.arange(cy)
+            ax = np.arange(cx)
+            dcb = self.dc[:, (Y[:, None, None] + ay[None, :, None]),
+                          (X[:, None, None] + ax[None, None, :])]
+            dmy = dct_matrix(cy).astype(np.float32)
+            dmx = dct_matrix(cx).astype(np.float32)
+            llf = dmy[None, None] @ dcb.astype(np.float32) @ dmx.T
+            llf = llf / resample_scales(cy).astype(np.float32)[:, None] \
+                      / resample_scales(cx).astype(np.float32)[None, :]
+            llf_stored = llf.transpose(0, 1, 3, 2) if cy >= cx else llf
+            stored[:, :, :llf_stored.shape[2], :llf_stored.shape[3]] = \
+                llf_stored
+            R, C = cy * 8, cx * 8
+            rc = stored.transpose(0, 1, 3, 2) if R >= C else stored
+            imy = idct_matrix(R).astype(np.float32)
+            imx = idct_matrix(C).astype(np.float32)
+            pix = imy[None, None] @ np.ascontiguousarray(rc) @ imx.T
+            ry = np.arange(R)
+            rx = np.arange(C)
+            yy = (Y * 8)[:, None, None] + ry[None, :, None]
+            xx = (X * 8)[:, None, None] + rx[None, None, :]
+            for c in range(3):
+                self.pixels[c, yy, xx] = pix[c]
+
     # ---- AC group ---------------------------------------------------------
 
     def decode_ac_group(self, readers, group_id: int,
@@ -290,6 +564,13 @@ class VarDCTFrameDecoder:
         by0 = gy * (fd.group_dim // 8)
         xsize_blocks = min(fd.group_dim // 8, fd.xsize_blocks - bx0)
         ysize_blocks = min(fd.group_dim // 8, fd.ysize_blocks - by0)
+
+        if self._decode_ac_group_native(readers, group_id, num_passes,
+                                        bx0, by0, xsize_blocks,
+                                        ysize_blocks):
+            self._finish_ac_group_modular(readers, group_id, bx0, by0,
+                                          num_passes)
+            return
 
         selector_bits = ((self.num_histograms - 1).bit_length()
                          if self.num_histograms > 1 else 0)
@@ -341,8 +622,14 @@ class VarDCTFrameDecoder:
         for p in range(num_passes):
             if not decoders[p].check_final_state():
                 raise FormatError("AC group ANS checksum failed")
-        # modular AC data (extra channels) follows the AC tokens
-        # (dec_frame.cc ProcessACGroup -> ModularFrameDecoder::DecodeGroup)
+        self._finish_ac_group_modular(readers, group_id, bx0, by0,
+                                      num_passes)
+
+    def _finish_ac_group_modular(self, readers, group_id, bx0, by0,
+                                 num_passes) -> None:
+        """Modular AC data (extra channels) follows the AC tokens
+        (dec_frame.cc ProcessACGroup -> ModularFrameDecoder::DecodeGroup)."""
+        fd = self.fd
         if self.mfd.full_image is not None and self.mfd.full_image.channel:
             from libjxl_tpu.modular.frame import (
                 get_downsampling_bracket, stream_id_modular_ac,

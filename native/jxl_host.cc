@@ -284,6 +284,228 @@ EXPORT int64_t jxlt_splice_section(const uint8_t* prefix_bytes,
   return bytepos;
 }
 
+// ---------------------------------------------------------------------------
+// VarDCT AC group token decode (dec_group.cc DecodeACVarBlock:470-545).
+//
+// The per-coefficient rANS read chain is inherently sequential per
+// section; this native pass turns a whole AC-group section into dense
+// quantized coefficients so the (embarrassingly parallel) dequant + CfL
+// + IDCT reconstruction can run batched on TPU/numpy. Context model
+// constants from lib/jxl/ac_context.h.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// kCoeffFreqContext / kCoeffNumNonzeroContext (ac_context.h:28-48)
+static const uint8_t kCoeffFreqCtx[64] = {
+    0xBA, 0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,
+    15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
+    23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
+    27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
+static const uint8_t kCoeffNumNonzeroCtx[64] = {
+    0xBA, 0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123,
+    152,  152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
+    180,  180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
+    206,  206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+    206,  206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+
+struct AnsDec {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t bitpos;
+  uint32_t state;
+  bool overflow = false;
+
+  inline uint64_t Read(int nbits) {
+    if (nbits == 0) return 0;
+    int64_t byte = bitpos >> 3;
+    if (byte + 9 > nbytes) {
+      if ((bitpos + nbits + 7) / 8 > nbytes) {
+        overflow = true;
+        return 0;
+      }
+    }
+    uint64_t v = 0;
+    int64_t avail = nbytes - byte;
+    memcpy(&v, data + byte, avail >= 8 ? 8 : avail);
+    v >>= (bitpos & 7);
+    bitpos += nbits;
+    return v & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1));
+  }
+
+  inline uint32_t ReadSym(const int32_t* alias_sym, const int32_t* alias_off,
+                          const int32_t* freqs) {
+    uint32_t res = state & (kAnsTabSize - 1);
+    uint32_t sym = (uint32_t)alias_sym[res];
+    uint32_t off = (uint32_t)alias_off[res];
+    state = (uint32_t)freqs[sym] * (state >> kAnsLogTabSize) + off;
+    if (state < (1u << 16)) {
+      state = (state << 16) | (uint32_t)Read(16);
+    }
+    return sym;
+  }
+};
+
+}  // namespace
+
+// Returns end bit position (>=0) or a negative error:
+//   -1 checksum, -2 corrupt token, -3 invalid nzeros, -4 overrun.
+EXPORT int64_t jxlt_ac_group_decode(
+    const uint8_t* data, int64_t nbytes, int64_t start_bit,
+    const int32_t* alias_sym,   // (H, 4096)
+    const int32_t* alias_off,   // (H, 4096)
+    const int32_t* freqs,       // (H, 256)
+    const int32_t* uint_cfg,    // (H, 3) split/msb/lsb
+    const int32_t* ctx_map, int64_t n_ctx,
+    int32_t ctx_offset,         // histogram-selector context offset
+    const int32_t* block_ctx3,  // (3, ghb, gwb) block contexts at anchors
+    const int8_t* acs_raw,      // (ghb, gwb) strategy, -1 = covered
+    const uint8_t* anchor,      // (ghb, gwb) 1 = anchor
+    const uint8_t* cov_x, const uint8_t* cov_y, const uint8_t* log2cov,
+    const int32_t* orders,      // flat natural/custom orders
+    const int64_t* order_off,   // (NUM_ORDERS*3) offsets into `orders`
+    const uint8_t* strat_ord,   // (27) strategy -> order bucket
+    int32_t num_ctxs, int64_t gwb, int64_t ghb, int32_t check_final,
+    int32_t shift,
+    int32_t* out_coeffs,        // (3, gwb*ghb*64), filled per anchor
+    int32_t accumulate) {       // 1: += (progressive passes)
+  AnsDec dec{data, nbytes, start_bit, 0};
+  dec.state = (uint32_t)dec.Read(32);
+  std::vector<int32_t> nz(3 * ghb * gwb, 0);
+  int64_t coff = 0;  // running coefficient offset (same for all channels)
+  const int64_t plane = gwb * ghb * 64;
+  for (int64_t by = 0; by < ghb; ++by) {
+    for (int64_t bx = 0; bx < gwb; ++bx) {
+      if (!anchor[by * gwb + bx]) continue;
+      int strat = acs_raw[by * gwb + bx];
+      if (strat < 0 || strat >= 27) return -2;
+      int cx = cov_x[strat], cy = cov_y[strat], l2 = log2cov[strat];
+      int covered = cx * cy;
+      int size = covered * 64;
+      int ord_b = strat_ord[strat];
+      static const int kChanOrder[3] = {1, 0, 2};
+      for (int ci = 0; ci < 3; ++ci) {
+        int c = kChanOrder[ci];
+        // nzeros prediction from top/left neighbors
+        int32_t* nzp = nz.data() + c * ghb * gwb;
+        int predicted;
+        if (bx == 0) {
+          predicted = by > 0 ? nzp[(by - 1) * gwb + bx] : 32;
+        } else if (by == 0) {
+          predicted = nzp[by * gwb + bx - 1];
+        } else {
+          predicted =
+              (nzp[(by - 1) * gwb + bx] + nzp[by * gwb + bx - 1] + 1) / 2;
+        }
+        if (predicted > 64) predicted = 64;
+        int block_ctx = block_ctx3[(c * ghb + by) * gwb + bx];
+        int nz_small = predicted < 8 ? predicted : 4 + predicted / 2;
+        int64_t nzero_ctx =
+            ctx_offset + nz_small * num_ctxs + block_ctx;
+        if (nzero_ctx >= n_ctx) return -2;
+        // --- read hybrid uint helper (clustered) ---
+        auto read_uint = [&](int64_t ctx) -> int64_t {
+          int h = ctx_map[ctx];
+          uint32_t tok = dec.ReadSym(alias_sym + (int64_t)h * 4096,
+                                     alias_off + (int64_t)h * 4096,
+                                     freqs + (int64_t)h * 256);
+          int split_exp = uint_cfg[h * 3], msb = uint_cfg[h * 3 + 1],
+              lsb = uint_cfg[h * 3 + 2];
+          uint32_t split = 1u << split_exp;
+          if (tok < split) return tok;
+          uint32_t nb =
+              split_exp - (msb + lsb) + ((tok - split) >> (msb + lsb));
+          if (nb > 31) return -2;
+          uint32_t low = tok & ((1u << lsb) - 1);
+          uint32_t t2 = tok >> lsb;
+          uint32_t extra = (uint32_t)dec.Read((int)nb);
+          return (int64_t)((((((1u << msb) | (t2 & ((1u << msb) - 1)))
+                              << nb) |
+                             extra)
+                            << lsb) |
+                           low);
+        };
+        int64_t nzeros = read_uint(nzero_ctx);
+        if (nzeros < 0 || nzeros > size - covered) return -3;
+        int nzv = (int)((nzeros + covered - 1) >> l2);
+        for (int iy = 0; iy < cy; ++iy)
+          for (int ix = 0; ix < cx; ++ix)
+            nzp[(by + iy) * gwb + bx + ix] = nzv;
+        int64_t histo_off =
+            ctx_offset + num_ctxs * 37 + 458 * block_ctx;
+        const int32_t* order = orders + order_off[ord_b * 3 + c];
+        int prev = nzeros > size / 16 ? 0 : 1;
+        int32_t* qc = out_coeffs + c * plane + coff;
+        for (int k = covered; k < size && nzeros != 0; ++k) {
+          // zero_density_context (ac_context.h:52-63)
+          int nzl = (int)((nzeros + covered - 1) >> l2);
+          int kk = k >> l2;
+          int64_t ctx = histo_off +
+                        (kCoeffNumNonzeroCtx[nzl] + kCoeffFreqCtx[kk]) * 2 +
+                        prev;
+          if (ctx >= n_ctx) return -2;
+          int64_t u = read_uint(ctx);
+          if (u < 0) return -2;
+          // unpack_signed
+          int32_t coeff = (u & 1) ? -(int32_t)((uint64_t)u >> 1) - 1
+                                  : (int32_t)((uint64_t)u >> 1);
+          int64_t pos = order[k];
+          if (pos < 0 || pos >= size) return -2;
+          if (accumulate)
+            qc[pos] += coeff << shift;
+          else
+            qc[pos] = coeff << shift;
+          prev = u != 0;
+          nzeros -= prev;
+        }
+        if (nzeros != 0) return -3;
+      }
+      coff += size;
+    }
+  }
+  if (dec.overflow) return -4;
+  if (check_final && dec.state != (kAnsSignature << 16)) return -1;
+  return dec.bitpos;
+}
+
+// Paint the AC-strategy / quant-field / sharpness planes for one DC
+// group from the decoded AC-metadata channels (frame_dec.py
+// _decode_ac_metadata raster loop; dec_modular.cc DecodeAcMetadata).
+// Returns consumed strategy count, or -1 on corrupt data.
+EXPORT int64_t jxlt_acs_paint(const int32_t* acs_vals,
+                              const int32_t* qf_vals, int64_t count,
+                              const int32_t* sharp, int64_t bw, int64_t bh,
+                              int64_t gdb, const uint8_t* cov_x,
+                              const uint8_t* cov_y, int32_t* acs_out,
+                              int32_t* qf_out, uint8_t* anchor_out,
+                              int32_t* sharp_out) {
+  int64_t num = 0;
+  for (int64_t y = 0; y < bh; ++y) {
+    for (int64_t x = 0; x < bw; ++x) {
+      int s = sharp[y * bw + x];
+      if (s < 0 || s >= 8) return -1;
+      sharp_out[y * bw + x] = s;
+      if (acs_out[y * bw + x] >= 0) continue;
+      if (num >= count) return -1;
+      int raw = acs_vals[num];
+      if (raw < 0 || raw >= 27) return -1;
+      int cx = cov_x[raw], cy = cov_y[raw];
+      if ((x % gdb) + cx > gdb || (y % gdb) + cy > gdb) return -1;
+      if (x + cx > bw || y + cy > bh) return -1;
+      int qf = qf_vals[num];
+      qf = 1 + (qf < 0 ? 0 : (qf > 255 ? 255 : qf));
+      for (int64_t iy = 0; iy < cy; ++iy)
+        for (int64_t ix = 0; ix < cx; ++ix) {
+          acs_out[(y + iy) * bw + x + ix] = raw;
+          qf_out[(y + iy) * bw + x + ix] = qf;
+        }
+      anchor_out[y * bw + x] = 1;
+      ++num;
+    }
+  }
+  return num;
+}
+
 // Prefix-encode one group's packed residuals straight into a complete
 // byte-aligned section (header bits + tokens + pad). Used when the
 // host<->device link makes raw residual download (1 B/px) cheaper than
