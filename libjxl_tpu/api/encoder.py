@@ -586,10 +586,25 @@ def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions,
     group_dim = 128 << options.group_size_shift
     all_groups = [frame_groups_host(im, group_dim)[0] for im in imgs]
     per_image = all_groups[0].shape[0]
-    # per-image uploads (a few MB each) overlap on the host link better
-    # than one monolithic transfer; the concat happens on device
-    devs = [jax.device_put(g) for g in all_groups]
-    groups = jnp.concatenate(devs) if len(devs) > 1 else devs[0]
+    from libjxl_tpu.config import config as _cfg
+    if _cfg.shard_encode and len(jax.devices()) > 1:
+        # multi-chip: shard the group axis across the mesh; XLA turns
+        # the histogram into a cross-shard reduction and keeps all
+        # pixel-shaped intermediates distributed
+        from libjxl_tpu.parallel.mesh import make_mesh, shard_groups
+        mesh = make_mesh()
+        nd = mesh.devices.size
+        cat = np.concatenate(all_groups) if len(all_groups) > 1 \
+            else all_groups[0]
+        if cat.shape[0] % nd == 0:
+            groups = shard_groups(mesh, cat)
+        else:
+            groups = jax.device_put(cat)
+    else:
+        # per-image uploads (a few MB each) overlap on the host link
+        # better than one monolithic transfer; concat happens on device
+        devs = [jax.device_put(g) for g in all_groups]
+        groups = jnp.concatenate(devs) if len(devs) > 1 else devs[0]
     gx_groups = -(-w // group_dim)
     wide, wide8, valid, payload = lossless_tokens_device(
         groups, h, w, gx=gx_groups,

@@ -15,6 +15,11 @@ class RuntimeConfig:
     # program instead of host numpy. Pays a per-shape compile on first
     # use; wins on repeated shapes and on the TPU render path.
     device_filters: bool = False
+    # Shard the group axis of device encode passes over all visible
+    # devices (jax.sharding mesh; groups are THE parallel axis of JPEG
+    # XL, SURVEY.md 2.2). Histograms become cross-shard reductions; the
+    # emitted bitstream is identical to the single-device one.
+    shard_encode: bool = False
 
 
 config = RuntimeConfig()
