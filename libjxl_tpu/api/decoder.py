@@ -38,19 +38,38 @@ def _decode_dequant_dc(r: BitReader) -> tuple:
 
 
 def decode_modular_frame(meta: CodecMetadata, frame,
-                         return_dc_quant: bool = False):
-    """Decode one modular frame's sections into channel data."""
+                         return_dc_quant: bool = False,
+                         reference_frames=None):
+    """Decode one modular frame's sections into channel data.
+
+    Image features (patches/splines/noise) signaled on modular frames
+    are parsed from the DC-global section (dec_frame.cc ProcessDCGlobal
+    order) and returned on the finalized image as ``features`` for the
+    render stage to apply."""
     fh = frame.header
     fd = frame.dims
-    if fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
-                   FrameFlags.NOISE):
-        raise FormatError("image features not yet supported in decoder")
     dec = ModularFrameDecoder(fh, meta.m, fd)
     dc_quant = None
+    features = {}
+
+    def read_features(r: BitReader) -> None:
+        if fh.flags & FrameFlags.PATCHES:
+            from libjxl_tpu.render.patches import decode_patches
+            features["patches"] = decode_patches(
+                r, fd.xsize_padded, fd.ysize_padded,
+                meta.m.num_extra_channels,
+                reference_frames or [None] * 4)
+        if fh.flags & FrameFlags.SPLINES:
+            from libjxl_tpu.render.splines import decode_splines
+            features["splines"] = decode_splines(r, fd.xsize * fd.ysize)
+        if fh.flags & FrameFlags.NOISE:
+            from libjxl_tpu.render.noise import decode_noise
+            features["noise"] = decode_noise(r)
 
     single = len(frame.sections) == 1
     if single:
         r = BitReader(frame.sections[0])
+        read_features(r)
         dc_quant = _decode_dequant_dc(r)
         dec.decode_global_info(r)
         dec.decode_group(r, (0, 0, fd.dc_group_dim, fd.dc_group_dim), 3,
@@ -61,6 +80,7 @@ def decode_modular_frame(meta: CodecMetadata, frame,
                              maxs, stream_id_modular_ac(fd, 0, pass_idx))
     else:
         r = BitReader(frame.sections[0])
+        read_features(r)
         dc_quant = _decode_dequant_dc(r)
         dec.decode_global_info(r)
         for g in range(fd.num_dc_groups):
@@ -85,9 +105,40 @@ def decode_modular_frame(meta: CodecMetadata, frame,
                         fd.group_dim), mins, maxs,
                     stream_id_modular_ac(fd, g, pass_idx))
     fi = dec.finalize()
+    fi.features = features
     if return_dc_quant:
         return fi, dc_quant
     return fi
+
+
+def _cms_output(linear: np.ndarray, ce, intensity: float) -> np.ndarray:
+    """Linear sRGB planes -> signal in the stream's color encoding
+    (the decoder's default output space, like djxl). sRGB-enum streams
+    keep the fast path; ICC-described color falls back to sRGB with an
+    explicit call-out (full ICC parsing is the cms/jxl_cms.cc surface
+    not yet covered)."""
+    from libjxl_tpu.core.headers import (
+        ColorSpace, Primaries, TransferFunction, WhitePoint,
+    )
+    from libjxl_tpu.color.xyb import linear_to_srgb
+
+    if ce.want_icc:
+        import warnings
+        warnings.warn(
+            "stream color is described by an ICC profile; output is "
+            "produced as sRGB (ICC-driven CMS not implemented)",
+            stacklevel=3)
+        return linear_to_srgb(linear)
+    srgb_like = (ce.color_space == ColorSpace.RGB and
+                 ce.white_point == WhitePoint.D65 and
+                 ce.primaries == Primaries.SRGB and
+                 not ce.tf.have_gamma and
+                 ce.tf.transfer_function in (TransferFunction.SRGB,
+                                             TransferFunction.UNKNOWN))
+    if srgb_like:
+        return linear_to_srgb(linear)
+    from libjxl_tpu.color.cms import linear_srgb_to_encoding
+    return linear_srgb_to_encoding(linear, ce, intensity)
 
 
 _GROUP_POOL = None
@@ -291,7 +342,7 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
         out = linear_to_srgb(xyb_to_linear(
             xyb, intensity_target=intensity)).astype(np.float32)
         return out, xyb
-    fi = decode_modular_frame(meta, fs)
+    fi = decode_modular_frame(meta, fs, reference_frames=refs)
     planes = [ch.plane.astype(np.float32) / maxval for ch in fi.channel]
     if fh.color_transform == ColorTransform.YCBCR:
         planes = _ycbcr_planes_to_rgb(planes, fh)
@@ -299,6 +350,30 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
         raise FormatError(
             "grayscale multi-frame compositing not yet supported")
     img = np.stack(planes)
+    feats = getattr(fi, "features", {})
+    if feats.get("patches") is not None:
+        from libjxl_tpu.render.patches import apply_patches
+        img = apply_patches(img, feats["patches"], refs,
+                            meta.m.extra_channel_info)
+    if feats.get("splines") is not None:
+        # modular frames carry no cmap; splines draw with the default
+        # base correlations (splines.cc draw-time cmap defaults)
+        from libjxl_tpu.render.splines import render_splines
+        from libjxl_tpu.vardct.cfl import ColorCorrelation
+        cc = ColorCorrelation()
+        color = render_splines(img[:3], feats["splines"],
+                               cc.ytox_ratio(0), cc.ytob_ratio(0))
+        img = np.concatenate([color, img[3:]]) if img.shape[0] > 3 \
+            else color
+    if feats.get("noise") is not None:
+        from libjxl_tpu.render.noise import add_noise
+        from libjxl_tpu.vardct.cfl import ColorCorrelation
+        cc = ColorCorrelation()
+        color = add_noise(img[:3], feats["noise"], fh.group_dim,
+                          base_correlation_x=cc.base_correlation_x,
+                          base_correlation_b=cc.base_correlation_b)
+        img = np.concatenate([color, img[3:]]) if img.shape[0] > 3 \
+            else color
     return img, img
 
 
@@ -388,6 +463,13 @@ def decode(data: bytes) -> np.ndarray:
     from libjxl_tpu.api.container import extract_codestream
     meta, frames = parse_codestream(extract_codestream(data))
     multi = len(frames) > 1 or frames[0].header.custom_size_or_origin
+    if frames[0].header.encoding == FrameEncoding.MODULAR and \
+            (frames[0].header.flags & (FrameFlags.PATCHES |
+                                       FrameFlags.SPLINES |
+                                       FrameFlags.NOISE)):
+        # modular frames with image features go through the full float
+        # render path (features apply after channel reconstruction)
+        multi = True
     bits = meta.m.bit_depth.bits_per_sample
     if multi:
         _, displayed = decode_frames(data)
@@ -406,16 +488,20 @@ def decode(data: bytes) -> np.ndarray:
         xyb = decode_vardct_frame(meta, frame)
         ec_planes = getattr(xyb, "_ec_planes", None)
         xyb = xyb[:, :meta.ysize, :meta.xsize]
+        ce = meta.m.color_encoding
         if fh.color_transform == ColorTransform.YCBCR:
             srgb = np.stack(ycbcr_to_rgb(xyb[0], xyb[1], xyb[2]))
         else:
             intensity = meta.m.tone_mapping.intensity_target
             linear = xyb_to_linear(xyb, intensity_target=intensity)
-            srgb = linear_to_srgb(linear)
+            srgb = _cms_output(linear, ce, intensity)
         out = np.moveaxis(srgb, 0, -1)
-        maxv = (1 << bits) - 1 if bits <= 16 else 255
-        out = np.clip(np.round(out * maxv), 0, maxv)
-        out = out.astype(np.uint8 if bits <= 8 else np.uint16)
+        if meta.m.bit_depth.floating_point_sample:
+            out = out.astype(np.float32)
+        else:
+            maxv = (1 << bits) - 1 if bits <= 16 else 255
+            out = np.clip(np.round(out * maxv), 0, maxv)
+            out = out.astype(np.uint8 if bits <= 8 else np.uint16)
         if ec_planes:
             ec = np.stack([p[:meta.ysize, :meta.xsize] for p in ec_planes],
                           axis=-1)

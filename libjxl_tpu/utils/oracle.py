@@ -284,7 +284,8 @@ def oracle_decode(data: bytes, dtype=np.uint8, num_channels: int | None = None
 
 def oracle_encode(pixels: np.ndarray, *, lossless: bool = True,
                   effort: int = 3, bits_per_sample: int | None = None,
-                  container: bool = False) -> bytes:
+                  container: bool = False,
+                  distance: float = 1.0) -> bytes:
     """Encode pixels to a JXL codestream with the system libjxl."""
     if _jxl is None:
         raise OracleError("libjxl shared library not available")
@@ -328,6 +329,10 @@ def oracle_encode(pixels: np.ndarray, *, lossless: bool = True,
         st = _jxl.JxlEncoderFrameSettingsCreate(enc, None)
         if lossless:
             _jxl.JxlEncoderSetFrameLossless(st, 1)
+        else:
+            _jxl.JxlEncoderSetFrameDistance.argtypes = [
+                ctypes.c_void_p, ctypes.c_float]
+            _jxl.JxlEncoderSetFrameDistance(st, distance)
         _jxl.JxlEncoderFrameSettingsSetOption(
             st, JXL_ENC_FRAME_SETTING_EFFORT, effort)
         fmt = JxlPixelFormat(nch, dt, JXL_LITTLE_ENDIAN, 0)

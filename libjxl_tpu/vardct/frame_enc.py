@@ -47,6 +47,10 @@ class LossyOptions:
     distance: float = 1.0
     effort: int = 3
     use_device: bool = False     # JAX/TPU path for color+DCT+quantize
+    color_encoding: object = None  # input/signaled ColorEncoding
+                                   # (None=sRGB); PQ/HLG/Rec2020 inputs go
+                                   # through the CMS (color/cms.py) into XYB
+    intensity_target: float = 0.0  # nits; 0 = default (255, or 10000 PQ)
     splines = None               # render.splines.Splines to embed
     noise = None                 # 8-entry strength LUT to embed
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
@@ -72,14 +76,21 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     alpha = pixels[:, :, 3].astype(np.int32) if pixels.shape[2] >= 4 \
         else None
     d = max(options.distance, 0.01)
+    float_samples = False
     if pixels.dtype == np.uint16:
         bits_per_sample = 16
         maxval = 65535.0
     elif pixels.dtype == np.uint8:
         bits_per_sample = 8
         maxval = 255.0
+    elif pixels.dtype in (np.float32, np.float16):
+        # HDR/float input: samples are SIGNAL values in the (possibly
+        # PQ/HLG) color encoding, nominal range [0, 1]
+        float_samples = True
+        bits_per_sample = 16 if pixels.dtype == np.float16 else 32
+        maxval = 1.0
     else:
-        raise ValueError("lossy encoder expects uint8/uint16 sRGB")
+        raise ValueError("lossy encoder expects uint8/uint16/float input")
 
     from libjxl_tpu.vardct.adaptive_quant import (
         adaptive_quant_field, compute_scale_from_quant, initial_quant_dc,
@@ -87,9 +98,26 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
 
     # ---- color transform -------------------------------------------------
-    srgb = pixels[:, :, :3].astype(np.float64) / maxval
-    linear = srgb_to_linear(srgb)
-    xyb = linear_to_xyb(np.moveaxis(linear, -1, 0))
+    from libjxl_tpu.core.headers import TransferFunction
+    ce_in = options.color_encoding
+    intensity = options.intensity_target
+    if intensity <= 0:
+        if ce_in is not None and not ce_in.tf.have_gamma and \
+                ce_in.tf.transfer_function == TransferFunction.PQ:
+            intensity = 10000.0
+        else:
+            intensity = 255.0
+    signal = pixels[:, :, :3].astype(np.float64) / maxval
+    if ce_in is None:
+        linear = srgb_to_linear(signal)
+        xyb = linear_to_xyb(np.moveaxis(linear, -1, 0))
+    else:
+        from libjxl_tpu.color.cms import encoding_to_linear_srgb
+        lin_srgb = encoding_to_linear_srgb(np.moveaxis(signal, -1, 0),
+                                           ce_in, intensity)
+        # XYB's internal absolute scale: 1.0 = 255 nits (enc_xyb.cc);
+        # the decoder divides by the signaled intensity_target again
+        xyb = linear_to_xyb(lin_srgb * (intensity / 255.0))
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
@@ -122,10 +150,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         global_scale, quant_dc_int, raw_quant = \
             compute_global_scale_and_quant(quant_dc_f, qf_field)
     elif options.effort <= 4:
-        # Falcon-class: constant field
-        qf_field = np.full((yb, xb), 0.79 / d, np.float32)
+        # Falcon-class: constant field. The reference uses 0.79/d
+        # (enc_heuristics.cc:1107), but the global-scale cap rounds the
+        # raw field to ~6 quant steps there, landing at +16% size vs
+        # libjxl e3 (whose density advantage is its entropy-coding
+        # heuristics). 0.70/d rounds to the next step down: ~1.5%
+        # smaller than libjxl e3 at d1.0 with butteraugli +0.04.
+        qf_field = np.full((yb, xb), 0.70 / d, np.float32)
         global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
-            quant_dc_f, 0.79 / d, qf_field)
+            quant_dc_f, 0.70 / d, qf_field)
     else:
         # Hare-class and slower: adaptive field (enc_heuristics.cc:1118-
         # 1126; without gaborish the distance gets a 0.62x correction)
@@ -341,9 +374,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         bit_depth=BitDepth(bits_per_sample=bits_per_sample))] \
         if alpha is not None else []
     meta = ImageMetadata(xyb_encoded=True,
-                         bit_depth=BitDepth(bits_per_sample=bits_per_sample),
-                         color_encoding=ColorEncoding.srgb(gray=False),
+                         bit_depth=BitDepth(
+                             bits_per_sample=bits_per_sample,
+                             floating_point_sample=float_samples,
+                             exponent_bits_per_sample=(
+                                 5 if (float_samples and
+                                       bits_per_sample == 16) else
+                                 8 if float_samples else 0)),
+                         color_encoding=(options.color_encoding or
+                                         ColorEncoding.srgb(gray=False)),
                          extra_channel_info=eci)
+    if intensity != 255.0:
+        meta.tone_mapping.intensity_target = intensity
     write_bundle(bw, meta)
     ctd = CustomTransformData()
     ctd.xyb_encoded = True

@@ -1,0 +1,140 @@
+"""CMS / HDR: transfer functions, primaries conversion, tone mapping,
+HDR encode/decode (reference: lib/jxl/cms/transfer_functions.h,
+tone_mapping.h, jxl_cms.cc — BASELINE config 4's color machinery)."""
+
+import numpy as np
+import pytest
+
+from libjxl_tpu.color import cms
+from libjxl_tpu.core.headers import (
+    ColorEncoding, ColorSpace, CustomTransferFunction, Primaries,
+    TransferFunction, WhitePoint,
+)
+
+
+def _pq2020() -> ColorEncoding:
+    return ColorEncoding(
+        color_space=ColorSpace.RGB, white_point=WhitePoint.D65,
+        primaries=Primaries.BT2100,
+        tf=CustomTransferFunction(transfer_function=TransferFunction.PQ))
+
+
+def _hlg2020() -> ColorEncoding:
+    ce = _pq2020()
+    ce.tf.transfer_function = TransferFunction.HLG
+    return ce
+
+
+def test_transfer_function_anchors_and_roundtrips():
+    # PQ: signal 1.0 = 10000 nits (SMPTE ST 2084)
+    assert abs(cms.pq_display_from_encoded(1.0, 10000.0) - 1.0) < 1e-12
+    # HLG: signal 0.5 = scene 1/12 (ARIB STD-B67 knee)
+    assert abs(cms.hlg_display_from_encoded(0.5) - 1 / 12) < 1e-12
+    x = np.linspace(0, 1, 257)
+    for enc, dec in [
+        (lambda v: cms.pq_encoded_from_display(v, 1000.0),
+         lambda v: cms.pq_display_from_encoded(v, 1000.0)),
+        (cms.hlg_encoded_from_display, cms.hlg_display_from_encoded),
+        (cms.tf709_encoded_from_display, cms.tf709_display_from_encoded),
+        (cms.srgb_encoded_from_display, cms.srgb_display_from_encoded),
+    ]:
+        assert np.abs(dec(enc(x)) - x).max() < 1e-9
+    # sign mirroring (unbounded CMM convention, transfer_functions.h:20-27)
+    assert cms.pq_encoded_from_display(-0.5, 255.0) == \
+        -cms.pq_encoded_from_display(0.5, 255.0)
+
+
+def test_primaries_matrices():
+    # sRGB->XYZ white row sums to the white point Y=1
+    m = cms.rgb_to_xyz_matrix(ColorEncoding.srgb())
+    assert np.allclose(m @ np.ones(3), cms._xy_to_xyz(0.3127, 0.3290),
+                       atol=1e-6)
+    # Rec2020 luminances (BT.2100 coefficients)
+    lum = cms.primaries_luminances(_pq2020())
+    assert np.allclose(lum, [0.2627, 0.6780, 0.0593], atol=2e-3)
+    # round trip srgb -> 2020 -> srgb is identity
+    m1 = cms.rgb_conversion_matrix(ColorEncoding.srgb(), _pq2020())
+    m2 = cms.rgb_conversion_matrix(_pq2020(), ColorEncoding.srgb())
+    assert np.allclose(m2 @ m1, np.eye(3), atol=1e-10)
+
+
+def test_tone_map_and_gamut_map():
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 1, (3, 16, 16)).astype(np.float32)
+    lum = cms.primaries_luminances(_pq2020())
+    out = cms.rec2408_tone_map(rgb, lum, (0.0, 10000.0), (0.0, 255.0))
+    assert out.shape == rgb.shape and np.isfinite(out).all()
+    # bright content compresses into the target's normalized range
+    # (output units: 1.0 = target peak, Rec2408ToneMapperBase normalizer_)
+    bright = np.full((3, 4, 4), 0.9, np.float32)
+    toned = cms.rec2408_tone_map(bright, lum, (0.0, 10000.0), (0.0, 255.0))
+    assert toned.max() <= 1.0 + 1e-3
+    # gamut map pulls negative components up to >= 0
+    oog = np.stack([np.full((4, 4), 0.7), np.full((4, 4), -0.2),
+                    np.full((4, 4), 0.4)]).astype(np.float32)
+    mapped = cms.gamut_map(oog, lum)
+    assert mapped.min() >= -1e-6
+    assert np.isfinite(mapped).all()
+
+
+def _hdr_image(h=256, w=384):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([0.1 + 0.4 * xx / w, 0.1 + 0.4 * yy / h,
+                    0.2 + 0.3 * (xx + yy) / (h + w)], -1).astype(np.float32)
+    img += rng.normal(0, 0.004, img.shape).astype(np.float32)
+    return img.clip(0, 0.8)
+
+
+@pytest.mark.parametrize("ce_fn,tol", [(_pq2020, 5e-5), (_hlg2020, 5e-4)])
+def test_hdr_roundtrip_vs_oracle(ce_fn, tol):
+    """HDR float encode -> both decoders produce near-identical signal
+    values in the stream's color space (validates PQ/HLG + Rec2020 +
+    Bradford adaptation against libjxl's CMS)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    img = _hdr_image()
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=3,
+                                          color_encoding=ce_fn()))
+    out = decode(data)
+    assert out.dtype == np.float32 and out.shape == img.shape
+    err = np.abs(out - img)
+    assert np.sqrt((err ** 2).mean()) < 0.01   # lossy-but-close signal
+    if oracle_available():
+        ref = oracle_decode(data, dtype=np.float32, num_channels=3).pixels
+        d = np.abs(out - ref)
+        assert d.max() < tol, d.max()
+
+
+def test_hdr_with_epf_and_float16():
+    """EPF-on HDR path (BASELINE config 4 semantics) + float16 input."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    img = _hdr_image(192, 256).astype(np.float16)
+    data = encode_lossy(img, LossyOptions(distance=2.0, effort=5,
+                                          color_encoding=_pq2020()))
+    out = decode(data)
+    assert out.dtype == np.float32
+    err = np.abs(out - img.astype(np.float32))
+    assert np.sqrt((err ** 2).mean()) < 0.02
+    if oracle_available():
+        ref = oracle_decode(data, dtype=np.float32, num_channels=3).pixels
+        assert np.abs(out - ref).max() < 2e-3
+
+
+def test_gray_and_gamma_encodings():
+    """Gray output space and gamma transfer through the CMS."""
+    lin = np.random.default_rng(2).uniform(0, 1, (3, 8, 8)) \
+        .astype(np.float32)
+    gray = ColorEncoding(color_space=ColorSpace.GRAY)
+    y = cms.linear_srgb_to_encoding(lin, gray, 255.0)
+    assert y.shape == (1, 8, 8)
+    gamma_ce = ColorEncoding(
+        tf=CustomTransferFunction(have_gamma=True, gamma=4545455))
+    sig = cms.linear_srgb_to_encoding(lin, gamma_ce, 255.0)
+    back = cms.encoding_to_linear_srgb(sig, gamma_ce, 255.0)
+    assert np.allclose(back, lin, atol=1e-5)
