@@ -50,7 +50,8 @@ class FrameSections:
     dims: FrameDimensions
     toc_sizes: np.ndarray
     toc_permutation: np.ndarray | None
-    sections: list              # list[bytes] in TOC order
+    sections: list              # list[bytes|None] by LOGICAL section index
+    partial: bool = False       # input truncated: None entries are missing
 
 
 def read_codec_metadata(r: BitReader) -> CodecMetadata:
@@ -71,8 +72,12 @@ def read_codec_metadata(r: BitReader) -> CodecMetadata:
     return meta
 
 
-def read_frame_sections(r: BitReader, meta: CodecMetadata) -> FrameSections:
-    """Parse one frame's header + TOC and slice its sections (byte level)."""
+def read_frame_sections(r: BitReader, meta: CodecMetadata,
+                        allow_partial: bool = False) -> FrameSections:
+    """Parse one frame's header + TOC and slice its sections (byte level).
+
+    With ``allow_partial`` a truncated stream yields ``None`` for the
+    missing sections instead of raising (dec_frame.cc kSkipped)."""
     fh = FrameHeader()
     fh.visit(FieldReader(r), meta.m)
     cs = fh.chroma_subsampling
@@ -95,12 +100,20 @@ def read_frame_sections(r: BitReader, meta: CodecMetadata) -> FrameSections:
                         fh.passes.num_passes)
     sizes, offsets, perm = read_toc(r, n)
     assert r.bits_consumed % 8 == 0
-    sections = []
-    for sz in sizes:
-        sections.append(r.read_bytes(int(sz)))
-    if r.overflow:
+    # sizes/offsets are by LOGICAL section index (read_toc un-permutes);
+    # slice the payload by offset so permuted TOCs resolve correctly
+    total = int(sizes.sum())
+    avail = (r.total_bits() - r.bits_consumed) // 8
+    take = min(total, avail)
+    payload = r.read_bytes(take)
+    if r.overflow or (avail < total and not allow_partial):
         raise FormatError("truncated frame sections")
-    return FrameSections(fh, dims, sizes, perm, sections)
+    sections = []
+    for i in range(n):
+        o, s = int(offsets[i]), int(sizes[i])
+        sections.append(payload[o:o + s] if o + s <= take else None)
+    return FrameSections(fh, dims, sizes, perm, sections,
+                         partial=avail < total)
 
 
 def parse_codestream(data: bytes):

@@ -21,8 +21,12 @@ class Box:
     data: bytes
 
 
-class ContainerError(ValueError):
-    pass
+from libjxl_tpu.core.fields import FormatError
+
+
+class ContainerError(FormatError):
+    """Malformed ISOBMFF container (still a FormatError so one except
+    clause covers every invalid-input failure)."""
 
 
 def is_container(data: bytes) -> bool:

@@ -68,6 +68,8 @@ def decode_modular_frame(meta: CodecMetadata, frame,
 
     single = len(frame.sections) == 1
     if single:
+        if frame.sections[0] is None:
+            raise FormatError("truncated stream")
         r = BitReader(frame.sections[0])
         read_features(r)
         dc_quant = _decode_dequant_dc(r)
@@ -79,11 +81,15 @@ def decode_modular_frame(meta: CodecMetadata, frame,
             dec.decode_group(r, (0, 0, fd.group_dim, fd.group_dim), mins,
                              maxs, stream_id_modular_ac(fd, 0, pass_idx))
     else:
+        if frame.sections[0] is None:
+            raise FormatError("truncated stream: DC global missing")
         r = BitReader(frame.sections[0])
         read_features(r)
         dc_quant = _decode_dequant_dc(r)
         dec.decode_global_info(r)
         for g in range(fd.num_dc_groups):
+            if frame.sections[1 + g] is None:
+                continue        # partial: channel region stays zero
             r = BitReader(frame.sections[1 + g])
             gx = g % fd.xsize_dc_groups
             gy = g // fd.xsize_dc_groups
@@ -97,6 +103,8 @@ def decode_modular_frame(meta: CodecMetadata, frame,
             for g in range(fd.num_groups):
                 sec = ac_group_index(pass_idx, g, fd.num_groups,
                                      fd.num_dc_groups)
+                if frame.sections[sec] is None:
+                    continue    # partial: later passes/groups missing
                 r = BitReader(frame.sections[sec])
                 gx = g % fd.xsize_groups
                 gy = g // fd.xsize_groups
@@ -180,6 +188,8 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         dec.dc = dc_image[:, :yb, :xb].astype(np.float32)
     single = len(frame.sections) == 1
     if single:
+        if frame.sections[0] is None:
+            raise FormatError("truncated stream")
         r = BitReader(frame.sections[0])
         dec.decode_dc_global(r)
         dec.decode_dc_group(r, 0)
@@ -187,19 +197,43 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         dec.decode_ac_global(r)
         dec.decode_ac_group([r], 0, fh.passes.num_passes)
     else:
+        allow_partial = frame.partial
+        if frame.sections[0] is None:
+            raise FormatError("truncated stream: DC global missing")
         r = BitReader(frame.sections[0])
         dec.decode_dc_global(r)
+        missing_ac = set()
         for g in range(fd.num_dc_groups):
-            dec.decode_dc_group(BitReader(frame.sections[1 + g]), g)
+            sec = frame.sections[1 + g]
+            if sec is None:
+                continue    # DC stays zero; covered AC blocks skipped
+            dec.decode_dc_group(BitReader(sec), g)
         dec.finalize_dc()
-        dec.decode_ac_global(BitReader(
-            frame.sections[1 + fd.num_dc_groups]))
+        ac_gl = frame.sections[1 + fd.num_dc_groups]
+        if ac_gl is None:
+            missing_ac.update(range(fd.num_groups))
+        else:
+            dec.decode_ac_global(BitReader(ac_gl))
 
         def _ac(g: int) -> None:
-            readers = [BitReader(frame.sections[ac_group_index(
-                p, g, fd.num_groups, fd.num_dc_groups)])
+            secs = [frame.sections[ac_group_index(
+                p, g, fd.num_groups, fd.num_dc_groups)]
                 for p in range(fh.passes.num_passes)]
-            dec.decode_ac_group(readers, g, fh.passes.num_passes)
+            # progressive robustness: decode the complete prefix of
+            # passes; a missing LATER pass still renders the earlier ones
+            npass = 0
+            while npass < len(secs) and secs[npass] is not None:
+                npass += 1
+            if npass == 0:
+                missing_ac.add(g)
+                return
+            try:
+                dec.decode_ac_group([BitReader(s) for s in secs[:npass]],
+                                    g, npass)
+            except (FormatError, ValueError, IndexError):
+                if not allow_partial:
+                    raise
+                missing_ac.add(g)   # e.g. its DC group was truncated
 
         # AC groups are independent by design (TOC random access,
         # doc/format_overview.md:180-193); the native token decoder
@@ -207,11 +241,28 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         # channel modular data shares decoder state -> sequential then.
         no_ec = (dec.mfd.full_image is None or
                  not dec.mfd.full_image.channel)
-        if no_ec and fd.num_groups > 3:
-            list(_group_pool().map(_ac, range(fd.num_groups)))
+        groups_todo = [g for g in range(fd.num_groups)
+                       if g not in missing_ac]
+        if no_ec and len(groups_todo) > 3:
+            list(_group_pool().map(_ac, groups_todo))
         else:
-            for g in range(fd.num_groups):
+            for g in groups_todo:
                 _ac(g)
+        if missing_ac and not allow_partial:
+            raise FormatError("truncated stream: AC sections missing")
+        if missing_ac and dec.is_444:
+            # forced draw from DC (dec_frame.cc:735 Flush): missing
+            # groups render as the 8x-upsampled DC image
+            gdb = fd.group_dim // 8
+            for g in missing_ac:
+                gx, gy = g % fd.xsize_groups, g // fd.xsize_groups
+                bx0, by0 = gx * gdb, gy * gdb
+                bw = min(gdb, fd.xsize_blocks - bx0)
+                bh = min(gdb, fd.ysize_blocks - by0)
+                dcb = dec.dc[:, by0:by0 + bh, bx0:bx0 + bw]
+                up = np.repeat(np.repeat(dcb, 8, axis=1), 8, axis=2)
+                dec.pixels[:, by0 * 8:(by0 + bh) * 8,
+                           bx0 * 8:(bx0 + bw) * 8] = up
 
     if not dec.is_444:
         # chroma upsampling is the first render stage (dec_cache.cc:142)

@@ -92,6 +92,28 @@ class StreamingDecoder:
     def skip_frames(self, n: int) -> None:
         self._skip += n
 
+    def flush(self):
+        """Render what has arrived of the CURRENT (incomplete) frame
+        (decode.h JxlDecoderFlushImage; dec_frame.cc:735): complete AC
+        groups at full quality, missing ones drawn from the upsampled
+        DC. Returns an (h, w, c) float array, or None when not even a
+        partial image can be produced yet."""
+        if self._meta is None:
+            return None
+        if self._done:
+            return self.images[-1] if self.images else None
+        from libjxl_tpu.api.codestream import read_frame_sections
+        from libjxl_tpu.api.decoder import _frame_to_float
+        r = BitReader(bytes(self._cs[self._hdr_bytes:]))
+        try:
+            fs = read_frame_sections(r, self._meta, allow_partial=True)
+            img, _ = _frame_to_float(self._meta, fs, self._refs,
+                                     self._dc_store)
+        except (FormatError, ValueError, IndexError):
+            return None
+        return np.moveaxis(img[:, :self._meta.ysize, :self._meta.xsize],
+                           0, -1)
+
     # ---- event loop --------------------------------------------------------
 
     def process(self) -> list:

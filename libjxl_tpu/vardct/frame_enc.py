@@ -52,7 +52,11 @@ class LossyOptions:
                                    # through the CMS (color/cms.py) into XYB
     intensity_target: float = 0.0  # nits; 0 = default (255, or 10000 PQ)
     splines = None               # render.splines.Splines to embed
-    noise = None                 # 8-entry strength LUT to embed
+    noise = None                 # 8-entry strength LUT, or "auto" to
+                                 # estimate from the image (enc_noise.cc)
+    photon_noise_iso: float = 0.0  # >0: synthesize the grain a 35mm
+                                   # sensor at this ISO would have
+                                   # (enc_photon_noise.cc)
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
     qf_override = None           # explicit float quant field (internal:
                                  # the butteraugli iteration loop)
@@ -118,6 +122,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # XYB's internal absolute scale: 1.0 = 255 nits (enc_xyb.cc);
         # the decoder divides by the signaled intensity_target again
         xyb = linear_to_xyb(lin_srgb * (intensity / 255.0))
+
+    # ---- noise model (encoder side) -------------------------------------
+    noise_lut = options.noise
+    if isinstance(noise_lut, str):       # "auto": estimate from the image
+        from libjxl_tpu.render.enc_noise import estimate_noise
+        noise_lut = estimate_noise(xyb)
+    elif noise_lut is None and options.photon_noise_iso > 0:
+        from libjxl_tpu.render.enc_noise import photon_noise_lut
+        noise_lut = photon_noise_lut(options.photon_noise_iso, w, h)
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
@@ -397,7 +410,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     from libjxl_tpu.core.frame_header import FrameFlags
     if options.splines is not None:
         fh.flags |= FrameFlags.SPLINES
-    if options.noise is not None:
+    if noise_lut is not None:
         fh.flags |= FrameFlags.NOISE
     fh.x_qm_scale = x_qm_scale
     if options.progressive:
@@ -419,8 +432,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         if options.splines is not None:
             from libjxl_tpu.render.splines import serialize_splines
             serialize_splines(sw, options.splines)
-        if options.noise is not None:
-            for v in options.noise:
+        if noise_lut is not None:
+            for v in noise_lut:
                 sw.write(10, int(round(v * 1024)))
         sw.write(1, 1)                       # DequantMatrices::DecodeDC def.
         write_u32(sw, _GLOBAL_SCALE_DIST, global_scale)

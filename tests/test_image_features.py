@@ -144,6 +144,50 @@ def test_noise_encode_side():
     assert abs(np.abs(ours - 128).mean() - np.abs(ref - 128).mean()) < 2.0
 
 
+def test_noise_estimation_auto():
+    """noise="auto" estimates a strength LUT from the image
+    (GetNoiseParameter, enc_noise.cc:342-367); clean images get none."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.color.xyb import linear_to_xyb, srgb_to_linear
+    from libjxl_tpu.render.enc_noise import estimate_noise
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(2)
+    img = np.clip(128 + rng.normal(0, 6, (96, 96, 3)), 0,
+                  255).astype(np.uint8)
+    opts = LossyOptions(distance=1.0)
+    opts.noise = "auto"
+    data = encode_lossy(img, opts)
+    ours = decode(data).astype(float)
+    ref = oracle_decode(data).pixels[:, :, :3].astype(float)
+    amp_ours = np.abs(ours - 128).mean()
+    assert amp_ours > 1.0                       # grain was resynthesized
+    assert abs(amp_ours - np.abs(ref - 128).mean()) < 1.0
+
+    # a clean gradient must not trigger synthetic noise
+    yy, xx = np.mgrid[0:128, 0:128]
+    clean = np.stack([(xx + yy) / 512 + 0.2] * 3, 0).clip(0, 1)
+    assert estimate_noise(linear_to_xyb(srgb_to_linear(clean))) is None
+
+
+def test_photon_noise_iso():
+    """photon_noise_iso synthesizes film-like grain from the sensor model
+    (SimulatePhotonNoise, enc_photon_noise.cc:35-88)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    flat = np.full((96, 96, 3), 140, np.uint8)
+    data = encode_lossy(flat, LossyOptions(distance=1.0,
+                                           photon_noise_iso=6400))
+    ours = decode(data).astype(float)
+    ref = oracle_decode(data).pixels[:, :, :3].astype(float)
+    amp_ours = np.abs(ours - 140).mean()
+    assert amp_ours > 0.05
+    assert abs(amp_ours - np.abs(ref - 140).mean()) < 0.5
+
+
 def test_patches_decode_matches_oracle():
     """Reference-only XYB-modular atlas frame + patch dictionary
     (generated by the system libjxl at e8 with patches forced)."""
