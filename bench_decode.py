@@ -22,16 +22,18 @@ def _make_stream():
 
 
 def bench_decode_mpps() -> float:
-    from libjxl_tpu.api.decoder import decode
+    """Serving throughput: a batch of streams through decode_many, so
+    host entropy decode, device filter/output and link transfers
+    overlap across streams."""
+    from libjxl_tpu.api.decoder import decode, decode_many
     from libjxl_tpu.config import config
 
     data = _make_stream()
     config.device_filters = True
     decode(data)  # warm: native build + filter compile
-    n = 8
+    n = 10
     t0 = time.perf_counter()
-    for _ in range(n):
-        decode(data)
+    decode_many([data] * n)
     dt = time.perf_counter() - t0
     return round(n * 0.786432 / dt, 2)
 

@@ -1,0 +1,40 @@
+"""VarDCT (lossy) encode throughput axis: 1024x768 d1.0 (BASELINE
+config 2) through the device encode pipeline (XYB + MXU-batched DCT +
+quantize on TPU, host entropy coding)."""
+
+import time
+
+import numpy as np
+
+
+def _make_images(n: int):
+    out = []
+    for s in range(n):
+        rng = np.random.default_rng(s)
+        yy, xx = np.mgrid[0:768, 0:1024]
+        out.append(np.stack([
+            (xx * 255 // 1024 + rng.integers(0, 8, (768, 1024))),
+            (yy * 255 // 768 + rng.integers(0, 8, (768, 1024))),
+            ((xx + yy) * 255 // 1792 + rng.integers(0, 8, (768, 1024))),
+        ], -1).clip(0, 255).astype(np.uint8))
+    return out
+
+
+def bench_vardct_encode_mpps() -> float:
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    imgs = _make_images(4)
+    opts = LossyOptions(distance=1.0, effort=3, use_device=True)
+    encode_lossy(imgs[0], opts)          # warm: compile
+    t0 = time.perf_counter()
+    for im in imgs:
+        data = encode_lossy(im, opts)
+    dt = time.perf_counter() - t0
+    assert len(data) > 0
+    return round(len(imgs) * 0.786432 / dt, 2)
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps({"vardct_encode_mpps": bench_vardct_encode_mpps()}))

@@ -137,16 +137,25 @@ def _cms_output(linear: np.ndarray, ce, intensity: float) -> np.ndarray:
             "produced as sRGB (ICC-driven CMS not implemented)",
             stacklevel=3)
         return linear_to_srgb(linear)
-    srgb_like = (ce.color_space == ColorSpace.RGB and
-                 ce.white_point == WhitePoint.D65 and
-                 ce.primaries == Primaries.SRGB and
-                 not ce.tf.have_gamma and
-                 ce.tf.transfer_function in (TransferFunction.SRGB,
-                                             TransferFunction.UNKNOWN))
-    if srgb_like:
+    if _is_srgb_like(ce):
         return linear_to_srgb(linear)
     from libjxl_tpu.color.cms import linear_srgb_to_encoding
     return linear_srgb_to_encoding(linear, ce, intensity)
+
+
+def _is_srgb_like(ce) -> bool:
+    """True when the output encoding is plain sRGB (the fast path both
+    on host and in the fused device output program)."""
+    from libjxl_tpu.core.headers import (
+        ColorSpace, Primaries, TransferFunction, WhitePoint,
+    )
+    return (not ce.want_icc and
+            ce.color_space == ColorSpace.RGB and
+            ce.white_point == WhitePoint.D65 and
+            ce.primaries == Primaries.SRGB and
+            not ce.tf.have_gamma and
+            ce.tf.transfer_function in (TransferFunction.SRGB,
+                                        TransferFunction.UNKNOWN))
 
 
 _GROUP_POOL = None
@@ -286,8 +295,18 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
     from libjxl_tpu.config import config as _cfg
     if _cfg.device_filters and (lf.gab or lf.epf_iters > 0):
         from libjxl_tpu.render.filters_jax import restore_device
+        # keep the result ON DEVICE when nothing downstream needs host
+        # pixels: decode() then fuses color conversion + quantization
+        # into the device program and fetches only the uint8 image
+        keep = (not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                                 FrameFlags.NOISE)) and
+                fh.upsampling == 1 and
+                (dec.mfd.full_image is None or
+                 not dec.mfd.full_image.channel))
         xyb = restore_device(xyb, lf, dec.raw_quant, dec.epf_sharpness,
-                             dec.quantizer.scale)
+                             dec.quantizer.scale, fetch=not keep)
+        if keep:
+            return xyb
     else:
         if lf.gab:
             xyb = gaborish(xyb, lf)
@@ -361,6 +380,8 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     if fh.encoding != FrameEncoding.MODULAR:
         dc_image = (dc_store or {}).get(fh.dc_level + 1)
         xyb = decode_vardct_frame(meta, fs, refs, dc_image)
+        if not isinstance(xyb, np.ndarray):
+            xyb = np.asarray(xyb)      # multi-frame compositing is host
         pre_ct = xyb
         if fh.color_transform == ColorTransform.YCBCR:
             from libjxl_tpu.color.xyb import ycbcr_to_rgb
@@ -505,6 +526,22 @@ def _blend_frame(canvas, img, fh, x0, y0, meta, refs=None):
     return out
 
 
+def decode_many(streams, workers: int = 3) -> list:
+    """Serving-mode decode of a batch of independent codestreams.
+
+    A small thread pool pipelines the per-stream stages so host entropy
+    decoding of one stream overlaps the device filter/output program and
+    the PCIe transfers of another (the reference decodes one image on
+    many threads, `thread_parallel_runner.h`; a TPU serving host instead
+    keeps the chip fed with a stream per worker)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not streams:
+        return []
+    with ThreadPoolExecutor(max(1, workers)) as ex:
+        return list(ex.map(decode, streams))
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode a JXL codestream to an (h, w, c) numpy array.
 
@@ -540,6 +577,18 @@ def decode(data: bytes) -> np.ndarray:
         ec_planes = getattr(xyb, "_ec_planes", None)
         xyb = xyb[:, :meta.ysize, :meta.xsize]
         ce = meta.m.color_encoding
+        if not isinstance(xyb, np.ndarray):
+            # device-resident result: fuse color conversion +
+            # quantization on device, fetch only the integer image
+            if (fh.color_transform == ColorTransform.XYB and
+                    not meta.m.bit_depth.floating_point_sample and
+                    bits <= 16 and not ec_planes and _is_srgb_like(ce)):
+                from libjxl_tpu.render.filters_jax import \
+                    output_srgb_int_device
+                intensity = meta.m.tone_mapping.intensity_target
+                return output_srgb_int_device(
+                    xyb, intensity, (1 << bits) - 1)
+            xyb = np.asarray(xyb)
         if fh.color_transform == ColorTransform.YCBCR:
             srgb = np.stack(ycbcr_to_rgb(xyb[0], xyb[1], xyb[2]))
         else:

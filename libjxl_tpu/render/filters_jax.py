@@ -70,12 +70,58 @@ def _restore(xyb, raw_quant, epf_sharpness, quant_scale, lfp: LfParams,
 
 
 def restore_device(xyb: np.ndarray, lf, raw_quant, epf_sharpness,
-                   quant_scale: float) -> np.ndarray:
-    """Run gaborish+EPF as one XLA program; returns numpy."""
+                   quant_scale: float, fetch: bool = True):
+    """Run gaborish+EPF as one XLA program.
+
+    With ``fetch`` (default) the result comes back as numpy; with
+    ``fetch=False`` it STAYS on device so a downstream device stage
+    (color conversion / quantization) can consume it without a host
+    round-trip — the d2h transfer is the decode bottleneck."""
     import jax.numpy as jnp
 
     out = _restore(jnp.asarray(xyb, jnp.float32),
                    jnp.asarray(raw_quant), jnp.asarray(epf_sharpness),
                    jnp.float32(quant_scale), lf_params(lf),
                    bool(lf.gab), int(lf.epf_iters))
+    if not fetch:
+        return out
     return np.asarray(out).astype(xyb.dtype)
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("maxval",))
+def _output_int(xyb, intensity, maxval: int):
+    """XYB (3, H, W) -> (H, W, 3) integer sRGB on device: the inverse
+    opsin transform (dec_xyb-inl.h:39-86), sRGB encode and quantization
+    fused into the same device program as the filters so only the final
+    uint8/uint16 image crosses the link."""
+    import jax.numpy as jnp
+
+    from libjxl_tpu.color.xyb import INVERSE_OPSIN, NEG_BIAS_CBRT, \
+        OPSIN_BIAS
+
+    gamma = jnp.stack([xyb[1] + xyb[0], xyb[1] - xyb[0], xyb[2]])
+    gamma = gamma - NEG_BIAS_CBRT
+    mixed = gamma * gamma * gamma - OPSIN_BIAS
+    # 3x3 color matrix as explicit VPU multiply-adds: einsum would hit
+    # the MXU at bfloat16 precision and visibly shift dark pixels
+    inv = INVERSE_OPSIN * (255.0 / intensity)
+    linear = jnp.stack([
+        inv[c][0] * mixed[0] + inv[c][1] * mixed[1] + inv[c][2] * mixed[2]
+        for c in range(3)])
+    a = jnp.abs(linear)
+    enc = jnp.where(a <= 0.0031308, a * 12.92,
+                    1.055 * a ** (1 / 2.4) - 0.055)
+    srgb = jnp.sign(linear) * enc
+    out = jnp.clip(jnp.round(srgb * maxval), 0, maxval)
+    out = jnp.moveaxis(out, 0, -1)
+    return out.astype(jnp.uint8 if maxval <= 255 else jnp.uint16)
+
+
+def output_srgb_int_device(xyb_dev, intensity: float,
+                           maxval: int) -> np.ndarray:
+    """Fetch the final integer sRGB image (h, w, 3) from a device-held
+    XYB array produced by ``restore_device(fetch=False)``."""
+    import jax.numpy as jnp
+
+    return np.asarray(_output_int(xyb_dev, jnp.float32(intensity),
+                                  int(maxval)))
