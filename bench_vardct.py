@@ -21,16 +21,17 @@ def _make_images(n: int):
 
 
 def bench_vardct_encode_mpps() -> float:
-    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    from libjxl_tpu.vardct.frame_enc import (
+        LossyOptions, encode_lossy, encode_lossy_many,
+    )
 
-    imgs = _make_images(4)
+    imgs = _make_images(8)
     opts = LossyOptions(distance=1.0, effort=3, use_device=True)
     encode_lossy(imgs[0], opts)          # warm: compile
     t0 = time.perf_counter()
-    for im in imgs:
-        data = encode_lossy(im, opts)
+    outs = encode_lossy_many(imgs, opts)
     dt = time.perf_counter() - t0
-    assert len(data) > 0
+    assert all(len(o) > 0 for o in outs)
     return round(len(imgs) * 0.786432 / dt, 2)
 
 

@@ -402,44 +402,69 @@ def _entropy_cost(h: np.ndarray) -> float:
     return float(total * np.log2(total) - (nz * np.log2(nz)).sum())
 
 
+def _entropy_cost_rows(H: np.ndarray) -> np.ndarray:
+    """Shannon cost in bits for each row histogram, vectorized."""
+    Hf = H.astype(np.float64)
+    totals = Hf.sum(axis=1)
+    logs = np.zeros_like(Hf)
+    np.log2(Hf, out=logs, where=Hf > 0)
+    tlog = np.where(totals > 0,
+                    totals * np.log2(np.maximum(totals, 1.0)), 0.0)
+    return tlog - (Hf * logs).sum(axis=1)
+
+
 def cluster_histograms(hists: np.ndarray, max_clusters: int = 64):
     """Greedy entropy-distance clustering (FastClusterHistograms,
-    enc_cluster.cc:136). Returns (context_map, clustered_hists)."""
+    enc_cluster.cc:136). Returns (context_map, clustered_hists).
+
+    Each incoming histogram is scored against ALL current clusters in
+    one vectorized entropy evaluation over the occupied alphabet width
+    (the scalar form cost >1s/frame in the VarDCT encoder)."""
     n = len(hists)
+    full_width = hists.shape[1]
+    occ = np.flatnonzero(hists.any(axis=0))
+    width = int(occ[-1]) + 1 if occ.size else 1
+    hists = hists[:, :width]
     totals = hists.sum(axis=1)
     order = np.argsort(-totals, kind="stable")
-    cluster_hists: list[np.ndarray] = []
-    cluster_costs: list[float] = []
+    C = np.zeros((max_clusters, width), dtype=np.int64)
+    costs = np.zeros(max_clusters)
+    k = 0
     cmap = np.zeros(n, dtype=np.int64)
     # all-empty contexts share cluster 0 later via mapping of zero hists
     for idx in order:
+        if totals[idx] == 0 and k:
+            # empty context: merges anywhere at zero delta-cost; the
+            # descending-total order guarantees all of these come last
+            cmap[idx] = 0
+            continue
         h = hists[idx].astype(np.int64)
-        best, best_cost = -1, None
-        for ci in range(len(cluster_hists)):
-            merged = cluster_hists[ci] + h
-            dcost = _entropy_cost(merged) - cluster_costs[ci] - \
-                _entropy_cost(h)
-            if best_cost is None or dcost < best_cost:
-                best, best_cost = ci, dcost
+        own_cost = _entropy_cost(h)
+        if k:
+            merged = C[:k] + h
+            merged_costs = _entropy_cost_rows(merged)
+            dcost = merged_costs - costs[:k] - own_cost
+            best = int(np.argmin(dcost))
+            best_cost = float(dcost[best])
+        else:
+            best, best_cost, merged_costs = -1, None, None
         # threshold: prefer a new cluster while under the cap and the merge
         # would cost noticeably more than separate coding
-        if cluster_hists and (best_cost is not None and
-                              best_cost <= max(60.0,
-                                               0.01 * _entropy_cost(h))):
-            cluster_hists[best] += h
-            cluster_costs[best] = _entropy_cost(cluster_hists[best])
+        if k and (best_cost <= max(60.0, 0.01 * own_cost)
+                  or k >= max_clusters):
+            C[best] += h
+            costs[best] = float(merged_costs[best])
             cmap[idx] = best
-        elif len(cluster_hists) < max_clusters:
-            cmap[idx] = len(cluster_hists)
-            cluster_hists.append(h.copy())
-            cluster_costs.append(_entropy_cost(h))
         else:
-            cluster_hists[best] += h
-            cluster_costs[best] = _entropy_cost(cluster_hists[best])
-            cmap[idx] = best
-    if not cluster_hists:
-        cluster_hists = [np.zeros(hists.shape[1], dtype=np.int64)]
-    return cmap, np.stack(cluster_hists)
+            cmap[idx] = k
+            C[k] = h
+            costs[k] = own_cost
+            k += 1
+    if k == 0:
+        k = 1
+    out = np.zeros((k, full_width), dtype=np.int64)
+    out[:, :width] = C[:k]
+    return cmap, out
 
 
 def lz77_rle_transform(arr: np.ndarray, num_contexts: int,
@@ -695,17 +720,27 @@ def write_tokens(w: BitWriter, tokens: np.ndarray,
     cfg = codes.uint_configs[0]
     toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
     if codes.use_prefix_code:
-        out_nbits = np.zeros(n, dtype=np.int64)
-        out_bits = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            h = int(histos[i])
-            t = int(toks[i])
-            depth = int(codes.prefix_depths[h][t])
-            code_bits = int(codes.prefix_bits[h][t])
-            data = code_bits | (int(bits[i]) << depth)
-            out_nbits[i] = depth + int(nbits[i])
-            out_bits[i] = data
+        # table-lookup form: pad per-histogram depth/bits tables to a
+        # rectangle, then one fancy-indexed gather per stream
+        amax = max(len(d) for d in codes.prefix_depths)
+        dmat = np.zeros((len(codes.prefix_depths), amax), np.int64)
+        bmat = np.zeros_like(dmat)
+        for h, (dd, bb) in enumerate(zip(codes.prefix_depths,
+                                         codes.prefix_bits)):
+            dmat[h, :len(dd)] = np.asarray(dd, np.int64)
+            bmat[h, :len(bb)] = np.asarray(bb, np.int64)
+        depth = dmat[histos, toks]
+        out_nbits = depth + nbits.astype(np.int64)
+        out_bits = bmat[histos, toks].astype(np.uint64) | \
+            (bits.astype(np.uint64) << depth.astype(np.uint64))
         w.write_array(out_nbits, out_bits)
+        return
+    from libjxl_tpu.utils import native
+    res = native.ans_encode_multi(toks, histos, nbits, bits,
+                                  codes.counts, codes.slot_starts,
+                                  codes.slots)
+    if res is not None:
+        w.append_packed(*res)
         return
     # ANS: process tokens in reverse, emit state words; then write forward.
     state = ANS_SIGNATURE << 16

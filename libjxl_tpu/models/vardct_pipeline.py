@@ -45,6 +45,168 @@ def srgb_to_xyb_device(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, b])
 
 
+_K_BIASES = (1.0 - 0.05465007330715401, 1.0 - 0.07005449891748593,
+             1.0 - 0.049935103337343655, 0.145)
+_COLOR_SCALE = 1.0 / 84.0
+
+
+def _adjust_quant_bias(q, c: int):
+    """quantizer-inl.h:35-60 on device: 0->0, ±1->±bias_c, else
+    q - bias3/q."""
+    absq = jnp.abs(q)
+    out = q - _K_BIASES[3] / jnp.where(q == 0, 1.0, q)
+    out = jnp.where(absq < 0.5, 0.0, out)
+    return jnp.where((absq > 0.5) & (absq < 1.5),
+                     jnp.sign(q) * _K_BIASES[c], out)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
+def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
+                              thres_xb, mul_dc, h: int, w: int, yb: int,
+                              xb: int, x_qm_mul: float):
+    """Full e<=4 VarDCT encode compute as ONE fused XLA program.
+
+    Mirrors the host math of ``frame_enc.encode_lossy`` (sRGB->XYB,
+    MXU-batched 8x8 DCT, dead-zone quantization with Y roundtrip,
+    per-64x64-tile chroma-from-luma least squares, DC quantization;
+    enc_xyb.cc, enc_group.cc:329-520, enc_chroma_from_luma.cc). The
+    host receives only the small integer outputs (quantized AC/DC and
+    the CfL maps) and runs context modeling + entropy coding.
+
+    pixels_u8: (h, w, 3) uint8 sRGB.  qac/inv_qac: (yb, xb) f32 AC
+    quant/dequant steps. table: (3, 64) dequant weights (stored
+    layout); thres_*: (64,) dead-zone thresholds. mul_dc: (3,) DC
+    steps.  Returns (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32,
+    ytox (ty, tx) i32, ytob (ty, tx) i32).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    srgb = jnp.moveaxis(pixels_u8.astype(jnp.float32), -1, 0) / 255.0
+    linear = jnp.where(srgb <= 0.04045, srgb / 12.92,
+                       ((srgb + 0.055) / 1.055) ** 2.4)
+    mixed = jnp.einsum("ij,jhw->ihw",
+                       jnp.asarray(_OPSIN, jnp.float32), linear,
+                       precision=hp) + _BIAS
+    g = jnp.cbrt(jnp.maximum(mixed, 1e-12)) + _NEG_BIAS_CBRT
+    xyb = jnp.stack([0.5 * (g[0] - g[1]), 0.5 * (g[0] + g[1]), g[2]])
+    xyb = jnp.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                  mode="edge")
+    blocks = xyb.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
+    m8 = jnp.asarray(dct_matrix(8), jnp.float32)
+    coef = jnp.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8, precision=hp)
+    stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
+
+    inv_table = 1.0 / table                              # (3, 64)
+
+    def quantize(c, coefs, qm_mul, thres):
+        val = coefs * (inv_table[c][None, None] *
+                       (qac[:, :, None] * qm_mul))
+        return jnp.where(jnp.abs(val) >= thres[None, None],
+                         jnp.round(val), 0.0)
+
+    q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
+    y_rt = _adjust_quant_bias(q_y, 1) * \
+        (table[1][None, None] * inv_qac[:, :, None])
+
+    # ---- CfL per-64x64-tile least squares (zero-pad tiles: zeros do
+    # not move the dot products) ------------------------------------
+    ty_n = -(-yb // 8)
+    tx_n = -(-xb // 8)
+    pad_y, pad_x = ty_n * 8 - yb, tx_n * 8 - xb
+    def tiled(a):                                        # (yb, xb, 63)
+        a = jnp.pad(a, ((0, pad_y), (0, pad_x), (0, 0)))
+        return a.reshape(ty_n, 8, tx_n, 8, 63)
+    yt = tiled(y_rt[:, :, 1:])
+    xt = tiled(stored[:, :, 0, 1:])
+    bt = tiled(stored[:, :, 2, 1:])
+    denom = jnp.einsum("tyxzk,tyxzk->tx", yt, yt, precision=hp)
+    dx = jnp.einsum("tyxzk,tyxzk->tx", xt, yt, precision=hp)
+    db = jnp.einsum("tyxzk,tyxzk->tx", bt, yt, precision=hp)
+    safe = jnp.maximum(denom, 1e-9)
+    ytox = jnp.where(denom < 1e-9, 0.0,
+                     jnp.clip(jnp.round(dx / safe / _COLOR_SCALE),
+                              -128, 127))
+    ytob = jnp.where(denom < 1e-9, 0.0,
+                     jnp.clip(jnp.round((db / safe - 1.0) / _COLOR_SCALE),
+                              -128, 127))
+    fx_full = jnp.repeat(jnp.repeat(ytox, 8, 0), 8, 1)[:yb, :xb] * \
+        _COLOR_SCALE
+    fb_full = 1.0 + jnp.repeat(jnp.repeat(ytob, 8, 0), 8, 1)[:yb, :xb] * \
+        _COLOR_SCALE
+    x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
+    b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
+    q_x = quantize(0, x_res, x_qm_mul, thres_xb)
+    q_b = quantize(2, b_res, 1.0, thres_xb)
+    q_ac = jnp.stack([q_x, q_y, q_b], axis=2)
+    # DC slot never feeds the AC tokenizer (order[1:]); zero it so the
+    # int8 link format below almost never escapes
+    q_ac = q_ac * (jnp.arange(64) != 0)
+    q_ac = jnp.clip(q_ac, -32768, 32767).astype(jnp.int32)
+    # link format: int8 plane + escape list. The dev-tunnel d2h is
+    # ~30 MB/s, so the 4x shrink vs int32 is the decode... encode
+    # latency win; -128 marks an escaped (|q|>127) coefficient whose
+    # value rides in the fixed-size (idx, val) side channel.
+    fits = (q_ac >= -127) & (q_ac <= 127)
+    q8 = jnp.where(fits, q_ac, -128).astype(jnp.int8)
+    flat = q_ac.reshape(-1)
+    esc_idx = jnp.nonzero(~fits.reshape(-1), size=_ESC_CAP,
+                          fill_value=-1)[0].astype(jnp.int32)
+    esc_val = jnp.where(esc_idx >= 0, flat[jnp.maximum(esc_idx, 0)], 0)
+    n_esc = jnp.sum(~fits).astype(jnp.int32)
+
+    # ---- DC (decoder adds cfl_dc_factor 1.0 * dequantized Y to B) --
+    q_dc_y = jnp.round(stored[:, :, 1, 0] / mul_dc[1])
+    dcy_deq = q_dc_y * mul_dc[1]
+    q_dc_x = jnp.round(stored[:, :, 0, 0] / mul_dc[0])
+    q_dc_b = jnp.round((stored[:, :, 2, 0] - dcy_deq) / mul_dc[2])
+    q_dc = jnp.stack([q_dc_x, q_dc_y, q_dc_b], -1).astype(jnp.int32)
+
+    # single d2h payload: every fetch over the link pays ~25-45 ms
+    # fixed latency, so ship ONE uint8 buffer, not seven arrays
+    def as_bytes(a):
+        a32 = a.astype(jnp.int32).reshape(-1)
+        return jax.lax.bitcast_convert_type(a32, jnp.uint8).reshape(-1)
+
+    packed = jnp.concatenate([
+        jax.lax.bitcast_convert_type(q8.reshape(-1), jnp.uint8),
+        as_bytes(esc_idx), as_bytes(esc_val),
+        as_bytes(n_esc.reshape(1)), as_bytes(q_dc),
+        as_bytes(ytox), as_bytes(ytob)])
+    return packed
+
+
+_ESC_CAP = 4096
+
+
+def unpack_lossy_outputs(packed, yb: int, xb: int, ty_n: int, tx_n: int):
+    """Split the single-payload device result into
+    (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32, ytox, ytob, n_esc).
+    n_esc > _ESC_CAP means the int8 link format overflowed and the
+    caller must redo the frame on the host."""
+    buf = np.asarray(packed)
+    nq = yb * xb * 3 * 64
+    off = 0
+    q = buf[:nq].view(np.int8).astype(np.int32)
+    off += nq
+    esc_idx = buf[off:off + 4 * _ESC_CAP].view(np.int32)
+    off += 4 * _ESC_CAP
+    esc_val = buf[off:off + 4 * _ESC_CAP].view(np.int32)
+    off += 4 * _ESC_CAP
+    n_esc = int(buf[off:off + 4].view(np.int32)[0])
+    off += 4
+    q_dc = buf[off:off + 4 * yb * xb * 3].view(np.int32) \
+        .reshape(yb, xb, 3).copy()
+    off += 4 * yb * xb * 3
+    ytox = buf[off:off + 4 * ty_n * tx_n].view(np.int32) \
+        .reshape(ty_n, tx_n).copy()
+    off += 4 * ty_n * tx_n
+    ytob = buf[off:off + 4 * ty_n * tx_n].view(np.int32) \
+        .reshape(ty_n, tx_n).copy()
+    if 0 < n_esc <= _ESC_CAP:
+        q[esc_idx[:n_esc]] = esc_val[:n_esc]
+    return q.reshape(yb, xb, 3, 64), q_dc, ytox, ytob, n_esc
+
+
 @functools.partial(jax.jit, static_argnames=())
 def vardct_encode_device(groups_u8: jnp.ndarray, dequant_step: jnp.ndarray,
                          inv_dc_step: jnp.ndarray):

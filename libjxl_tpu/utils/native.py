@@ -69,6 +69,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64]
+    lib.jxlt_ans_encode_multi.restype = ctypes.c_int64
+    lib.jxlt_ans_encode_multi.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.jxlt_ans_decode_tokens.restype = ctypes.c_int64
     lib.jxlt_ans_decode_tokens.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -107,6 +112,49 @@ def ans_encode_stream(tokens: np.ndarray, nbits: np.ndarray,
     total_bits = lib.jxlt_ans_encode_stream(
         tokens.ctypes.data, nbits.ctypes.data, bits.ctypes.data, n,
         counts.ctypes.data, start.ctypes.data, slots.ctypes.data,
+        out.ctypes.data, cap)
+    if total_bits < 0:
+        return None
+    return out[: (total_bits + 7) // 8].tobytes(), int(total_bits)
+
+
+def ans_encode_multi(tokens: np.ndarray, histos: np.ndarray,
+                     nbits: np.ndarray, bits: np.ndarray,
+                     counts_list, start_list, slots_list
+                     ) -> tuple[bytes, int] | None:
+    """Multi-context rANS emission: per-token histogram ids against
+    flattened per-histogram tables. Returns (bytes, total_bits) or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+    histos = np.ascontiguousarray(histos, dtype=np.int32)
+    nbits = np.ascontiguousarray(nbits, dtype=np.int32)
+    bits = np.ascontiguousarray(bits, dtype=np.uint32)
+    counts_off = np.zeros(len(counts_list) + 1, dtype=np.int64)
+    counts_off[1:] = np.cumsum([len(c) for c in counts_list])
+    counts_flat = np.concatenate(
+        [np.asarray(c, np.int32) for c in counts_list]) \
+        if counts_list else np.zeros(0, np.int32)
+    counts_flat = np.ascontiguousarray(counts_flat, dtype=np.int32)
+    start_off = np.zeros(len(start_list) + 1, dtype=np.int64)
+    start_off[1:] = np.cumsum([len(s) for s in start_list])
+    start_flat = np.concatenate(
+        [np.asarray(s, np.int64) for s in start_list]) \
+        if start_list else np.zeros(0, np.int64)
+    start_flat = np.ascontiguousarray(start_flat, dtype=np.int64)
+    slots_flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(s, np.int32) for s in slots_list]),
+        dtype=np.int32)
+    n = len(tokens)
+    cap = 8 * n + 64 + (n // 2) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    total_bits = lib.jxlt_ans_encode_multi(
+        tokens.ctypes.data, histos.ctypes.data, nbits.ctypes.data,
+        bits.ctypes.data, n, counts_flat.ctypes.data,
+        counts_off.ctypes.data, start_flat.ctypes.data,
+        start_off.ctypes.data, slots_flat.ctypes.data,
         out.ctypes.data, cap)
     if total_bits < 0:
         return None

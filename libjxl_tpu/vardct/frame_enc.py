@@ -111,11 +111,20 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             intensity = 10000.0
         else:
             intensity = 255.0
-    signal = pixels[:, :, :3].astype(np.float64) / maxval
-    if ce_in is None:
+    # full-compute device path: e<=4, sRGB uint8 input, no host-side
+    # statistics needed (noise="auto" estimates from host XYB)
+    use_dev = (options.use_device and options.effort <= 4 and
+               ce_in is None and pixels.dtype == np.uint8 and
+               not isinstance(options.noise, str) and
+               options.qf_override is None)
+    if use_dev:
+        xyb = None
+    elif ce_in is None:
+        signal = pixels[:, :, :3].astype(np.float64) / maxval
         linear = srgb_to_linear(signal)
         xyb = linear_to_xyb(np.moveaxis(linear, -1, 0))
     else:
+        signal = pixels[:, :, :3].astype(np.float64) / maxval
         from libjxl_tpu.color.cms import encoding_to_linear_srgb
         lin_srgb = encoding_to_linear_srgb(np.moveaxis(signal, -1, 0),
                                            ce_in, intensity)
@@ -137,16 +146,20 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     # gaborish is on at hare-class efforts: sharpen now, decoder smooths
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
     use_gab = options.effort >= 5 and d > 0.5
-    # the adaptive quant field uses PRE-gaborish values
-    # (enc_heuristics.cc:1117 comment); sharpen after computing it
-    xyb_pre_gab = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
-                         mode="edge")
-    if use_gab:
-        from libjxl_tpu.render.filters import gaborish_inverse
-        xyb = gaborish_inverse(xyb)
-    # pad to block grid (edge replicate)
-    xyb_p = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
-                   mode="edge")
+    if use_dev:
+        xyb_pre_gab = xyb_p = None
+    else:
+        # the adaptive quant field uses PRE-gaborish values
+        # (enc_heuristics.cc:1117 comment); sharpen after computing it
+        xyb_pre_gab = np.pad(xyb,
+                             ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                             mode="edge")
+        if use_gab:
+            from libjxl_tpu.render.filters import gaborish_inverse
+            xyb = gaborish_inverse(xyb)
+        # pad to block grid (edge replicate)
+        xyb_p = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                       mode="edge")
 
     # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
     quant_dc_f = initial_quant_dc(d)
@@ -194,13 +207,6 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     table = matrices.tables[0].reshape(3, 64).astype(np.float64)  # DCT8
     inv_table = 1.0 / table                        # quant weights
 
-    # ---- DCT ------------------------------------------------------------
-    blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
-    from libjxl_tpu.vardct.dct import dct_matrix
-    m8 = dct_matrix(8)
-    coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
-    stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
-
     # ---- quantize Y with dead zone, roundtrip for CfL -------------------
     # thresholds: quadrants of the coefficient block (enc_group.cc:357-360);
     # stored layout is transposed but the quadrant values are symmetric.
@@ -210,78 +216,118 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         th[0, 0] = 0.0          # DC slot never thresholded away here
         return th.reshape(64)
 
-    thres_y = quadrant_thresholds(0.56, 0.62)
-    thres_xb = quadrant_thresholds(0.58, 0.62)
+    if use_dev:
+        # one fused XLA program: color + DCT + quantize + CfL + DC
+        import copy
 
-    qac = quantizer.scale * raw_quant.astype(np.float64)   # (yb, xb)
-    qm = inv_table                                         # (3, 64)
-
-    def quantize(c, coefs, qm_mul, thres):
-        val = coefs * (qm[c][None, None] * (qac[:, :, None] * qm_mul))
-        q = np.where(np.abs(val) >= thres[None, None], np.rint(val), 0.0)
-        return q.astype(np.int32)
-
-    # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
-    use_acs = options.effort >= 5
-    if use_acs:
-        from libjxl_tpu.vardct.enc_acs import choose_acs
-        acs_map, acs_anchors, raw_quant = choose_acs(
-            xyb_p[1], raw_quant, matrices, quantizer, d,
-            try_small=options.effort >= 7)
-        qac = quantizer.scale * raw_quant.astype(np.float64)
-    else:
+        import jax.numpy as jnp
+        from libjxl_tpu.models.vardct_pipeline import (
+            _ESC_CAP, encode_lossy_frame_device, unpack_lossy_outputs,
+        )
+        mul_dc = quantizer.mul_dc(matrices.dc_quant)
+        qac_f = (quantizer.scale *
+                 raw_quant.astype(np.float32))
+        inv_qac_f = (inv_gs / raw_quant.astype(np.float32))
+        packed = encode_lossy_frame_device(
+            jnp.asarray(pixels[:, :, :3]), jnp.asarray(qac_f),
+            jnp.asarray(inv_qac_f),
+            jnp.asarray(table, jnp.float32),
+            jnp.asarray(quadrant_thresholds(0.56, 0.62), jnp.float32),
+            jnp.asarray(quadrant_thresholds(0.58, 0.62), jnp.float32),
+            jnp.asarray(np.asarray(mul_dc), jnp.float32),
+            h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
+        q_ac, q_dc, ytox_map, ytob_map, n_esc = unpack_lossy_outputs(
+            packed, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
+        if n_esc > _ESC_CAP:
+            # escape-buffer overflow (extreme content at tiny distance):
+            # redo on host — the int8 link format can't carry it
+            opts2 = copy.copy(options)
+            opts2.use_device = False
+            return encode_lossy(pixels, opts2)
+        use_acs = False
         acs_map = np.zeros((yb, xb), np.int32)
         acs_anchors = np.ones((yb, xb), bool)
-    if options._aux is not None:
-        options._aux.update(qf_field=np.asarray(qf_field, np.float64),
-                            acs=acs_map, anchors=acs_anchors)
+        stored = None
+    else:
+        # ---- DCT ------------------------------------------------------------
+        blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
+        from libjxl_tpu.vardct.dct import dct_matrix
+        m8 = dct_matrix(8)
+        coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
+        stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
 
-    q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
-    # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
-    inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
-    y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
-        (table[1][None, None] * inv_qac[:, :, None])
+        thres_y = quadrant_thresholds(0.56, 0.62)
+        thres_xb = quadrant_thresholds(0.58, 0.62)
 
-    # ---- chroma-from-luma search (per 64x64 tile, least squares) --------
-    tx_n = cdiv(xb, 8)
-    ty_n = cdiv(yb, 8)
-    ytox_map = np.zeros((ty_n, tx_n), np.int32)
-    ytob_map = np.zeros((ty_n, tx_n), np.int32)
-    color_scale = 1.0 / 84.0
-    for ty in range(ty_n):
-        for tx in range(tx_n):
-            ys, xs = slice(ty * 8, min((ty + 1) * 8, yb)), \
-                slice(tx * 8, min((tx + 1) * 8, xb))
-            yv = y_rt[ys, xs, 1:].ravel()
-            denom = float(np.dot(yv, yv))
-            if denom < 1e-9:
-                continue
-            xv = stored[ys, xs, 0, 1:].ravel()
-            bv = stored[ys, xs, 2, 1:].ravel()
-            fx = np.clip(round(np.dot(xv, yv) / denom / color_scale),
-                         -128, 127)
-            fb = np.clip(round((np.dot(bv, yv) / denom - 1.0) / color_scale),
-                         -128, 127)
-            ytox_map[ty, tx] = int(fx)
-            ytob_map[ty, tx] = int(fb)
+        qac = quantizer.scale * raw_quant.astype(np.float64)   # (yb, xb)
+        qm = inv_table                                         # (3, 64)
 
-    # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
-    fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
-        color_scale
-    fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
-        color_scale
-    if use_acs:
-        from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
-        blocks, dc_float_acs = transform_all(
-            xyb_p, acs_map, acs_anchors, raw_quant, matrices, quantizer,
-            x_qm_mul)
-        finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
-                      quantizer)
-    x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
-    b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
-    q_x = quantize(0, x_res, x_qm_mul, thres_xb)
-    q_b = quantize(2, b_res, 1.0, thres_xb)
-    q_ac = np.stack([q_x, q_y, q_b], axis=2)               # (yb, xb, 3, 64)
+        def quantize(c, coefs, qm_mul, thres):
+            val = coefs * (qm[c][None, None] * (qac[:, :, None] * qm_mul))
+            q = np.where(np.abs(val) >= thres[None, None], np.rint(val), 0.0)
+            return q.astype(np.int32)
+
+        # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
+        use_acs = options.effort >= 5
+        if use_acs:
+            from libjxl_tpu.vardct.enc_acs import choose_acs
+            acs_map, acs_anchors, raw_quant = choose_acs(
+                xyb_p[1], raw_quant, matrices, quantizer, d,
+                try_small=options.effort >= 7)
+            qac = quantizer.scale * raw_quant.astype(np.float64)
+        else:
+            acs_map = np.zeros((yb, xb), np.int32)
+            acs_anchors = np.ones((yb, xb), bool)
+        if options._aux is not None:
+            options._aux.update(qf_field=np.asarray(qf_field, np.float64),
+                                acs=acs_map, anchors=acs_anchors)
+
+        q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
+        # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
+        inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
+        y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
+            (table[1][None, None] * inv_qac[:, :, None])
+
+        # ---- chroma-from-luma search (per 64x64 tile, least squares) --------
+        tx_n = cdiv(xb, 8)
+        ty_n = cdiv(yb, 8)
+        ytox_map = np.zeros((ty_n, tx_n), np.int32)
+        ytob_map = np.zeros((ty_n, tx_n), np.int32)
+        color_scale = 1.0 / 84.0
+        for ty in range(ty_n):
+            for tx in range(tx_n):
+                ys, xs = slice(ty * 8, min((ty + 1) * 8, yb)), \
+                    slice(tx * 8, min((tx + 1) * 8, xb))
+                yv = y_rt[ys, xs, 1:].ravel()
+                denom = float(np.dot(yv, yv))
+                if denom < 1e-9:
+                    continue
+                xv = stored[ys, xs, 0, 1:].ravel()
+                bv = stored[ys, xs, 2, 1:].ravel()
+                fx = np.clip(round(np.dot(xv, yv) / denom / color_scale),
+                             -128, 127)
+                fb = np.clip(round((np.dot(bv, yv) / denom - 1.0) / color_scale),
+                             -128, 127)
+                ytox_map[ty, tx] = int(fx)
+                ytob_map[ty, tx] = int(fb)
+
+        # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
+        fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
+            color_scale
+        fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
+            color_scale
+        if use_acs:
+            from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
+            blocks, dc_float_acs = transform_all(
+                xyb_p, acs_map, acs_anchors, raw_quant, matrices, quantizer,
+                x_qm_mul)
+            finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
+                          quantizer)
+        x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
+        b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
+        q_x = quantize(0, x_res, x_qm_mul, thres_xb)
+        q_b = quantize(2, b_res, 1.0, thres_xb)
+        q_ac = np.stack([q_x, q_y, q_b], axis=2)               # (yb, xb, 3, 64)
 
     # ---- progressive pass split (enc_progressive_split.cc:30-80) --------
     pass_shifts = (2, 1, 0) if options.progressive else (0,)
@@ -303,22 +349,23 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             q_passes.append(_sr0(v, sh).astype(np.int32))
             prev_shift = sh
 
-    # ---- DC -------------------------------------------------------------
-    # decode adds cfl_dc_factors (0, ., 1.0)*dequantized-Y-DC
-    # (frame_dec.decode_dc_group), so B stores b_dc - dcy_dequantized.
-    mul_dc = quantizer.mul_dc(matrices.dc_quant)
-    if use_acs:
-        dcx_f, dcy_f, dcb_f = (dc_float_acs[0], dc_float_acs[1],
-                               dc_float_acs[2])
-    else:
-        dcx_f = stored[:, :, 0, 0]
-        dcy_f = stored[:, :, 1, 0]
-        dcb_f = stored[:, :, 2, 0]
-    q_dc_y = np.round(dcy_f / mul_dc[1]).astype(np.int32)
-    dcy_deq = q_dc_y * mul_dc[1]
-    q_dc_x = np.round(dcx_f / mul_dc[0]).astype(np.int32)
-    q_dc_b = np.round((dcb_f - dcy_deq) / mul_dc[2]).astype(np.int32)
-    q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
+    if not use_dev:
+        # ---- DC -------------------------------------------------------------
+        # decode adds cfl_dc_factors (0, ., 1.0)*dequantized-Y-DC
+        # (frame_dec.decode_dc_group), so B stores b_dc - dcy_dequantized.
+        mul_dc = quantizer.mul_dc(matrices.dc_quant)
+        if use_acs:
+            dcx_f, dcy_f, dcb_f = (dc_float_acs[0], dc_float_acs[1],
+                                   dc_float_acs[2])
+        else:
+            dcx_f = stored[:, :, 0, 0]
+            dcy_f = stored[:, :, 1, 0]
+            dcb_f = stored[:, :, 2, 0]
+        q_dc_y = np.round(dcy_f / mul_dc[1]).astype(np.int32)
+        dcy_deq = q_dc_y * mul_dc[1]
+        q_dc_x = np.round(dcx_f / mul_dc[0]).astype(np.int32)
+        q_dc_b = np.round((dcb_f - dcy_deq) / mul_dc[2]).astype(np.int32)
+        q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
 
     # ---- AC tokens (per pass) -------------------------------------------
     order = natural_order(0)
@@ -355,23 +402,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             for gy in range(fd.ysize_groups):
                 for gx in range(fd.xsize_groups):
                     g = gy * fd.xsize_groups + gx
-                    toks = group_tokens[p][g]
                     by0, bx0 = gy * gdb, gx * gdb
                     gh = min(gdb, yb - by0)
                     gw = min(gdb, xb - bx0)
-                    # nzeros prediction state is per-group (GroupDecCache)
-                    nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
-                    for by in range(gh):
-                        for bx in range(gw):
-                            y, x = by0 + by, bx0 + bx
-                            for c in (1, 0, 2):
-                                _tokenize_block(
-                                    toks, qp[y, x, c], order,
-                                    nzeros_img[c], bx, by, bctx,
-                                    int(raw_quant[y, x]), c)
+                    group_tokens[p][g] = _tokenize_group_dct8(
+                        qp[by0:by0 + gh, bx0:bx0 + gw], order, bctx,
+                        raw_quant[by0:by0 + gh, bx0:bx0 + gw])
 
     codes_per_pass = [build_entropy_codes(
-        [tokens_to_array(t) if t else np.zeros((0, 2), np.int64)
+        [tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
          for t in group_tokens[p]],
         num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
         histo_shift=11, max_clusters=24) for p in range(num_passes)]
@@ -501,8 +540,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     def ac_group(sw: BitWriter, g: int, p: int = 0) -> None:
         # histogram selector: 0 bits (num_histograms == 1)
-        arr = tokens_to_array(group_tokens[p][g]) if group_tokens[p][g] \
-            else np.zeros((0, 2), np.int64)
+        arr = tokens_to_array(group_tokens[p][g]) \
+            if len(group_tokens[p][g]) else np.zeros((0, 2), np.int64)
         write_tokens(sw, arr, codes_per_pass[p])
         # modular AC data (extra channels > group_dim) follows the tokens
         # (enc_group.cc EncodeGroup -> ModularFrameEncoder)
@@ -644,6 +683,94 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         it._in_iteration = True
         data = encode_lossy(pixels, it)
     return data
+
+
+def encode_lossy_many(images, options: LossyOptions | None = None,
+                      workers: int = 3) -> list[bytes]:
+    """Serving-mode lossy encode of a batch of images.
+
+    A small thread pool keeps the chip fed: while one stream runs its
+    host half (context modeling + rANS emission, largely GIL-free numpy
+    and native code), another's fused device program and link transfers
+    are in flight. The reference instead parallelizes WITHIN one image
+    (enc_frame.cc group loop); a TPU serving host gets more from
+    stream-level overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not images:
+        return []
+    with ThreadPoolExecutor(max(1, workers)) as ex:
+        return list(ex.map(lambda im: encode_lossy(im, options), images))
+
+
+def _tokenize_group_dct8(qp: np.ndarray, order: np.ndarray,
+                         bctx: BlockCtxMap, qf: np.ndarray) -> np.ndarray:
+    """Vectorized mirror of DecodeACVarBlock over a whole group of DCT8
+    blocks (enc_entropy_coder.cc:153): one (N, 2) token array covering
+    every (block, channel) in the group's raster/channel order.
+
+    The scalar form (`_tokenize_block`) costs ~0.25 s per MP in the
+    profile; here the nzeros prediction, zero-density contexts and
+    emit masks are all computed as (gh, gw, 3, 63) array ops."""
+    from libjxl_tpu.vardct.ac_context import (
+        K_COEFF_FREQ_CONTEXT, K_COEFF_NUM_NONZERO_CONTEXT,
+        K_NONZERO_BUCKETS, K_ZERO_DENSITY_CONTEXT_COUNT, NUM_ORDERS,
+    )
+    gh, gw = qp.shape[:2]
+    vals = qp[:, :, :, order[1:]].astype(np.int64)       # (gh, gw, 3, 63)
+    m = vals != 0
+    nzeros = m.sum(-1, dtype=np.int64)                   # (gh, gw, 3)
+    # nzeros prediction from already-coded neighbours (same group)
+    up = np.empty_like(nzeros)
+    up[0] = 32
+    up[1:] = nzeros[:-1]
+    left = np.empty_like(nzeros)
+    left[:, 0] = 0
+    left[:, 1:] = nzeros[:, :-1]
+    predicted = (up + left + 1) >> 1
+    predicted[:, 0] = up[:, 0]                           # bx==0: up or 32
+    if gh > 0:
+        predicted[0, 1:] = left[0, 1:]                   # by==0: left
+    # block context: c, qf thresholds (ord_=0, dc_idx=0)
+    qf_idx = np.searchsorted(np.asarray(bctx.qf_thresholds, np.int64),
+                             qf.astype(np.int64), side="left") \
+        if bctx.qf_thresholds else np.zeros((gh, gw), np.int64)
+    cidx = np.array([1, 0, 2], np.int64)                 # c ^ 1 | 2
+    idx = (cidx[None, None] * NUM_ORDERS) * \
+        (len(bctx.qf_thresholds) + 1) + qf_idx[:, :, None]
+    idx = idx * bctx.num_dc_ctxs
+    block_ctx = np.asarray(bctx.ctx_map, np.int64)[idx]  # (gh, gw, 3)
+    nzb = np.where(predicted < 8, predicted, 4 + predicted // 2)
+    nz_ctx = nzb * bctx.num_ctxs + block_ctx
+    nz_val = nzeros
+    # zero-density coefficient tokens
+    histo_offset = bctx.num_ctxs * K_NONZERO_BUCKETS + \
+        K_ZERO_DENSITY_CONTEXT_COUNT * block_ctx         # (gh, gw, 3)
+    prev0 = (nzeros <= 4).astype(np.int64)               # 0 if nzeros>4
+    prev = np.empty(vals.shape, np.int64)
+    prev[..., 0] = prev0
+    prev[..., 1:] = m[..., :-1]
+    cums = np.cumsum(m, axis=-1, dtype=np.int64)
+    rem = nzeros[..., None] - (cums - m)                 # left before pos
+    emit = rem > 0
+    knz = np.asarray(K_COEFF_NUM_NONZERO_CONTEXT, np.int64)
+    kfr = np.asarray(K_COEFF_FREQ_CONTEXT, np.int64)
+    ctx = histo_offset[..., None] + \
+        (knz[np.where(emit, rem, 0)] + kfr[None, None, None, 1:64]) * 2 + \
+        prev
+    tok_val = np.where(vals >= 0, vals << 1, ((-vals) << 1) - 1)
+    # assemble: (gh, gw, 3[c-order 1,0,2], 64) rows, masked flatten
+    corder = np.array([1, 0, 2])
+    all_ctx = np.concatenate(
+        [nz_ctx[:, :, corder, None], ctx[:, :, corder]], axis=-1)
+    all_val = np.concatenate(
+        [nz_val[:, :, corder, None], tok_val[:, :, corder]], axis=-1)
+    mask = np.concatenate(
+        [np.ones((gh, gw, 3, 1), bool), emit[:, :, corder]], axis=-1)
+    out = np.empty((int(mask.sum()), 2), np.int64)
+    out[:, 0] = all_ctx[mask]
+    out[:, 1] = all_val[mask]
+    return out
 
 
 def _tokenize_block(toks, qcoef, order, nz, bx, by, bctx: BlockCtxMap,

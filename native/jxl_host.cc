@@ -128,6 +128,48 @@ EXPORT int64_t jxlt_ans_encode_stream(
   return sink.bitpos;
 }
 
+// Multi-context variant: per-token histogram ids with flattened
+// per-histogram tables (counts/start at counts_off/start_off, slots at
+// hist*4096). Same reverse-emission flow as jxlt_ans_encode_stream.
+EXPORT int64_t jxlt_ans_encode_multi(
+    const int32_t* tokens, const int32_t* histos, const int32_t* nbits,
+    const uint32_t* bits, int64_t n, const int32_t* counts_flat,
+    const int64_t* counts_off, const int64_t* start_flat,
+    const int64_t* start_off, const int32_t* slots_flat, uint8_t* out,
+    int64_t cap) {
+  std::vector<uint32_t> rev_bits;
+  std::vector<uint8_t> rev_nbits;
+  rev_bits.reserve(n + n / 8 + 8);
+  rev_nbits.reserve(n + n / 8 + 8);
+  uint32_t state = kAnsSignature << 16;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    uint8_t nb = (uint8_t)nbits[i];
+    if (nb) {
+      rev_bits.push_back(bits[i]);
+      rev_nbits.push_back(nb);
+    }
+    int32_t h = histos[i];
+    int32_t t = tokens[i];
+    uint32_t freq = (uint32_t)counts_flat[counts_off[h] + t];
+    if ((state >> (32 - kAnsLogTabSize)) >= freq) {
+      rev_bits.push_back(state & 0xFFFF);
+      rev_nbits.push_back(16);
+      state >>= 16;
+    }
+    state = ((state / freq) << kAnsLogTabSize) +
+            (uint32_t)slots_flat[(int64_t)h * kAnsTabSize +
+                                 start_flat[start_off[h] + t] +
+                                 state % freq];
+  }
+  BitSink sink{out, cap};
+  sink.Write(32, state);
+  for (int64_t i = (int64_t)rev_bits.size() - 1; i >= 0; --i) {
+    sink.Write(rev_nbits[i], rev_bits[i]);
+  }
+  if (sink.overflow) return -1;
+  return sink.bitpos;
+}
+
 // Decode `n` hybrid-uint values from a single-context ANS stream.
 // alias_sym/alias_off: per-slot decode tables (4096 entries).
 // freqs: per-symbol counts. cfg = (split_exponent, msb, lsb).
