@@ -104,13 +104,28 @@ class Encoder:
             progressive=st.progressive))
 
     def _encode_multi(self) -> bytes:
-        if any(not st.lossless for _, st in self._frames):
-            raise NotImplementedError(
-                "multi-frame lossy animation not yet supported")
-        from libjxl_tpu.api.encoder import EncodeOptions, encode_animation
         frames = [px for px, _ in self._frames]
         durations = [st.duration or 1 for _, st in self._frames]
-        eff = self._frames[0][1].effort
-        return encode_animation(frames, durations,
-                                EncodeOptions(effort=eff),
-                                tps=self.tps, num_loops=self.num_loops)
+        lossless = [st.lossless for _, st in self._frames]
+        if any(lossless) and not all(lossless):
+            raise NotImplementedError(
+                "mixed lossless/lossy animation frames not supported "
+                "(the container is either xyb_encoded or not; encode "
+                "all frames with the same mode)")
+        st0 = self._frames[0][1]
+        if all(lossless):
+            from libjxl_tpu.api.encoder import (
+                EncodeOptions, encode_animation,
+            )
+            return encode_animation(frames, durations,
+                                    EncodeOptions(effort=st0.effort),
+                                    tps=self.tps,
+                                    num_loops=self.num_loops)
+        from libjxl_tpu.vardct.frame_enc import (
+            LossyOptions, encode_lossy_animation,
+        )
+        return encode_lossy_animation(
+            frames, durations,
+            LossyOptions(distance=st0.distance, effort=st0.effort,
+                         progressive=st0.progressive),
+            tps=self.tps, num_loops=self.num_loops)

@@ -62,6 +62,10 @@ class LossyOptions:
                                  # the butteraugli iteration loop)
     _aux = None                  # dict filled with qf_field/acs when set
     _in_iteration = False        # internal: inside the butteraugli loop
+    _animation = None            # AnimationHeader for multi-frame streams
+    _is_last = True              # frame-level: last frame in codestream
+    _duration = 0                # frame duration in animation ticks
+    _emit_headers = True         # False: emit only the frame sections
 
 
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
@@ -417,10 +421,6 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
-    write_signature(bw)
-    size = SizeHeader()
-    size.set(w, h)
-    write_bundle(bw, size)
     from libjxl_tpu.core.headers import ExtraChannelInfo
     eci = [ExtraChannelInfo(
         bit_depth=BitDepth(bits_per_sample=bits_per_sample))] \
@@ -438,14 +438,24 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                          extra_channel_info=eci)
     if intensity != 255.0:
         meta.tone_mapping.intensity_target = intensity
-    write_bundle(bw, meta)
-    ctd = CustomTransformData()
-    ctd.xyb_encoded = True
-    write_bundle(bw, ctd)
-    bw.zero_pad_to_byte()
+    if options._animation is not None:
+        meta.have_animation = True
+        meta.animation = options._animation
+    if options._emit_headers:
+        write_signature(bw)
+        size = SizeHeader()
+        size.set(w, h)
+        write_bundle(bw, size)
+        write_bundle(bw, meta)
+        ctd = CustomTransformData()
+        ctd.xyb_encoded = True
+        write_bundle(bw, ctd)
+        bw.zero_pad_to_byte()
 
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
+    fh.is_last = options._is_last
+    fh.animation_frame.duration = options._duration
     from libjxl_tpu.core.frame_header import FrameFlags
     if options.splines is not None:
         fh.flags |= FrameFlags.SPLINES
@@ -683,6 +693,38 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         it._in_iteration = True
         data = encode_lossy(pixels, it)
     return data
+
+
+def encode_lossy_animation(frames, durations=None,
+                           options: LossyOptions | None = None,
+                           tps: tuple = (10, 1),
+                           num_loops: int = 0) -> bytes:
+    """Encode a lossy (VarDCT) animation: REPLACE-blended regular frames
+    with per-frame durations (frame_header.h animation semantics; the
+    reference's default animation path in enc_frame.cc)."""
+    import copy
+
+    options = options or LossyOptions()
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    first = frames[0]
+    if any(f.shape != first.shape or f.dtype != first.dtype
+           for f in frames):
+        raise ValueError("all frames must have the same shape and dtype")
+    from libjxl_tpu.core.headers import AnimationHeader
+    anim = AnimationHeader(tps_numerator=tps[0], tps_denominator=tps[1],
+                           num_loops=num_loops)
+    if durations is None:
+        durations = [1] * len(frames)
+    out = bytearray()
+    for i, (f, dur) in enumerate(zip(frames, durations)):
+        o = copy.copy(options)
+        o._animation = anim
+        o._is_last = (i == len(frames) - 1)
+        o._duration = int(dur)
+        o._emit_headers = (i == 0)
+        out.extend(encode_lossy(f, o))
+    return bytes(out)
 
 
 def encode_lossy_many(images, options: LossyOptions | None = None,

@@ -200,3 +200,41 @@ def test_lossy_e7_iterated_and_small_transforms(rng):
     ours = decode(data)
     ref = oracle_decode(data, num_channels=3).pixels
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+@needs_oracle
+def test_lossy_animation(rng):
+    """Multi-frame lossy (VarDCT) animation: REPLACE-blended regular
+    frames with durations; both decoders accept the stream and our
+    decoder reproduces frame count, durations and content."""
+    from libjxl_tpu.api.decoder import decode_frames
+    from libjxl_tpu.vardct.frame_enc import encode_lossy_animation
+
+    frames = []
+    for i in range(3):
+        yy, xx = np.mgrid[0:64, 0:96]
+        frames.append(np.stack(
+            [(xx + 8 * i) % 256, (yy * 2 + i * 4) % 256, (xx + yy) % 256],
+            -1).astype(np.uint8))
+    data = encode_lossy_animation(frames, [1, 2, 3],
+                                  LossyOptions(distance=1.0, effort=3))
+    meta, decs = decode_frames(data)
+    assert len(decs) == 3
+    assert [f.duration for f in decs] == [1, 2, 3]
+    for i, f in enumerate(decs):
+        p = np.asarray(f.pixels[..., :3], np.float32)
+        if p.max() <= 1.01:
+            p = p * 255
+        assert np.abs(p - frames[i].astype(np.float32)).max() < 48
+    oracle_decode(data)           # reference accepts multi-frame stream
+
+
+@needs_oracle
+def test_device_lossy_matches_host(rng):
+    """The fused device encode program (encode_lossy_frame_device)
+    emits byte-identical streams to the host path."""
+    img = rng.integers(0, 255, (120, 200, 3)).astype(np.uint8)
+    host = encode_lossy(img, LossyOptions(distance=1.5, effort=3))
+    dev = encode_lossy(img, LossyOptions(distance=1.5, effort=3,
+                                         use_device=True))
+    assert host == dev
