@@ -117,14 +117,51 @@ def _modular_headers(pixels: np.ndarray, options,
     return meta, bw.to_bytes()
 
 
-def _modular_frame_bytes(pixels: np.ndarray, options, meta,
+def xyb_reference_frame_bytes(channels: list, meta, save_slot: int,
+                              options=None) -> bytes:
+    """A modular-XYB REFERENCE_ONLY frame (the patch atlas carrier;
+    RoundtripPatchFrame, enc_patch_dictionary.cc:812-900).
+
+    ``channels`` are the quantized integer planes in stored order
+    (Y, X, B-Y; api/decoder.py:404-412 is the matching reader)."""
+    from libjxl_tpu.core.frame_header import FrameType
+
+    options = options or EncodeOptions(effort=3, use_rct=False,
+                                       palette=0, lz77=False)
+    h, w = channels[0].shape
+    img = ModularImage(w, h, 32)
+    for ch in channels:
+        img.channel.append(Channel(np.asarray(ch, np.int32)))
+
+    def customize(fh):
+        fh.frame_type = FrameType.REFERENCE_ONLY
+        fh.color_transform = ColorTransform.XYB
+        fh.save_as_reference = save_slot
+        fh.save_before_color_transform = True
+        fh.custom_size_or_origin = True
+        fh.frame_origin_x0 = fh.frame_origin_y0 = 0
+        fh.frame_xsize, fh.frame_ysize = w, h
+
+    return _modular_frame_bytes(img, options, meta, is_last=False,
+                                customize=customize)
+
+
+def _modular_frame_bytes(pixels, options, meta,
                          is_last: bool = True, duration: int = 0,
-                         origin: tuple | None = None) -> bytes:
+                         origin: tuple | None = None,
+                         customize=None) -> bytes:
     """One modular frame: FrameHeader + TOC + sections (byte-aligned).
 
     ``origin=(x0, y0)`` emits a cropped sub-frame at that position
-    (enc_frame.cc streaming mode: stripes composited by REPLACE blend)."""
-    img, bits, nch = _image_from_pixels(pixels)
+    (enc_frame.cc streaming mode: stripes composited by REPLACE blend).
+    ``pixels`` may be a prebuilt ModularImage; ``customize(fh)`` hooks
+    frame-header edits (reference-only frames, XYB transform, ...)."""
+    if isinstance(pixels, ModularImage):
+        img = pixels
+        bits = img.bitdepth
+        nch = len(img.channel)
+    else:
+        img, bits, nch = _image_from_pixels(pixels)
     h, w = img.h, img.w
 
     # ---- frame header ----------------------------------------------------
@@ -140,6 +177,8 @@ def _modular_frame_bytes(pixels: np.ndarray, options, meta,
         fh.custom_size_or_origin = True
         fh.frame_origin_x0, fh.frame_origin_y0 = origin
         fh.frame_xsize, fh.frame_ysize = w, h
+    if customize is not None:
+        customize(fh)
     fh.visit(FieldWriter(bw), meta)
 
     fd = FrameDimensions(w, h, fh.group_dim)

@@ -52,6 +52,8 @@ class LossyOptions:
                                    # through the CMS (color/cms.py) into XYB
     intensity_target: float = 0.0  # nits; 0 = default (255, or 10000 PQ)
     splines = None               # render.splines.Splines to embed
+    patches = None               # None=auto (detect at effort>=7),
+                                 # False=off (enc_patch_dictionary.cc)
     noise = None                 # 8-entry strength LUT, or "auto" to
                                  # estimate from the image (enc_noise.cc)
     photon_noise_iso: float = 0.0  # >0: synthesize the grain a 35mm
@@ -147,6 +149,30 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
+
+    # ---- patch detection (enc_heuristics.cc:1058-1066; runs on the
+    # pre-gaborish opsin, atlas subtracted before the quant field) -----
+    will_delegate = (options.effort >= 7 and not options._in_iteration
+                     and not options.use_device)
+    patches_dict = None
+    atlas_frame_bytes = b""
+    if (options.effort >= 7 and options.patches is not False and
+            not use_dev and not will_delegate and xyb is not None and
+            min(h, w) >= 3 * 4):
+        from libjxl_tpu.render.enc_patches import (
+            PATCH_FRAME_REF_ID, build_patch_dictionary,
+            find_text_like_patches, pack_patches, quantize_atlas_modular,
+            subtract_patches,
+        )
+        found = find_text_like_patches(np.asarray(xyb, np.float32))
+        if found:
+            found, atlas, apos = pack_patches(found)
+            chans, atlas_dec = quantize_atlas_modular(atlas)
+            num_extra = 1 if alpha is not None else 0
+            patches_dict = build_patch_dictionary(found, apos, num_extra)
+            xyb = np.asarray(xyb, np.float64).copy()
+            subtract_patches(xyb, patches_dict, atlas_dec)
+
     # gaborish is on at hare-class efforts: sharpen now, decoder smooths
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
     use_gab = options.effort >= 5 and d > 0.5
@@ -452,11 +478,23 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         write_bundle(bw, ctd)
         bw.zero_pad_to_byte()
 
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    if patches_dict is not None:
+        # the atlas rides as a REFERENCE_ONLY modular-XYB frame right
+        # before the main frame (RoundtripPatchFrame)
+        from libjxl_tpu.api.encoder import xyb_reference_frame_bytes
+        atlas_frame_bytes = xyb_reference_frame_bytes(
+            chans, meta, PATCH_FRAME_REF_ID)
+        bw.write_bytes(atlas_frame_bytes)
+
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
     fh.is_last = options._is_last
     fh.animation_frame.duration = options._duration
     from libjxl_tpu.core.frame_header import FrameFlags
+    if patches_dict is not None:
+        fh.flags |= FrameFlags.PATCHES
     if options.splines is not None:
         fh.flags |= FrameFlags.SPLINES
     if noise_lut is not None:
@@ -478,6 +516,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     def dc_global(sw: BitWriter) -> None:
         # image features come first (ProcessDCGlobal: patches, splines,
         # noise, then the quantizer state)
+        if patches_dict is not None:
+            from libjxl_tpu.render.enc_patches import serialize_patches
+            serialize_patches(sw, patches_dict,
+                              1 if alpha is not None else 0)
         if options.splines is not None:
             from libjxl_tpu.render.splines import serialize_splines
             serialize_splines(sw, options.splines)

@@ -358,3 +358,31 @@ def test_modular_frame_with_patches_from_oracle():
         img[y:y + 12, x:x + 8] = glyph
     data = oracle_encode(img, lossless=True, effort=9)
     assert np.array_equal(decode(data), img)
+
+
+def test_encoder_patch_detection_roundtrip():
+    """Encoder-side patch detection (enc_patch_dictionary.cc:231-900):
+    repeated glyphs on a flat background become a patch dictionary +
+    REFERENCE_ONLY atlas frame at e7. Gate: much denser than the
+    patch-free stream, glyphs reconstructed near-exactly, and the
+    stream decodes identically in libjxl."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    rng = np.random.default_rng(0)
+    H, W = 128, 160
+    img = np.full((H, W, 3), 220, np.uint8)
+    glyph = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    for (y, x) in [(10, 10), (10, 40), (10, 70), (40, 10), (40, 40),
+                   (40, 70), (80, 20), (80, 50)]:
+        img[y:y + 7, x:x + 5] = glyph
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    nopatch = LossyOptions(distance=1.0, effort=7)
+    nopatch.patches = False
+    data_np = encode_lossy(img, nopatch)
+    assert len(data) < 0.5 * len(data_np)   # patches carry the glyphs
+    ours = decode(data)
+    err = np.abs(ours.astype(np.float32) - img.astype(np.float32))
+    assert err.mean() < 0.1 and err.max() <= 32
+    ref = oracle_decode(data).pixels
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
