@@ -95,8 +95,10 @@ def main():
         pass
 
     try:
-        from bench_decode import bench_decode_mpps
+        from bench_decode import bench_decode_device_mpps, \
+            bench_decode_mpps
         extra["decode_mpps"] = bench_decode_mpps()
+        extra["decode_device_mpps"] = bench_decode_device_mpps()
     except Exception:
         pass
     try:

@@ -22,20 +22,47 @@ def _make_stream():
 
 
 def bench_decode_mpps() -> float:
-    """Serving throughput: a batch of streams through decode_many, so
-    host entropy decode, device filter/output and link transfers
-    overlap across streams."""
-    from libjxl_tpu.api.decoder import decode, decode_many
+    """End-to-end serving throughput: a batch of streams through
+    decode_many — host entropy decode (threads), ONE batched device
+    reconstruction program per chunk (sparse-coefficient upload,
+    dequant+CfL+IDCT+EPF+color on TPU), pipelined uint8 fetches."""
+    from libjxl_tpu.api.decoder import decode_many
     from libjxl_tpu.config import config
 
     data = _make_stream()
     config.device_filters = True
-    decode(data)  # warm: native build + filter compile
-    n = 10
+    decode_many([data] * 8)   # warm: native build + K=8 chunk compile
+    n = 24
     t0 = time.perf_counter()
     decode_many([data] * n)
     dt = time.perf_counter() - t0
     return round(n * 0.786432 / dt, 2)
+
+
+def bench_decode_device_mpps() -> float:
+    """Device-resident decode rate (pixels stay in HBM for a consuming
+    model; excludes the dev tunnel's ~45 MB/s image fetch — see
+    BASELINE.md on why that link is not representative)."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import _device_decode_inputs
+    from libjxl_tpu.models.vardct_decode import decode_frames_device
+
+    data = _make_stream()
+    fr, key, lf = _device_decode_inputs(data)
+    h, w, yb, xb, gab, epf_iters, bits = key
+    inputs = [fr] * 8
+    out = decode_frames_device(inputs, lf, gab, epf_iters, h, w,
+                               fetch=False)
+    np.asarray(out[:1])       # sync (block_until_ready is a no-op here)
+    n = 6
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = decode_frames_device(inputs, lf, gab, epf_iters, h, w,
+                                   fetch=False)
+    np.asarray(out[:1])
+    dt = time.perf_counter() - t0
+    return round(n * 8 * 0.786432 / dt, 1)
 
 
 if __name__ == "__main__":

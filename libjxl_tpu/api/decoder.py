@@ -526,20 +526,164 @@ def _blend_frame(canvas, img, fh, x0, y0, meta, refs=None):
     return out
 
 
-def decode_many(streams, workers: int = 3) -> list:
+def _device_decode_inputs(data: bytes):
+    """Host half of the TPU decode: parse + native entropy decode one
+    stream into a FrameRecon pytree (models/vardct_decode.py), plus the
+    (shape, filters) batch key. Returns None when the stream needs the
+    general path (non-DCT8 strategies, features, extra channels, ...)."""
+    from libjxl_tpu.api.container import extract_codestream
+    from libjxl_tpu.models.vardct_decode import FrameRecon
+    from libjxl_tpu.utils import native
+    from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
+
+    if not native.available():
+        return None
+    meta, frames = parse_codestream(extract_codestream(data))
+    if len(frames) != 1:
+        return None
+    frame = frames[0]
+    fh = frame.header
+    bits = meta.m.bit_depth.bits_per_sample
+    if (fh.encoding == FrameEncoding.MODULAR or
+            fh.color_transform != ColorTransform.XYB or
+            fh.custom_size_or_origin or fh.upsampling != 1 or
+            fh.passes.num_passes != 1 or
+            (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                         FrameFlags.NOISE | FrameFlags.USE_DC_FRAME)) or
+            meta.m.num_extra_channels > 0 or
+            meta.m.bit_depth.floating_point_sample or bits > 16 or
+            meta.m.orientation != 1 or
+            not _is_srgb_like(meta.m.color_encoding)):
+        return None
+    fd = frame.dims
+    dec = VarDCTFrameDecoder(fh, meta.m, fd)
+    if not dec.is_444:
+        return None
+    yb, xb = fd.ysize_blocks, fd.xsize_blocks
+    if frame.partial or any(s is None for s in frame.sections):
+        return None
+    if len(frame.sections) == 1:
+        r = BitReader(frame.sections[0])
+        dec.decode_dc_global(r)
+        dec.decode_dc_group(r, 0)
+        dec.finalize_dc()
+        dec.decode_ac_global(r)
+        readers = {0: [r]}
+    else:
+        r = BitReader(frame.sections[0])
+        dec.decode_dc_global(r)
+        for g in range(fd.num_dc_groups):
+            dec.decode_dc_group(BitReader(frame.sections[1 + g]), g)
+        dec.finalize_dc()
+        dec.decode_ac_global(BitReader(
+            frame.sections[1 + fd.num_dc_groups]))
+        readers = {g: [BitReader(frame.sections[ac_group_index(
+            0, g, fd.num_groups, fd.num_dc_groups)])]
+            for g in range(fd.num_groups)}
+    if dec.jpeg_mode or (dec.acs_raw[dec.acs_anchor] != 0).any():
+        return None       # only the all-DCT8 shape runs on device
+    dec._collect_coeffs = np.zeros((3, yb, xb, 64), np.int32)
+    for g, rs in readers.items():
+        if not dec._decode_ac_group_native(rs, g, 1, *_group_rect(fd, g)):
+            return None   # prefix codes / lz77: host path
+    if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
+        return None
+    flat = dec._collect_coeffs.ravel()
+    nz = np.flatnonzero(flat).astype(np.int32)
+    vals = flat[nz]
+    if len(vals) and np.abs(vals).max() > 32767:
+        return None           # host path for absurd coefficients
+    x_dm = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
+    b_dm = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
+    fr = FrameRecon(
+        coeff_vals=vals.astype(np.int16),
+        coeff_idx=nz,
+        dc=dec.dc.astype(np.float32),
+        raw_quant=dec.raw_quant,
+        sharpness=dec.epf_sharpness,
+        x_cc=dec.cmap.ytox_ratio_arr(dec.ytox_map),
+        b_cc=dec.cmap.ytob_ratio_arr(dec.ytob_map),
+        inv_gs=np.float32(dec.quantizer.inv_global_scale),
+        dms=np.asarray([x_dm, 1.0, b_dm], np.float32),
+        table=dec.matrices.table_for_strategy(0).reshape(3, 64).astype(
+            np.float32),
+        quant_scale=np.float32(dec.quantizer.scale),
+        intensity=np.float32(meta.m.tone_mapping.intensity_target),
+    )
+    lf = fh.loop_filter
+    key = (meta.ysize, meta.xsize, yb, xb, bool(lf.gab),
+           int(lf.epf_iters), bits)
+    return fr, key, lf
+
+
+def _group_rect(fd, g: int):
+    gdb = fd.group_dim // 8
+    gx, gy = g % fd.xsize_groups, g // fd.xsize_groups
+    bx0, by0 = gx * gdb, gy * gdb
+    return bx0, by0, min(gdb, fd.xsize_blocks - bx0), \
+        min(gdb, fd.ysize_blocks - by0)
+
+
+def decode_many(streams, workers: int = 3, device_batch: bool = True
+                ) -> list:
     """Serving-mode decode of a batch of independent codestreams.
 
-    A small thread pool pipelines the per-stream stages so host entropy
-    decoding of one stream overlaps the device filter/output program and
-    the PCIe transfers of another (the reference decodes one image on
-    many threads, `thread_parallel_runner.h`; a TPU serving host instead
-    keeps the chip fed with a stream per worker)."""
+    Host threads run the serial half (parse + native rANS) in parallel;
+    frames of the same shape are then reconstructed by ONE batched TPU
+    program (dequant+CfL+IDCT+EPF+color, models/vardct_decode.py) and
+    only the final uint8 images cross the link. Streams the device fast
+    path cannot take (or all, with ``device_batch=False``) decode on
+    the general host path (the reference decodes one image on many
+    threads, `thread_parallel_runner.h`; a TPU serving host instead
+    keeps the chip fed with a batch of frames)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if not streams:
         return []
+    from libjxl_tpu.config import config
+    if not (device_batch and config.device_filters and len(streams) > 1):
+        with ThreadPoolExecutor(max(1, workers)) as ex:
+            return list(ex.map(decode, streams))
     with ThreadPoolExecutor(max(1, workers)) as ex:
-        return list(ex.map(decode, streams))
+        prepped = list(ex.map(
+            lambda s: _try(_device_decode_inputs, s), streams))
+    results: list = [None] * len(streams)
+    by_key: dict = {}
+    for i, p in enumerate(prepped):
+        if p is not None:
+            by_key.setdefault(p[1], []).append(i)
+    from libjxl_tpu.models.vardct_decode import decode_frames_device
+    CHUNK = 8
+    for key, idxs in by_key.items():
+        h, w, yb, xb, gab, epf_iters, bits = key
+        lf = prepped[idxs[0]][2]
+        # dispatch every chunk first (async device queue), then fetch:
+        # chunk i+1 executes while chunk i's image crosses the link
+        pending = []
+        for c0 in range(0, len(idxs), CHUNK):
+            chunk = idxs[c0:c0 + CHUNK]
+            dev = decode_frames_device(
+                [prepped[i][0] for i in chunk], lf, gab, epf_iters,
+                h, w, maxval=(1 << bits) - 1, fetch=False)
+            pending.append((chunk, dev))
+        for chunk, dev in pending:
+            out = np.asarray(dev).reshape(len(chunk), h, w, 3)
+            for j, i in enumerate(chunk):
+                results[i] = out[j]
+    rest = [i for i, p in enumerate(prepped) if p is None]
+    if rest:
+        with ThreadPoolExecutor(max(1, workers)) as ex:
+            for i, o in zip(rest, ex.map(decode,
+                                         [streams[i] for i in rest])):
+                results[i] = o
+    return results
+
+
+def _try(fn, *a):
+    try:
+        return fn(*a)
+    except FormatError:
+        return None
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -547,7 +691,20 @@ def decode(data: bytes) -> np.ndarray:
 
     Integer output at the metadata bit depth (uint8/uint16); for
     animations this is the final composited frame (use
-    :func:`decode_frames` for all of them)."""
+    :func:`decode_frames` for all of them). Metadata orientation is
+    applied (lib/extras exif.h semantics: the decoder rotates unless
+    the caller keeps orientation)."""
+    from libjxl_tpu.api.container import extract_codestream
+    out = _decode_unoriented(data)
+    meta = read_codec_metadata(BitReader(extract_codestream(data)))
+    if meta.m.orientation != 1:
+        from libjxl_tpu.extras.exif import apply_orientation
+        out = np.ascontiguousarray(
+            apply_orientation(out, meta.m.orientation))
+    return out
+
+
+def _decode_unoriented(data: bytes) -> np.ndarray:
     from libjxl_tpu.api.container import extract_codestream
     meta, frames = parse_codestream(extract_codestream(data))
     multi = len(frames) > 1 or frames[0].header.custom_size_or_origin

@@ -49,6 +49,8 @@ class EncodeOptions:
                                    # (0 disables; enc_heuristics palette)
     lz77: bool = True              # RLE-mode LZ77 when runs dominate
     squeeze: bool = False          # squeeze transform (responsive mode)
+    orientation: int = 1           # Exif orientation 1..8 stored in the
+                                   # metadata (decoder re-orients)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -76,6 +78,8 @@ def encode_lossless(pixels: np.ndarray,
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
     meta, header_bytes = _modular_headers(pixels, options)
+    from libjxl_tpu.api import stats as _stats
+    _stats.record("header", len(header_bytes) * 8)
     return header_bytes + _modular_frame_bytes(pixels, options, meta)
 
 
@@ -107,6 +111,8 @@ def _modular_headers(pixels: np.ndarray, options,
     if animation is not None:
         meta.have_animation = True
         meta.animation = animation
+    if getattr(options, "orientation", 1) != 1:
+        meta.orientation = options.orientation
     write_bundle(bw, meta)
     ctd = CustomTransformData()
     ctd.xyb_encoded = False
@@ -359,7 +365,23 @@ def _modular_frame_bytes(pixels, options, meta,
             if sum(map(len, sec_lz)) < sum(map(len, sections)):
                 sections = sec_lz
 
+    from libjxl_tpu.api import stats as _stats
+    if _stats.active() is not None:
+        # bit accounting (enc_aux_out.h layers for the modular path)
+        _stats.record("header", bw.bits_written)
+        _stats.record_count("num_base_pixels", w * h)
+        tw = BitWriter()
+        write_tree(tw, tree)
+        _stats.record("modular_tree", tw.bits_written)
+        _stats.record("modular_global", len(sections[0]) * 8 -
+                      tw.bits_written)
+        for s in sections[1:1 + fd.num_dc_groups]:
+            _stats.record("modular_dc_group", len(s) * 8)
+        for s in sections[1 + fd.num_dc_groups + 1:]:
+            _stats.record("modular_ac_group", len(s) * 8)
+    toc0 = bw.bits_written
     write_toc(bw, [len(s) for s in sections])
+    _stats.record("toc", bw.bits_written - toc0)
     out = bytearray(bw.to_bytes())
     for s in sections:
         out.extend(s)
@@ -638,11 +660,15 @@ def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions,
         if cat.shape[0] % nd == 0:
             groups = shard_groups(mesh, cat)
         else:
-            groups = jax.device_put(cat)
+            from libjxl_tpu.utils.device import device_put_fast
+            groups = device_put_fast(cat)
     else:
         # per-image uploads (a few MB each) overlap on the host link
-        # better than one monolithic transfer; concat happens on device
-        devs = [jax.device_put(g) for g in all_groups]
+        # better than one monolithic transfer; concat happens on device.
+        # Flat upload + device reshape: the tunnel moves 1-D buffers at
+        # full speed but row-chunks multi-D ones (utils/device.py)
+        from libjxl_tpu.utils.device import device_put_fast
+        devs = [device_put_fast(g) for g in all_groups]
         groups = jnp.concatenate(devs) if len(devs) > 1 else devs[0]
     gx_groups = -(-w // group_dim)
     wide, wide8, valid, payload = lossless_tokens_device(

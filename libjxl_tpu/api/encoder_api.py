@@ -36,6 +36,8 @@ class Encoder:
     have_animation: bool = False
     tps: tuple = (10, 1)
     num_loops: int = 0
+    collect_stats: bool = False    # JxlEncoderCollectStats
+    stats: object = None           # EncoderStats after output()
     _frames: list = field(default_factory=list)
     _boxes: list = field(default_factory=list)
     _jpeg: bytes | None = None
@@ -64,6 +66,14 @@ class Encoder:
         self.use_container = True
 
     def output(self) -> bytes:
+        if self.collect_stats:
+            from libjxl_tpu.api.stats import EncoderStats
+            self.stats = EncoderStats()
+            with self.stats.collect():
+                return self._output()
+        return self._output()
+
+    def _output(self) -> bytes:
         from libjxl_tpu.api.container import wrap_container
 
         if self._jpeg is not None:

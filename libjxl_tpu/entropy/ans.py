@@ -143,8 +143,31 @@ def decode_context_map(r: BitReader, num_contexts: int):
         use_mtf = r.read(1) == 1
         code = decode_histograms(r, 1, disallow_lz77=num_contexts <= 2)
         reader = ANSSymbolReader(code, r)
-        for i in range(num_contexts):
-            context_map[i] = reader.read_hybrid_uint(0, r)
+        vals = None
+        if not code.use_prefix_code and not code.lz77.enabled:
+            # bulk path: the map is one single-context token run — the
+            # native decoder does it in one call (dec_context_map.cc:75)
+            from libjxl_tpu.utils import native
+            if native.available():
+                ctx = int(code.context_map[0])
+                cfg = code.uint_configs[ctx]
+                res = native.ans_decode_tokens(
+                    r._data, r.bits_consumed, num_contexts,
+                    code.alias_symbols[ctx], code.alias_offsets[ctx],
+                    code.alias_freqs[ctx],
+                    cfg=(cfg.split_exponent, cfg.msb_in_token,
+                         cfg.lsb_in_token),
+                    check_final=False, state=reader.state)
+                if res is not None:
+                    vals, end_bit, state = res
+                    r.skip(end_bit - r.bits_consumed)
+                    reader.state = state
+                    if vals.max(initial=0) >= 256:
+                        raise FormatError("invalid cluster ID")
+                    context_map[:] = vals
+        if vals is None:
+            for i in range(num_contexts):
+                context_map[i] = reader.read_hybrid_uint(0, r)
         if context_map.max(initial=0) >= 256:
             raise FormatError("invalid cluster ID")
         if not reader.check_final_state():

@@ -142,18 +142,6 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
     # int8 link format below almost never escapes
     q_ac = q_ac * (jnp.arange(64) != 0)
     q_ac = jnp.clip(q_ac, -32768, 32767).astype(jnp.int32)
-    # link format: int8 plane + escape list. The dev-tunnel d2h is
-    # ~30 MB/s, so the 4x shrink vs int32 is the decode... encode
-    # latency win; -128 marks an escaped (|q|>127) coefficient whose
-    # value rides in the fixed-size (idx, val) side channel.
-    fits = (q_ac >= -127) & (q_ac <= 127)
-    q8 = jnp.where(fits, q_ac, -128).astype(jnp.int8)
-    flat = q_ac.reshape(-1)
-    esc_idx = jnp.nonzero(~fits.reshape(-1), size=_ESC_CAP,
-                          fill_value=-1)[0].astype(jnp.int32)
-    esc_val = jnp.where(esc_idx >= 0, flat[jnp.maximum(esc_idx, 0)], 0)
-    n_esc = jnp.sum(~fits).astype(jnp.int32)
-
     # ---- DC (decoder adds cfl_dc_factor 1.0 * dequantized Y to B) --
     q_dc_y = jnp.round(stored[:, :, 1, 0] / mul_dc[1])
     dcy_deq = q_dc_y * mul_dc[1]
@@ -167,32 +155,43 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
         a32 = a.astype(jnp.int32).reshape(-1)
         return jax.lax.bitcast_convert_type(a32, jnp.uint8).reshape(-1)
 
+    # link format: SPARSE (idx, val) compaction of the quantized AC —
+    # at normal distances ~99% of entries are zero, so this is ~10x
+    # less wire than even an int8 plane; the dense plane rides as a
+    # second output that stays in HBM unless the cap overflows
+    flat = q_ac.reshape(-1)
+    cap = _nnz_cap(yb, xb)
+    nz_idx = jnp.nonzero(flat != 0, size=cap,
+                         fill_value=-1)[0].astype(jnp.int32)
+    nz_val = jnp.where(nz_idx >= 0, flat[jnp.maximum(nz_idx, 0)],
+                       0).astype(jnp.int16)
+    n_nz = jnp.sum(flat != 0).astype(jnp.int32)
     packed = jnp.concatenate([
-        jax.lax.bitcast_convert_type(q8.reshape(-1), jnp.uint8),
-        as_bytes(esc_idx), as_bytes(esc_val),
-        as_bytes(n_esc.reshape(1)), as_bytes(q_dc),
-        as_bytes(ytox), as_bytes(ytob)])
-    return packed
+        as_bytes(n_nz.reshape(1)), as_bytes(q_dc),
+        as_bytes(ytox), as_bytes(ytob), as_bytes(nz_idx),
+        jax.lax.bitcast_convert_type(nz_val, jnp.uint8).reshape(-1)])
+    dense16 = jnp.clip(q_ac, -32768, 32767).reshape(-1).astype(jnp.int16)
+    return packed, dense16
 
 
-_ESC_CAP = 4096
+def _nnz_cap(yb: int, xb: int) -> int:
+    """Sparse-payload capacity: ~4 nonzero AC coefficients per block
+    covers normal-distance content with slack (measured ~1/block at
+    d1.0); overflow falls back to fetching the dense int16 plane."""
+    return max(16384, yb * xb * 4)
 
 
-def unpack_lossy_outputs(packed, yb: int, xb: int, ty_n: int, tx_n: int):
+def unpack_lossy_outputs(packed, dense16, yb: int, xb: int, ty_n: int,
+                         tx_n: int):
     """Split the single-payload device result into
-    (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32, ytox, ytob, n_esc).
-    n_esc > _ESC_CAP means the int8 link format overflowed and the
-    caller must redo the frame on the host."""
+    (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32, ytox, ytob).
+    ``dense16`` (a device array) is only fetched when the sparse run
+    overflowed its capacity."""
     buf = np.asarray(packed)
     nq = yb * xb * 3 * 64
+    cap = _nnz_cap(yb, xb)
     off = 0
-    q = buf[:nq].view(np.int8).astype(np.int32)
-    off += nq
-    esc_idx = buf[off:off + 4 * _ESC_CAP].view(np.int32)
-    off += 4 * _ESC_CAP
-    esc_val = buf[off:off + 4 * _ESC_CAP].view(np.int32)
-    off += 4 * _ESC_CAP
-    n_esc = int(buf[off:off + 4].view(np.int32)[0])
+    n_nz = int(buf[off:off + 4].view(np.int32)[0])
     off += 4
     q_dc = buf[off:off + 4 * yb * xb * 3].view(np.int32) \
         .reshape(yb, xb, 3).copy()
@@ -202,9 +201,16 @@ def unpack_lossy_outputs(packed, yb: int, xb: int, ty_n: int, tx_n: int):
     off += 4 * ty_n * tx_n
     ytob = buf[off:off + 4 * ty_n * tx_n].view(np.int32) \
         .reshape(ty_n, tx_n).copy()
-    if 0 < n_esc <= _ESC_CAP:
-        q[esc_idx[:n_esc]] = esc_val[:n_esc]
-    return q.reshape(yb, xb, 3, 64), q_dc, ytox, ytob, n_esc
+    off += 4 * ty_n * tx_n
+    if n_nz > cap:
+        q = np.asarray(dense16).astype(np.int32)
+    else:
+        nz_idx = buf[off:off + 4 * cap].view(np.int32)[:n_nz]
+        off += 4 * cap
+        nz_val = buf[off:off + 2 * cap].view(np.int16)[:n_nz]
+        q = np.zeros(nq, np.int32)
+        q[nz_idx] = nz_val
+    return q.reshape(yb, xb, 3, 64), q_dc, ytox, ytob
 
 
 @functools.partial(jax.jit, static_argnames=())

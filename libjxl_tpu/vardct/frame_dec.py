@@ -459,6 +459,12 @@ class VarDCTFrameDecoder:
             if end < 0:
                 raise FormatError(f"AC group native decode error {end}")
             r.skip(int(end) - r.bits_consumed)
+        if getattr(self, "_collect_coeffs", None) is not None:
+            # device-reconstruction mode: stash raw quantized coefficients
+            # (models/vardct_decode.py runs dequant+CfL+IDCT on TPU)
+            self._collect_coeffs[:, by0:by0 + h_, bx0:bx0 + w_, :] = \
+                coeffs.reshape(3, h_, w_, 64)
+            return True
         self._reconstruct_group_batched(bx0, by0, w_, h_, acs, anchors,
                                         coeffs)
         return True

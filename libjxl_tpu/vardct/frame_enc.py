@@ -248,32 +248,25 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     if use_dev:
         # one fused XLA program: color + DCT + quantize + CfL + DC
-        import copy
-
         import jax.numpy as jnp
         from libjxl_tpu.models.vardct_pipeline import (
-            _ESC_CAP, encode_lossy_frame_device, unpack_lossy_outputs,
+            encode_lossy_frame_device, unpack_lossy_outputs,
         )
+        from libjxl_tpu.utils.device import device_put_fast
         mul_dc = quantizer.mul_dc(matrices.dc_quant)
         qac_f = (quantizer.scale *
                  raw_quant.astype(np.float32))
         inv_qac_f = (inv_gs / raw_quant.astype(np.float32))
-        packed = encode_lossy_frame_device(
-            jnp.asarray(pixels[:, :, :3]), jnp.asarray(qac_f),
-            jnp.asarray(inv_qac_f),
+        packed, dense16 = encode_lossy_frame_device(
+            device_put_fast(pixels[:, :, :3]), device_put_fast(qac_f),
+            device_put_fast(inv_qac_f),
             jnp.asarray(table, jnp.float32),
             jnp.asarray(quadrant_thresholds(0.56, 0.62), jnp.float32),
             jnp.asarray(quadrant_thresholds(0.58, 0.62), jnp.float32),
             jnp.asarray(np.asarray(mul_dc), jnp.float32),
             h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
-        q_ac, q_dc, ytox_map, ytob_map, n_esc = unpack_lossy_outputs(
-            packed, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
-        if n_esc > _ESC_CAP:
-            # escape-buffer overflow (extreme content at tiny distance):
-            # redo on host — the int8 link format can't carry it
-            opts2 = copy.copy(options)
-            opts2.use_device = False
-            return encode_lossy(pixels, opts2)
+        q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
+            packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
         use_acs = False
         acs_map = np.zeros((yb, xb), np.int32)
         acs_anchors = np.ones((yb, xb), bool)
@@ -514,18 +507,29 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- sections --------------------------------------------------------
     def dc_global(sw: BitWriter) -> None:
+        from libjxl_tpu.api import stats as _st
+
         # image features come first (ProcessDCGlobal: patches, splines,
         # noise, then the quantizer state)
         if patches_dict is not None:
             from libjxl_tpu.render.enc_patches import serialize_patches
+            b0 = sw.bits_written
             serialize_patches(sw, patches_dict,
                               1 if alpha is not None else 0)
+            _st.record("dictionary", sw.bits_written - b0)
+            _st.record("quant", b0 - sw.bits_written)   # net out of quant
         if options.splines is not None:
             from libjxl_tpu.render.splines import serialize_splines
+            b0 = sw.bits_written
             serialize_splines(sw, options.splines)
+            _st.record("splines", sw.bits_written - b0)
+            _st.record("quant", b0 - sw.bits_written)
         if noise_lut is not None:
+            b0 = sw.bits_written
             for v in noise_lut:
                 sw.write(10, int(round(v * 1024)))
+            _st.record("noise", sw.bits_written - b0)
+            _st.record("quant", b0 - sw.bits_written)
         sw.write(1, 1)                       # DequantMatrices::DecodeDC def.
         write_u32(sw, _GLOBAL_SCALE_DIST, global_scale)
         write_u32(sw, _QUANT_DC_DIST, quant_dc_int)
@@ -615,30 +619,52 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             modular_encode(sw, gi,
                            group_id=stream_id_modular_ac(fd, g, p))
 
+    from libjxl_tpu.api import stats as _stats
+
     def section(*parts) -> bytes:
         sw = BitWriter()
-        for fn in parts:
+        for fn, layer in parts:
+            b0 = sw.bits_written
             fn(sw)
+            _stats.record(layer, sw.bits_written - b0)
+        b0 = sw.bits_written
         sw.zero_pad_to_byte()
+        _stats.record(parts[-1][1], sw.bits_written - b0)
         return sw.to_bytes()
 
     single = fd.num_groups == 1 and num_passes == 1
     if single:
         # one section: DCGlobal | DCGroup | ACGlobal | ACGroup, continuous
         # bits, padded only at the very end (enc_frame.cc:1489-1492).
-        sections = [section(dc_global, lambda sw: dc_group(sw, 0),
-                            ac_global, lambda sw: ac_group(sw, 0))]
+        sections = [section((dc_global, "quant"),
+                            (lambda sw: dc_group(sw, 0), "dc"),
+                            (ac_global, "ac_histogram"),
+                            (lambda sw: ac_group(sw, 0), "ac"))]
     else:
-        sections = [section(dc_global)]
+        sections = [section((dc_global, "quant"))]
         for g in range(fd.num_dc_groups):
-            sections.append(section(lambda sw, g=g: dc_group(sw, g)))
-        sections.append(section(ac_global))
+            sections.append(section(
+                (lambda sw, g=g: dc_group(sw, g), "dc")))
+        sections.append(section((ac_global, "ac_histogram")))
         for p in range(num_passes):
             for g in range(fd.num_groups):
                 sections.append(section(
-                    lambda sw, g=g, p=p: ac_group(sw, g, p)))
+                    (lambda sw, g=g, p=p: ac_group(sw, g, p), "ac")))
 
+    toc0 = bw.bits_written
     write_toc(bw, [len(s) for s in sections])
+    if _stats.active() is not None:
+        from libjxl_tpu.vardct.ac_strategy import NAMES as _ACS_NAMES
+        _stats.record("toc", bw.bits_written - toc0)
+        # the reference-only patch atlas frame is accounted to the
+        # dictionary layer, not the header layer
+        _stats.record("dictionary", len(atlas_frame_bytes) * 8)
+        _stats.record("header", toc0 - len(atlas_frame_bytes) * 8)
+        _stats.record_count("num_base_pixels", w * h)
+        _stats.record_count("num_ac_pixels", w * h)
+        for s_id in np.unique(acs_map[acs_anchors]):
+            _stats.add_blocks(_ACS_NAMES[int(s_id)],
+                              int((acs_map[acs_anchors] == s_id).sum()))
     out = bytearray(bw.to_bytes())
     for s in sections:
         out.extend(s)
@@ -688,6 +714,8 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     orig_lin = srgb_to_linear(
         np.moveaxis(pixels[:, :, :3].astype(np.float64) / maxval, -1, 0))
 
+    from libjxl_tpu.api import stats as _stats
+
     aux = {}
     base = copy.copy(options)
     base._aux = aux
@@ -695,7 +723,8 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     base._in_iteration = True
     # first pass computes the field + ACS; qf_override then pins ACS-
     # adjusted values (choose_acs maxing already mirrors AdjustQuantField)
-    data = encode_lossy(pixels, base)
+    with _stats.suppress():
+        data = encode_lossy(pixels, base)
     qf = aux["qf_field"].copy()
     init_qf = qf.copy()
     qf_ratio = max(init_qf.max() / max(init_qf.min(), 1e-9), 1.0)
@@ -733,7 +762,12 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         it.qf_override = qf
         it._aux = aux
         it._in_iteration = True
-        data = encode_lossy(pixels, it)
+        _stats.record_count("num_butteraugli_iters", 1)
+        if i == iters - 1:          # only the emitted stream's bits count
+            data = encode_lossy(pixels, it)
+        else:
+            with _stats.suppress():
+                data = encode_lossy(pixels, it)
     return data
 
 

@@ -133,3 +133,46 @@ def test_streaming_encode_stripes(rng):
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
                               img)
+
+
+def test_encoder_stats_bit_accounting():
+    """Stats API (include/jxl/stats.h:49-76, enc_aux_out.h layers):
+    per-layer bits sum to the stream size, block census and butteraugli
+    iterations are reported."""
+    import numpy as np
+
+    from libjxl_tpu.api.encoder_api import Encoder, FrameSettings
+    from libjxl_tpu.api.stats import EncoderStats
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+
+    # lossless: header/toc/tree/global layers add up to the stream
+    enc = Encoder(collect_stats=True)
+    enc.add_frame(img, FrameSettings(lossless=True, effort=3))
+    data = enc.output()
+    st = enc.stats.as_dict()
+    assert st["num_base_pixels"] == 64 * 96
+    assert st["total_bits"] == len(data) * 8
+    assert st["modular_global_bits"] > 0 and st["header_bits"] > 0
+
+    # lossy: AC dominates, block census covers all blocks
+    enc = Encoder(collect_stats=True)
+    enc.add_frame(img, FrameSettings(lossless=False, distance=1.0,
+                                     effort=3))
+    data = enc.output()
+    st = enc.stats.as_dict()
+    assert st["total_bits"] == len(data) * 8
+    assert st["ac_bits"] > 0 and st["dc_bits"] > 0
+    assert sum(st["num_blocks"].values()) == (96 // 8) * (64 // 8)
+
+    # e7: butteraugli iteration count appears; stats merge works
+    enc = Encoder(collect_stats=True)
+    enc.add_frame(img, FrameSettings(lossless=False, distance=1.0,
+                                     effort=7))
+    enc.output()
+    assert enc.stats.num_butteraugli_iters >= 2
+    total = EncoderStats()
+    total.merge(enc.stats)
+    total.merge(enc.stats)
+    assert total.num_butteraugli_iters == 2 * enc.stats.num_butteraugli_iters

@@ -40,3 +40,36 @@ def test_pnm_roundtrip(tmp_path, rng):
     p = tmp_path / "x.ppm"
     save_image(str(p), img)
     assert np.array_equal(load_image(str(p)), img)
+
+
+def test_jxltran_pack_extract_strip(tmp_path):
+    """jxltran (tools/jxltran.cc): pack/extract/strip round-trip without
+    touching the payload."""
+    import numpy as np
+
+    from libjxl_tpu.api.container import is_container, wrap_container
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.cli.jxltran import main as jxltran
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    cs = encode_lossless(img, EncodeOptions(effort=2))
+    raw = tmp_path / "raw.jxl"
+    raw.write_bytes(cs)
+    packed = tmp_path / "packed.jxl"
+    assert jxltran([str(raw), str(packed), "--pack"]) == 0
+    assert is_container(packed.read_bytes())
+    assert np.array_equal(decode(packed.read_bytes()), img)
+    back = tmp_path / "back.jxl"
+    assert jxltran([str(packed), str(back), "--extract"]) == 0
+    assert back.read_bytes() == cs
+    # strip drops metadata boxes but keeps the image decodable
+    boxed = tmp_path / "boxed.jxl"
+    boxed.write_bytes(wrap_container(
+        cs, extra_boxes=[(b"Exif", b"\x00\x00\x00\x00MM\x00*")]))
+    stripped = tmp_path / "stripped.jxl"
+    assert jxltran([str(boxed), str(stripped), "--strip"]) == 0
+    sdata = stripped.read_bytes()
+    assert b"Exif" not in sdata
+    assert np.array_equal(decode(sdata), img)

@@ -238,3 +238,37 @@ def test_device_lossy_matches_host(rng):
     dev = encode_lossy(img, LossyOptions(distance=1.5, effort=3,
                                          use_device=True))
     assert host == dev
+
+
+def test_decode_many_device_batch_matches_general_path():
+    """The batched TPU reconstruction (models/vardct_decode.py: sparse
+    coefficient upload, dequant+CfL+IDCT+EPF+color in one program)
+    must agree with the general host path within float tolerance and
+    with libjxl within +-1."""
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode, decode_many
+    from libjxl_tpu.config import config
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:120, 0:200]
+    img = np.stack([
+        (xx * 255 // 200 + rng.integers(0, 12, (120, 200))),
+        (yy * 255 // 120 + rng.integers(0, 12, (120, 200))),
+        ((xx + yy) * 255 // 320 + rng.integers(0, 12, (120, 200))),
+    ], -1).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=3))
+    old = config.device_filters
+    config.device_filters = True
+    try:
+        ref = decode(data)
+        outs = decode_many([data] * 3)
+    finally:
+        config.device_filters = old
+    for o in outs:
+        assert np.abs(o.astype(int) - ref.astype(int)).max() <= 1
+    if oracle_available():
+        orc = oracle_decode(data).pixels
+        assert np.abs(outs[0].astype(int) - orc.astype(int)).max() <= 1
