@@ -70,13 +70,25 @@ def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
 
 
 def encode_lossless(pixels: np.ndarray,
-                    options: EncodeOptions | None = None) -> bytes:
+                    options: EncodeOptions | None = None, *,
+                    _try_both_palette: bool = True) -> bytes:
     """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
     options = options or EncodeOptions()
     if options.use_device:
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
+    if options.effort >= 9 and options.palette and _try_both_palette:
+        # exhaustive tier (enc_ans.cc kOptimal spirit): the palette
+        # transform can hurt LZ77-heavy content — encode both ways and
+        # keep the smaller stream
+        import dataclasses
+        with_pal = encode_lossless(pixels, options,
+                                   _try_both_palette=False)
+        without = encode_lossless(
+            pixels, dataclasses.replace(options, palette=0),
+            _try_both_palette=False)
+        return min(with_pal, without, key=len)
     meta, header_bytes = _modular_headers(pixels, options)
     from libjxl_tpu.api import stats as _stats
     _stats.record("header", len(header_bytes) * 8)
@@ -349,21 +361,43 @@ def _modular_frame_bytes(pixels, options, meta,
 
     sections = assemble(codes, global_arr, dc_arrs, group_arrs)
     if options.lz77:
-        # RLE-mode LZ77 (enc_ans.cc ApplyLZ77_RLE): try it when value runs
-        # shrink the token stream, keep it only if the bitstream is
-        # actually smaller (context modeling often already captures runs)
-        from libjxl_tpu.entropy.ans import LZ77Params, lz77_rle_transform
-        lz = LZ77Params(enabled=True)
-        t_arrs = [lz77_rle_transform(a, num_ctx, lz, distance_multiplier=1)
-                  for a in all_arrs]
-        n_plain = sum(len(a) for a in all_arrs)
-        if n_plain - sum(len(a) for a in t_arrs) > 0.1 * n_plain:
+        # LZ77 method by speed tier (enc_ans.cc:1355-1370): RLE up to
+        # e7, hash-chain match search at e8, both (pick smaller) at e9+
+        # — each candidate kept only if the final bitstream shrinks.
+        from libjxl_tpu.entropy.ans import (
+            LZ77Params, lz77_match_transform, lz77_rle_transform,
+        )
+
+        def try_streams(t_arrs):
+            nonlocal sections
+            lz = LZ77Params(enabled=True)
             codes_lz = build_entropy_codes(t_arrs, num_ctx, lz77=lz)
             sec_lz = assemble(codes_lz, t_arrs[0],
                               t_arrs[1:1 + len(dc_arrs)],
                               t_arrs[1 + len(dc_arrs):])
             if sum(map(len, sec_lz)) < sum(map(len, sections)):
                 sections = sec_lz
+
+        # per-stream distance multiplier = max channel width, mirroring
+        # the decoder's ANSSymbolReader setup (modular/codec.py:269-278)
+        def _mult(chans):
+            return max((c.w for c in chans if c.w and c.h), default=0)
+        mults = ([_mult([img.channel[i] for i in global_chans])]
+                 + [_mult(s.channel) for s in dc_subs]
+                 + [_mult(s.channel) for s in ac_subs])
+        if options.effort < 8 or options.effort >= 9:
+            lz = LZ77Params(enabled=True)
+            t_arrs = [lz77_rle_transform(a, num_ctx, lz,
+                                         distance_multiplier=1)
+                      for a in all_arrs]
+            n_plain = sum(len(a) for a in all_arrs)
+            if n_plain - sum(len(a) for a in t_arrs) > 0.1 * n_plain:
+                try_streams(t_arrs)
+        if options.effort >= 8:
+            t_arrs = lz77_match_transform(
+                all_arrs, num_ctx, LZ77Params(enabled=True), mults)
+            if t_arrs is not None:
+                try_streams(t_arrs)
 
     from libjxl_tpu.api import stats as _stats
     if _stats.active() is not None:
@@ -469,29 +503,62 @@ def encode_lossless_many(images, options: EncodeOptions | None = None
     imgs = [im[:, :, None] if im.ndim == 2 else im for im in images]
     if options.entropy == "prefix-device":
         # Same-shape images are stacked along the group axis and encoded
-        # as ONE device program per pass (shared histogram/prefix code);
-        # mixed shapes fall back to shape-grouped sub-batches, pipelined
-        # so pass-2 compute overlaps earlier sub-batches' host splicing.
+        # as ONE device program per pass (shared histogram/prefix code).
+        # Software pipeline over ~4 MP sub-batches: the single device
+        # queue is kept hot by interleaving tokens_{k+1} between pack_k
+        # dispatches (pack_k needs batch k's histogram on host first),
+        # word fetches for every batch share the link concurrently, and
+        # host splicing runs in worker threads. Critical path is the d2h
+        # link moving the entropy-coded streams — everything else hides
+        # behind it.
+        from concurrent.futures import ThreadPoolExecutor
         from itertools import groupby
         key = lambda i: (imgs[i].shape, str(imgs[i].dtype))  # noqa: E731
         order = sorted(range(len(imgs)), key=key)
         out: list = [None] * len(imgs)
-        sub = []
+        shape_groups = []
         for _, grp in groupby(order, key=key):
             idxs = list(grp)
-            # sub-batches of ~8 MP keep individual transfers in the
-            # link's sweet spot and let pass-2 compute of batch k+1
-            # overlap the host splicing of batch k
             px = imgs[idxs[0]].shape[0] * imgs[idxs[0]].shape[1]
-            per = max(1, (8 << 20) // max(px, 1))
-            for j in range(0, len(idxs), per):
-                part = idxs[j:j + per]
-                sub.append((part, _prefix_pass1(
-                    None, options, batch=[imgs[i] for i in part])))
-        sub = [(idxs, _prefix_pass2(st)) for idxs, st in sub]
-        for idxs, st in sub:
-            for i, stream in zip(idxs, _prefix_assemble(st)):
-                out[i] = stream
+            per = max(1, (4 << 20) // max(px, 1))
+            shape_groups.append([idxs[j:j + per]
+                                 for j in range(0, len(idxs), per)])
+        with ThreadPoolExecutor(2) as pool:
+            pending = []      # (idxs, assemble future)
+            for batches in shape_groups:
+                # histogram probe on batch 0 (tiny payload, all pixel
+                # intermediates fused away) -> prefix code for the whole
+                # shape-group
+                part0 = [imgs[i] for i in batches[0]]
+                groups0, dims = _prefix_upload(part0, options)
+                from libjxl_tpu.models.lossless import lossless_hist_device
+                payload = lossless_hist_device(
+                    groups0, dims["h"], dims["w"], gx=dims["gx"],
+                    per_image=dims["per_image"] if len(part0) > 1 else 0)
+                payload.copy_to_host_async()
+                cst = _prefix_code_state(np.asarray(payload),
+                                         groups0.shape, part0[0].dtype)
+                if cst["resid_better"]:
+                    # high-entropy content: raw residual planes are the
+                    # smaller wire payload — exact two-pass host path
+                    for part in batches:
+                        pending.append((part, pool.submit(
+                            _prefix_assemble, _prefix_pass2(_prefix_pass1(
+                                None, options,
+                                batch=[imgs[i] for i in part])))))
+                    continue
+                # single fused device program per sub-batch; dispatch
+                # them all, workers fetch + splice as packs complete
+                for k, part in enumerate(batches):
+                    stf = _prefix_fused(
+                        [imgs[i] for i in part], options, cst,
+                        cst["words_per_token"],
+                        groups_dev=groups0 if k == 0 else None)
+                    pending.append((part, pool.submit(
+                        _prefix_assemble, stf)))
+            for idxs, fut in pending:
+                for i, stream in zip(idxs, fut.result()):
+                    out[i] = stream
         return out
     from libjxl_tpu.models.lossless import (
         encode_image_device_collect, encode_image_device_dispatch,
@@ -683,6 +750,111 @@ def _prefix_pass1(pixels: np.ndarray, options: EncodeOptions,
                 n_groups_total=groups.shape[0])
 
 
+def _prefix_upload(batch_imgs: list, options: EncodeOptions):
+    """Stage a same-shape image batch on device as one stacked group
+    tensor; returns (device array, dims dict)."""
+    import jax.numpy as jnp
+
+    from libjxl_tpu.models.lossless import frame_groups_host
+    from libjxl_tpu.utils.device import device_put_fast
+
+    imgs = [im[:, :, None] if im.ndim == 2 else im for im in batch_imgs]
+    h, w, nch = imgs[0].shape
+    group_dim = 128 << options.group_size_shift
+    all_groups = [frame_groups_host(im, group_dim)[0] for im in imgs]
+    devs = [device_put_fast(g) for g in all_groups]
+    groups = jnp.concatenate(devs) if len(devs) > 1 else devs[0]
+    return groups, dict(h=h, w=w, nch=nch, gx=-(-w // group_dim),
+                        per_image=all_groups[0].shape[0])
+
+
+def _prefix_code_state(buf: np.ndarray, groups_shape, dtype) -> dict:
+    """Build the shape-group's prefix code from a histogram-probe
+    payload; also decides stream-vs-residual wire mode and the expected
+    stream density used to size fused-pack buffers and fetches."""
+    from libjxl_tpu.entropy.ans import build_prefix_codes_from_histogram
+    from libjxl_tpu.utils import native
+
+    ng_total = groups_shape[0]
+    gmax = buf[:4 * ng_total].view(np.uint32)
+    hist = buf[4 * ng_total:].view(np.uint32).astype(np.int64)
+    codes = build_prefix_codes_from_histogram(hist)
+    lengths = np.asarray(codes.prefix_depths[0], dtype=np.int32)
+    cbits = np.asarray(codes.prefix_bits[0], dtype=np.uint32)
+    lut_len = np.zeros(256, np.int32)
+    lut_bits = np.zeros(256, np.uint32)
+    lut_len[:len(lengths)] = lengths
+    lut_bits[:len(cbits)] = cbits
+    toks = np.arange(len(hist))
+    tok_nbits = np.where(toks < 16, 0, ((toks - 16) >> 2) + 2)
+    total_bits = int(np.sum(hist * (lut_len[:len(hist)] + tok_nbits)))
+    n_tokens = int(np.prod(groups_shape))
+    bits = 8 if dtype == np.uint8 else 16
+    resid_better = (total_bits // 8 >= n_tokens and bits == 8
+                    and native.available())
+    return dict(codes=codes, lut_bits=lut_bits, lut_len=lut_len,
+                gmax=gmax, total_bits=total_bits,
+                words_per_token=total_bits / 32 / max(n_tokens, 1),
+                resid_better=resid_better)
+
+
+def _prefix_fused(batch_imgs: list, options: EncodeOptions, st2: dict,
+                  words_per_token: float, groups_dev=None) -> dict:
+    """Dispatch the fused single-program encode for a serving sub-batch,
+    reusing the shape-group's prefix code from ``st2`` (the histogram
+    probe). Returns an assemble-ready state dict (mode="stream")."""
+    import jax.numpy as jnp
+
+    from libjxl_tpu.models.lossless import PACK_T, lossless_pack_fused
+
+    imgs = [im[:, :, None] if im.ndim == 2 else im for im in batch_imgs]
+    h, w, nch = imgs[0].shape
+    group_dim = 128 << options.group_size_shift
+    if groups_dev is None:
+        groups, dims = _prefix_upload(batch_imgs, options)
+        per_image = dims["per_image"]
+    else:
+        groups = groups_dev
+        per_image = groups.shape[0] // len(imgs)
+    gx_groups = -(-w // group_dim)
+    ng_total = groups.shape[0]
+    gd = groups.shape[2]
+    n_tokens = ng_total * nch * gd * gd
+    n_chunks = n_tokens // PACK_T
+    # static capacity: 1.5x the measured ratio, power-of-2 bucketed so
+    # programs cache; an overflow (word_start beyond the buffer) is
+    # detected in _prefix_assemble and re-fetched from words_dev's tail
+    # — and cap_words is sized so that can't truncate: the pack buffer
+    # itself holds the worst case
+    worst = n_tokens * 30 // 32 + n_chunks + 64
+    est = int(n_tokens * words_per_token * 1.3) + n_chunks + 8192
+    # bucket to 512Ki-word multiples: compaction cost is O(cap_words),
+    # so a tight cap matters more than reusing a power-of-2 program;
+    # an overflow is detected via chunk_bits and retried two-pass
+    cap_words = min(worst, max(est, 1 << 16))
+    cap_words = ((cap_words + (1 << 19) - 1) >> 19) << 19
+    words_dev, chunk_bits_dev = lossless_pack_fused(
+        groups, h, w, jnp.asarray(st2["lut_bits"]),
+        jnp.asarray(st2["lut_len"]), gx=gx_groups,
+        per_image=per_image if len(imgs) > 1 else 0, cap_words=cap_words)
+    piece = 1 << 19
+    est_fetch = int(n_tokens * words_per_token) + (n_chunks * 5) // 8 \
+        + 8192
+    bucket = min(cap_words, ((est_fetch + piece - 1) // piece) * piece)
+    slices = [words_dev[p:min(p + piece, bucket)]
+              for p in range(0, bucket, piece)]
+    for s in slices:
+        s.copy_to_host_async()
+    chunk_bits_dev.copy_to_host_async()
+    return dict(options=options, h=h, w=w, nch=nch, n_images=len(imgs),
+                bits=8 if imgs[0].dtype == np.uint8 else 16,
+                gx_groups=gx_groups, ng=per_image,
+                n_groups_total=ng_total, codes=st2["codes"],
+                lut_bits=st2["lut_bits"], lut_len=st2["lut_len"],
+                mode="stream", words_slices=slices, words_dev=words_dev,
+                chunk_bits_dev=chunk_bits_dev, retry_imgs=batch_imgs)
+
+
 def _prefix_pass2(st: dict) -> dict:
     """Fetch histogram + group maxes, build the canonical prefix code,
     then pick the cheaper d2h strategy for this content:
@@ -748,10 +920,14 @@ def _prefix_pass2(st: dict) -> dict:
         st["wide"], st["valid"], jnp.asarray(lut_bits),
         jnp.asarray(lut_len), cap_words=cap_words)
     # Fetch the dense stream as ~2MB slices with all the copies in
-    # flight at once: the tunnel overlaps concurrent transfers. Slice
-    # sizes are bucketed (64Ki words) so slice programs cache.
+    # flight at once: the tunnel overlaps concurrent transfers. Fetch
+    # only the EXPECTED size (exact bits + ~half-word alignment slack
+    # per chunk + margin), not the worst case — the link is the encode
+    # critical path, and a rare shortfall costs one extra tail fetch in
+    # _prefix_assemble. Slice boundaries are fixed so programs cache.
     piece = 1 << 19
-    bucket = min(cap_words, ((max_words + 65535) // 65536) * 65536)
+    est_words = total_bits // 32 + (n_chunks * 5) // 8 + 8192
+    bucket = min(cap_words, ((est_words + piece - 1) // piece) * piece)
     slices = [words_dev[p:min(p + piece, bucket)]
               for p in range(0, bucket, piece)]
     for s in slices:
@@ -781,6 +957,13 @@ def _prefix_assemble(st: dict) -> list:
         chunk_bits = np.asarray(st["chunk_bits_dev"])
         nw = (chunk_bits.astype(np.int64) + 31) >> 5
         word_start = np.concatenate([[0], np.cumsum(nw)])
+        if word_start[-1] > st["words_dev"].shape[0]:
+            # fused-mode capacity estimate overflowed (content much less
+            # compressible than batch 0): redo this sub-batch through
+            # the exact two-pass path
+            st = _prefix_pass2(_prefix_pass1(
+                None, options, batch=st["retry_imgs"]))
+            return _prefix_assemble(st)
         if word_start[-1] > len(words):
             # histogram-estimated capacity was short (possible only if
             # the estimate raced content); fetch the remaining tail

@@ -543,6 +543,95 @@ def lz77_rle_transform(arr: np.ndarray, num_contexts: int,
     return np.concatenate(rows)
 
 
+def lz77_match_transform(arrs, num_contexts: int, lz77: LZ77Params,
+                         distance_multipliers=None):
+    """General LZ77 over token streams (enc_lz77.cc:439 ApplyLZ77_LZ77):
+    hash-chain match search with greedy + one-symbol-lazy parsing, gated
+    per match on estimated literal-vs-copy bit cost. Match search runs in
+    the native module (the parse is inherently sequential); returns a
+    list of (M, 3) arrays in lz77_rle_transform's row format, or None
+    when native is unavailable or the estimated saving is below the
+    keep threshold (bit_decrease <= 0.2 * total_symbols + 16)."""
+    from libjxl_tpu.utils import native
+    if not native.available():
+        return None
+    arrs = [tokens_to_array(a) for a in arrs]
+    if distance_multipliers is None:
+        distance_multipliers = [0] * len(arrs)
+    cfg = HybridUintConfig(4, 2, 0)
+    # literal-cost estimator over ALL streams (SymbolCostEstimator):
+    # -log2(p) per token under the plain-stream histograms
+    hists = np.zeros((num_contexts, 256), dtype=np.int64)
+    toks_all, nbits_all = [], []
+    for arr in arrs:
+        if not len(arr):
+            toks_all.append(None)
+            nbits_all.append(None)
+            continue
+        tok, nb, _ = cfg.encode_array(arr[:, 1].astype(np.uint32))
+        toks_all.append(tok)
+        nbits_all.append(nb)
+        np.add.at(hists, (arr[:, 0], np.minimum(tok, 255)), 1)
+    totals = hists.sum(axis=1)
+    with np.errstate(divide="ignore"):
+        bits_tab = -np.log2(hists / np.maximum(totals, 1)[:, None])
+    bits_tab[hists == 0] = 12.0              # ANS_LOG_TAB_SIZE ceiling
+    bits_tab[hists == totals[:, None]] = 0.0
+    # per-context penalty for introducing the length symbol
+    avg_bits = (hists * np.where(np.isfinite(bits_tab), bits_tab, 0)
+                ).sum(axis=1) / np.maximum(totals, 1)
+    add_cost_ctx = np.maximum(0.0, 6.0 - avg_bits).astype(np.float32)
+
+    out_arrs = []
+    bit_decrease = 0.0
+    total_symbols = 0
+    for arr, tok, nb, mult in zip(arrs, toks_all, nbits_all,
+                                  distance_multipliers):
+        if not len(arr):
+            out_arrs.append(np.zeros((0, 3), dtype=np.int64))
+            continue
+        total_symbols += len(arr)
+        lit_bits = (bits_tab[arr[:, 0], np.minimum(tok, 255)] +
+                    nb).astype(np.float32)
+        sym_cost = np.zeros(len(arr) + 1, dtype=np.float32)
+        np.cumsum(lit_bits, out=sym_cost[1:])
+        nspecial = K_NUM_SPECIAL_DISTANCES if mult else 0
+        sd = np.array([special_distance(i, mult)
+                       for i in range(nspecial)], dtype=np.int32)
+        res = native.lz77_parse(
+            arr[:, 1].astype(np.uint32), sym_cost,
+            add_cost_ctx[arr[:, 0]], lz77.min_length, sd)
+        if res is None:
+            return None
+        mlen, msym = res
+        starts = np.flatnonzero(mlen)
+        if not len(starts):
+            out_arrs.append(np.column_stack(
+                [arr, np.zeros(len(arr), dtype=np.int64)]))
+            continue
+        rows = []
+        pos = 0
+        for s in starts:
+            ln = int(mlen[s])
+            if s > pos:
+                lit = np.zeros((s - pos, 3), dtype=np.int64)
+                lit[:, :2] = arr[pos:s]
+                rows.append(lit)
+            rows.append(np.array(
+                [[arr[s, 0], ln, 1],
+                 [num_contexts, int(msym[s]), 2]], dtype=np.int64))
+            bit_decrease += float(sym_cost[s + ln] - sym_cost[s]) - 10.0
+            pos = s + ln
+        if pos < len(arr):
+            lit = np.zeros((len(arr) - pos, 3), dtype=np.int64)
+            lit[:, :2] = arr[pos:]
+            rows.append(lit)
+        out_arrs.append(np.concatenate(rows))
+    if bit_decrease <= 0.2 * total_symbols + 16:
+        return None
+    return out_arrs
+
+
 def _tokenize_rows(arr: np.ndarray, cfg: HybridUintConfig,
                    lz77: LZ77Params):
     """Per-row (token, nbits, bits) for a plain (N,2) stream or an

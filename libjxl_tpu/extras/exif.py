@@ -36,7 +36,7 @@ def _iter_tags(exif: bytes):
         return
     big, off = lay
     e = ">" if big else "<"
-    pos = 4 + off
+    pos = off                  # IFD offset is from the TIFF header start
     ntags = struct.unpack(e + "H", exif[pos:pos + 2])[0]
     pos += 2
     for _ in range(ntags):

@@ -204,6 +204,67 @@ def lossless_tokens_device(groups: jnp.ndarray, h, w, gx: int = 1,
     return wide, wide8, valid, payload
 
 
+@functools.partial(jax.jit, static_argnames=("gx", "per_image"))
+def lossless_hist_device(groups: jnp.ndarray, h, w, gx: int = 1,
+                         per_image: int = 0):
+    """Histogram-only probe: one tiny d2h payload (per-group maxes +
+    256-bin token histogram), with every pixel-shaped intermediate
+    fused away — used to build the prefix code before the single-pass
+    fused encode. ~20 ms for a 4 MP batch vs ~1.8 s for materializing
+    the residual planes to HBM and re-reading them (measured; the
+    two-program pass-1/pass-2 split pays that round-trip)."""
+    groups = groups.astype(jnp.int32)
+    ng, nch, gd, _ = groups.shape
+    gi = jnp.arange(ng) if not per_image else jnp.arange(ng) % per_image
+    row0 = (gi // gx) * gd
+    col0 = (gi % gx) * gd
+    ymask = row0[:, None] + jnp.arange(gd)[None, :] < h
+    xmask = col0[:, None] + jnp.arange(gd)[None, :] < w
+    mask = ymask[:, None, :, None] & xmask[:, None, None, :]
+    if nch >= 3:
+        groups = jnp.concatenate(
+            [fwd_ycocg(groups[:, :3]), groups[:, 3:]], axis=1)
+    packed = pack_signed(gradient_residuals(groups))
+    token = _token_id(packed)
+    hist = token_histogram(token, jnp.broadcast_to(mask, token.shape))
+    valid = jnp.broadcast_to(mask, packed.shape)
+    gmax = jnp.max(jnp.where(valid, packed, 0), axis=(1, 2, 3))
+    return jnp.concatenate([
+        gmax.astype(jnp.uint32).view(jnp.uint8).reshape(-1),
+        hist.astype(jnp.uint32).view(jnp.uint8).reshape(-1)])
+
+
+@functools.partial(jax.jit, static_argnames=("gx", "per_image",
+                                              "cap_words"))
+def lossless_pack_fused(groups: jnp.ndarray, h, w, code_bits, code_len,
+                        gx: int = 1, per_image: int = 0,
+                        cap_words: int = 1 << 20):
+    """Single-program lossless encode: RCT + residuals + tokens + prefix
+    pack, when the prefix code is already known (trailing-code serving
+    mode: batch k reuses batch 0's code — the stream stays legal because
+    the code actually used is the one written in the header, it is just
+    ~0-2% denser to re-derive it per batch; enc_fast_lossless.cc uses
+    the same sampled-stats trick to stay single-pass).
+
+    Returns (dense words, chunk_bits)."""
+    groups = groups.astype(jnp.int32)
+    ng, nch, gd, _ = groups.shape
+    gi = jnp.arange(ng) if not per_image else jnp.arange(ng) % per_image
+    row0 = (gi // gx) * gd
+    col0 = (gi % gx) * gd
+    ymask = row0[:, None] + jnp.arange(gd)[None, :] < h
+    xmask = col0[:, None] + jnp.arange(gd)[None, :] < w
+    mask = ymask[:, None, :, None] & xmask[:, None, None, :]
+    if nch >= 3:
+        groups = jnp.concatenate(
+            [fwd_ycocg(groups[:, :3]), groups[:, 3:]], axis=1)
+    packed = pack_signed(gradient_residuals(groups))
+    valid = jnp.broadcast_to(mask, packed.shape)
+    wide = jnp.where(valid, packed, jnp.zeros((), packed.dtype))
+    return chunk_pack_device(wide, valid, code_bits, code_len,
+                             cap_words=cap_words)
+
+
 def _lut2_apply(tokens: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray,
                 alphabet: int = 96, chunk: int = 1 << 16):
     # hybrid-uint cfg (4,2,0) tokens top out at 71 for 17-bit residuals

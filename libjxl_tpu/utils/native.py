@@ -379,3 +379,46 @@ def wp_plane(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     lib.jxlt_wp_plane(plane.ctypes.data, w, h, None,
                       pred.ctypes.data, prop.ctypes.data)
     return pred, prop
+
+
+def lz77_parse(values: np.ndarray, sym_cost: np.ndarray,
+               add_cost: np.ndarray, min_length: int,
+               special_dists: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Greedy+lazy hash-chain LZ77 parse of one token stream
+    (enc_lz77.cc:439 ApplyLZ77_LZ77). ``sym_cost`` is the prefix-sum of
+    per-symbol literal bit costs (length n+1); ``add_cost`` the
+    per-position penalty for introducing a length symbol into that
+    position's context; ``special_dists`` maps special-distance index ->
+    actual distance (empty when the stream has no distance multiplier).
+    Returns (match_len, dist_symbol) arrays (zero where no match starts)
+    or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_lz77_parse_bound"):
+        lib.jxlt_lz77_parse.restype = ctypes.c_int64
+        lib.jxlt_lz77_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.jxlt_lz77_parse_bound = True
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    sym_cost = np.ascontiguousarray(sym_cost, dtype=np.float32)
+    add_cost = np.ascontiguousarray(add_cost, dtype=np.float32)
+    special_dists = np.ascontiguousarray(special_dists, dtype=np.int32)
+    n = len(values)
+    window = 1
+    while window < n and window < (1 << 20):
+        window <<= 1
+    out_len = np.zeros(n, dtype=np.uint32)
+    out_sym = np.zeros(n, dtype=np.uint32)
+    rc = lib.jxlt_lz77_parse(
+        values.ctypes.data, n, sym_cost.ctypes.data,
+        add_cost.ctypes.data, min_length, window,
+        special_dists.ctypes.data if len(special_dists) else None,
+        len(special_dists), out_len.ctypes.data, out_sym.ctypes.data)
+    if rc < 0:
+        return None
+    return out_len, out_sym

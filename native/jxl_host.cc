@@ -849,3 +849,226 @@ EXPORT void jxlt_wp_plane(const int32_t* plane, int64_t w, int64_t h,
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// LZ77 match parsing for token streams (greedy + one-symbol lazy match,
+// hash-chain candidate search; reference algorithm: enc_lz77.cc:439-545
+// ApplyLZ77_LZ77 / HashChain). The caller passes per-symbol literal bit
+// costs as a prefix-sum; we accept a match when the copy is estimated
+// cheaper than re-emitting the literals. Distances are reported as JXL
+// distance-token VALUES (special-distance index when the distance is in
+// the caller-provided special table, else nspecial + dist - 1 —
+// dec_ans.h:216-226 inverse).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct Lz77Matcher {
+  const uint32_t* v;
+  int64_t n;
+  int64_t wsize, wmask;
+  int64_t min_len;
+
+  static constexpr uint32_t kHashSize = 1u << 15;
+  static constexpr uint32_t kHashMask = kHashSize - 1;
+  static constexpr uint32_t kMaxChain = 256;
+
+  std::vector<int32_t> head;       // hash -> most recent window pos
+  std::vector<uint32_t> chain;     // window pos -> previous same-hash pos
+  std::vector<int32_t> hval;       // window pos -> hash stored there
+  // zero-run acceleration (runs of value 0 all hash alike)
+  std::vector<int32_t> headz;
+  std::vector<uint32_t> chainz;
+  std::vector<uint32_t> zrun;
+  uint32_t numzeros = 0;
+  // actual distance -> special-distance index (smallest index wins)
+  std::vector<std::pair<int32_t, int32_t>> special_sorted;
+  int64_t nspecial;
+
+  Lz77Matcher(const uint32_t* vals, int64_t count, int64_t window,
+              int64_t minl, const int32_t* special, int64_t ns)
+      : v(vals), n(count), wsize(window), wmask(window - 1), min_len(minl),
+        head(kHashSize, -1), chain(window), hval(window, -1),
+        headz(window + 1, -1), chainz(window), zrun(window), nspecial(ns) {
+    for (int64_t i = 0; i < window; ++i) chain[i] = (uint32_t)i;
+    for (int64_t i = 0; i < window; ++i) chainz[i] = (uint32_t)i;
+    for (int64_t i = ns - 1; i >= 0; --i)
+      special_sorted.emplace_back(special[i], (int32_t)i);
+    std::stable_sort(special_sorted.begin(), special_sorted.end(),
+                     [](const auto& a, const auto& b) {
+                       return a.first < b.first ||
+                              (a.first == b.first && a.second < b.second);
+                     });
+    // keep only the smallest index per distance
+    auto last = std::unique(special_sorted.begin(), special_sorted.end(),
+                            [](const auto& a, const auto& b) {
+                              return a.first == b.first;
+                            });
+    special_sorted.erase(last, special_sorted.end());
+  }
+
+  inline uint32_t Hash(int64_t pos) const {
+    if (pos + 2 >= n) return 0;  // 2-token tail can never reach min_len 3
+    uint32_t h = v[pos] ^ (v[pos + 1] << 5) ^ (v[pos + 2] << 10);
+    return h & kHashMask;
+  }
+
+  inline uint32_t ZerosAt(int64_t pos, uint32_t prev) const {
+    int64_t end = std::min(pos + wsize, n);
+    if (prev > 0) {
+      if (prev >= (uint32_t)wmask && v[end - 1] == 0 && end == pos + wsize)
+        return prev;
+      return prev - 1;
+    }
+    uint32_t z = 0;
+    while (pos + z < end && v[pos + z] == 0) z++;
+    return z;
+  }
+
+  void Insert(int64_t pos) {
+    uint32_t h = Hash(pos);
+    uint32_t wp = (uint32_t)(pos & wmask);
+    hval[wp] = (int32_t)h;
+    if (head[h] != -1) chain[wp] = (uint32_t)head[h];
+    head[h] = (int32_t)wp;
+    if (pos > 0 && v[pos] != v[pos - 1]) numzeros = 0;
+    numzeros = ZerosAt(pos, numzeros);
+    zrun[wp] = numzeros;
+    if (headz[numzeros] != -1) chainz[wp] = (uint32_t)headz[numzeros];
+    headz[numzeros] = (int32_t)wp;
+  }
+
+  inline int32_t DistSymbol(int64_t dist) const {
+    auto it = std::lower_bound(
+        special_sorted.begin(), special_sorted.end(),
+        std::make_pair((int32_t)dist, (int32_t)-1));
+    if (it != special_sorted.end() && it->first == (int32_t)dist)
+      return it->second;
+    return (int32_t)(nspecial + dist - 1);
+  }
+
+  // best (len, dist_symbol) at pos; len < min_len when nothing found
+  void Best(int64_t pos, int64_t* out_len, int64_t* out_sym) const {
+    *out_len = 1;
+    *out_sym = 0;
+    uint32_t wp = (uint32_t)(pos & wmask);
+    uint32_t hp = chain[wp];
+    uint32_t h = Hash(pos);
+    int64_t end = std::min(pos + n, n);  // max_length = stream length
+    int64_t prev_dist = 0;
+    uint32_t steps = 0;
+    int64_t best = 0;
+    for (;;) {
+      int64_t dist = (hp <= wp) ? (int64_t)(wp - hp)
+                                : (int64_t)(wp - hp) + wmask + 1;
+      if (dist < prev_dist) break;
+      prev_dist = dist;
+      int64_t len = 0;
+      if (dist > 0) {
+        int64_t i = pos, j = pos - dist;
+        if (numzeros > 3) {  // skip ahead inside shared zero runs
+          int64_t r = std::min<int64_t>(numzeros - 1, zrun[hp]);
+          if (i + r >= end) r = end - i - 1;
+          i += r;
+          j += r;
+        }
+        while (i < end && v[i] == v[j]) { i++; j++; }
+        len = i - pos;
+        if (len >= min_len && len + 2 >= best) {
+          int64_t sym = DistSymbol(dist);
+          // prefer longer; at equal length prefer the smaller symbol
+          if (len > *out_len || (len == *out_len && sym < *out_sym)) {
+            *out_len = len;
+            *out_sym = sym;
+          }
+          if (len > best) best = len;
+        }
+      }
+      if (++steps >= kMaxChain) break;
+      if (numzeros >= 3 && len > (int64_t)numzeros) {
+        if (hp == chainz[hp]) break;
+        hp = chainz[hp];
+        if (zrun[hp] != numzeros) break;
+      } else {
+        if (hp == chain[hp]) break;
+        hp = chain[hp];
+        if (hval[hp] != (int32_t)h) break;
+      }
+    }
+  }
+};
+
+// cost heuristics for a copy: hybrid(1,0,0) length token + distance
+// token under hybrid(7,0,0); flat per-token estimates stand in for the
+// final (unknown at parse time) entropy code
+inline float LenBits(uint32_t len_minus_min) {
+  // hybrid(1,0,0): x < 2 -> 0 extra bits, else floor(log2 x) extra bits;
+  // ~3.5 bits assumed for the length token itself
+  uint32_t x = len_minus_min;
+  uint32_t nbits = x < 2 ? 0 : (31 - __builtin_clz(x));
+  return 3.5f + (float)nbits;
+}
+
+inline float DistBits(int64_t dist_symbol, int64_t nspecial) {
+  if (dist_symbol < nspecial) return 5.5f;
+  // hybrid(7,0,0) on the raw symbol: x < 128 -> 0 extra bits, else
+  // floor(log2 x); ~9.5 bits assumed for the distance token itself
+  uint32_t x = (uint32_t)dist_symbol;
+  uint32_t nbits = x < 128 ? 0 : (31 - __builtin_clz(x));
+  return 9.5f + (float)nbits;
+}
+
+}  // namespace
+
+// values: token values; sym_cost: prefix-sum of literal bit costs
+// (length n+1); add_cost: per-position penalty for introducing a length
+// symbol into that position's context (SymbolCostEstimator::
+// AddSymbolCost); out_len/out_sym: per-position emitted matches (zeroed
+// by the caller). Returns the number of matches, or -1.
+EXPORT int64_t jxlt_lz77_parse(const uint32_t* values, int64_t n,
+                               const float* sym_cost, const float* add_cost,
+                               int64_t min_length, int64_t window_size,
+                               const int32_t* special, int64_t nspecial,
+                               uint32_t* out_len, uint32_t* out_sym) {
+  if (n <= 0 || min_length < 3 || window_size < 2 ||
+      (window_size & (window_size - 1)) != 0)
+    return -1;
+  Lz77Matcher m(values, n, window_size, min_length, special, nspecial);
+  int64_t matches = 0;
+  bool ahead = false;  // next position already inserted (lazy probe)
+  constexpr int64_t kMaxLazyLen = 256;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!ahead) m.Insert(i);
+    ahead = false;
+    int64_t len, sym;
+    m.Best(i, &len, &sym);
+    if (len < min_length) continue;
+    if (len < kMaxLazyLen && i + 1 < n) {
+      m.Insert(i + 1);
+      ahead = true;
+      int64_t len2, sym2;
+      m.Best(i + 1, &len2, &sym2);
+      if (len2 > len) {  // defer: literal now, longer match from i+1
+        ++i;
+        ahead = false;
+        len = len2;
+        sym = sym2;
+      }
+    }
+    float lit_cost = sym_cost[i + len] - sym_cost[i];
+    float copy_cost = LenBits((uint32_t)(len - min_length)) +
+                      DistBits(sym, nspecial) + add_cost[i];
+    int64_t insert_from = i + (ahead ? 2 : 1);
+    int64_t insert_len = len - (ahead ? 2 : 1);
+    if (copy_cost <= lit_cost) {
+      out_len[i] = (uint32_t)len;
+      out_sym[i] = (uint32_t)sym;
+      ++matches;
+      for (int64_t k = 0; k < insert_len; ++k) m.Insert(insert_from + k);
+      ahead = false;
+      i += len - 1;
+    }
+    // rejected matches fall through: literals continue, positions get
+    // inserted one by one on the next iterations
+  }
+  return matches;
+}

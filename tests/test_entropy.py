@@ -161,3 +161,62 @@ def test_context_map_roundtrip(rng):
         out, nh = A.decode_context_map(BitReader(w.to_bytes()), nctx)
         assert nh == num_hist
         assert np.array_equal(out, cm)
+
+
+def test_lz77_match_transform_roundtrip(rng):
+    """General LZ77 match search (enc_lz77.cc:439 ApplyLZ77_LZ77):
+    repeated motifs at distance > 1 become copy tokens; the transformed
+    stream decodes back to the original values."""
+    from libjxl_tpu.entropy.ans import (
+        ANSSymbolReader, LZ77Params, build_entropy_codes,
+        decode_histograms, lz77_match_transform, write_entropy_codes,
+        write_tokens,
+    )
+    from libjxl_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native module unavailable")
+    motif = rng.integers(0, 40, 37).astype(np.int64)
+    vals = np.concatenate([
+        motif, rng.integers(0, 40, 11), motif, motif[:20],
+        rng.integers(0, 40, 300), motif, np.zeros(100, np.int64), motif])
+    arr = np.column_stack([np.zeros(len(vals), np.int64), vals])
+    lz = LZ77Params(enabled=True)
+    t = lz77_match_transform([arr], 1, lz, [0])
+    assert t is not None and len(t[0]) < len(arr)   # matches were found
+    codes = build_entropy_codes(t, 1, lz77=lz)
+    w = BitWriter()
+    write_entropy_codes(w, codes)
+    write_tokens(w, t[0], codes)
+    w.zero_pad_to_byte()
+    r = BitReader(w.to_bytes())
+    code = decode_histograms(r, 1)
+    rd = ANSSymbolReader(code, r, distance_multiplier=0)
+    out = [rd.read_hybrid_uint(0, r) for _ in range(len(vals))]
+    assert rd.check_final_state()
+    assert np.array_equal(np.asarray(out), vals)
+
+
+def test_lossless_e8_lz77_denser_on_repetitive(rng):
+    """e8 enables the hash-chain LZ77; tiled-glyph (screenshot-like)
+    content must come out markedly denser than e7 RLE-only, and decode
+    bit-exact (oracle-verified when available)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native module unavailable")
+    glyphs = [rng.integers(0, 255, (8, 6, 3)).astype(np.uint8)
+              for _ in range(8)]
+    img = np.concatenate(
+        [np.concatenate([glyphs[g] for g in rng.integers(0, 8, 20)],
+                        axis=1) for _ in range(12)], axis=0)
+    e7 = encode_lossless(img, EncodeOptions(effort=7, palette=0))
+    e8 = encode_lossless(img, EncodeOptions(effort=8, palette=0))
+    assert len(e8) < 0.5 * len(e7)
+    dec = decode(e8)
+    assert np.array_equal(dec, img)
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        assert np.array_equal(oracle_decode(e8).pixels, dec)
