@@ -108,6 +108,15 @@ def main():
         pass
 
     baseline_mpps = 25.0  # libjxl-class multithreaded host encoder
+    # The dev harness reaches the TPU through a stdio relay measured at
+    # ~210 MB/s h2d / ~30 MB/s d2h with ~25-45 ms per-transfer latency
+    # (BASELINE.md); the end-to-end number is link-bound by that relay
+    # (the compressed stream itself is the d2h payload). The
+    # device_*_mpps axes exclude the relay and predict throughput on a
+    # production PCIe-attached host, where the link is >100x faster.
+    extra["note"] = ("e2e is bound by the dev-harness stdio relay "
+                     "(~30 MB/s d2h); device_encode_mpps/"
+                     "decode_device_mpps are the production-host axes")
     print(json.dumps({
         "metric": "lossless_encode_throughput",
         "value": enc["mpps"],

@@ -26,6 +26,9 @@ ACS_DCT16X8 = 6     # 2 blocks tall, 1 wide
 ACS_DCT8X16 = 7     # 1 block tall, 2 wide
 ACS_DCT32X16 = 10   # 4 tall, 2 wide
 ACS_DCT16X32 = 11   # 2 tall, 4 wide
+ACS_DCT64 = 18      # 8 tall, 8 wide
+ACS_DCT64X32 = 19   # 8 tall, 4 wide
+ACS_DCT32X64 = 20   # 4 tall, 8 wide
 
 
 def _regions(arr: np.ndarray, by0, bx0, nblk_y, nblk_x):
@@ -72,13 +75,21 @@ def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
 
 
 def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
-               quantizer, distance: float, try_small: bool = False):
+               quantizer, distance: float, try_small: bool = False,
+               try_64: bool = False):
     """RD selection on the Y channel. Returns (acs_raw, anchors,
     raw_quant') with merged regions given their anchor's max qf.
 
     ``try_small``: also evaluate the 8x8 special transforms (IDENTITY,
     DCT2X2, DCT4X4, DCT4X8/8X4, AFV0-3; enc_ac_strategy.cc
-    kTransforms8x8) for blocks left unmerged."""
+    kTransforms8x8) for blocks left unmerged.
+
+    ``try_64``: second-level merge pass promoting 64x64 regions to
+    DCT64X64 / DCT64X32 / DCT32X64 when the merged transform beats the
+    chosen 32-level tiling (enc_ac_strategy.cc:897-921 entropy_mul64X32/
+    64X64 = 2.25 vs 1.48 at the 32 level; the 128/256 strategies exist
+    for decode but the reference merge heuristic does not emit them
+    either, enc_ac_strategy.cc:925-930 commented out)."""
     yb8, xb8 = raw_quant.shape
     inv_gs = quantizer.inv_global_scale
     lam = 5.5 / (distance * distance)     # distortion weight
@@ -132,6 +143,7 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
         j16 = (region_cost(ACS_DCT16, y0, x0), [(ACS_DCT16, y0, x0)])
         return min((j8, jv, jh, j16), key=lambda t: t[0])
 
+    cost32 = {}
     for sy in range(0, yb8 - 3, 4):
         for sx in range(0, xb8 - 3, 4):
             # group-boundary: a 32x32 region must not cross group edges
@@ -148,10 +160,42 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                     region_cost(ACS_DCT16X32, sy + 2, sx),
                     [(ACS_DCT16X32, sy, sx), (ACS_DCT16X32, sy + 2, sx)])
             j32 = (region_cost(ACS_DCT32, sy, sx), [(ACS_DCT32, sy, sx)])
-            _, layout = min((jq, jv32, jh32, j32), key=lambda t: t[0])
+            best, layout = min((jq, jv32, jh32, j32), key=lambda t: t[0])
+            cost32[(sy, sx)] = best
             for strategy, by, bx in layout:
                 if strategy != ACS_DCT8:
                     place(strategy, by, bx)
+    if try_64:
+        # 64x64-level merges; candidate entropies carry the reference's
+        # big-block penalty (2.25 / 1.48 relative to the 32 level) to
+        # guard against ringing next to smooth gradients
+        mul64 = 2.25 / 1.48
+        for ty in range(0, (yb8 // 8) * 8, 8):
+            for tx in range(0, (xb8 // 8) * 8, 8):
+                quads = [(ty, tx), (ty, tx + 4), (ty + 4, tx),
+                         (ty + 4, tx + 4)]
+                if any(q not in cost32 for q in quads):
+                    continue
+                q00, q01, q10, q11 = (cost32[q] for q in quads)
+                c64 = mul64 * region_cost(ACS_DCT64, ty, tx)
+                cl = mul64 * region_cost(ACS_DCT64X32, ty, tx)
+                cr = mul64 * region_cost(ACS_DCT64X32, ty, tx + 4)
+                ct = mul64 * region_cost(ACS_DCT32X64, ty, tx)
+                cb = mul64 * region_cost(ACS_DCT32X64, ty + 4, tx)
+                cost_vert = min(cl, q00 + q10) + min(cr, q01 + q11)
+                cost_horz = min(ct, q00 + q01) + min(cb, q10 + q11)
+                if c64 < cost_vert and c64 < cost_horz:
+                    place(ACS_DCT64, ty, tx)
+                elif cost_vert < cost_horz:
+                    if cl < q00 + q10:
+                        place(ACS_DCT64X32, ty, tx)
+                    if cr < q01 + q11:
+                        place(ACS_DCT64X32, ty, tx + 4)
+                else:
+                    if ct < q00 + q01:
+                        place(ACS_DCT32X64, ty, tx)
+                    if cb < q10 + q11:
+                        place(ACS_DCT32X64, ty + 4, tx)
     if try_small:
         _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam)
     return acs, anchors, rq

@@ -296,7 +296,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             from libjxl_tpu.vardct.enc_acs import choose_acs
             acs_map, acs_anchors, raw_quant = choose_acs(
                 xyb_p[1], raw_quant, matrices, quantizer, d,
-                try_small=options.effort >= 7)
+                try_small=options.effort >= 7,
+                try_64=options.effort >= 7)
             qac = quantizer.scale * raw_quant.astype(np.float64)
         else:
             acs_map = np.zeros((yb, xb), np.int32)

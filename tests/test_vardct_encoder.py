@@ -272,3 +272,42 @@ def test_decode_many_device_batch_matches_general_path():
     if oracle_available():
         orc = oracle_decode(data).pixels
         assert np.abs(outs[0].astype(int) - orc.astype(int)).max() <= 1
+
+
+def test_lossy_e7_large_transform_merges():
+    """effort>=7 promotes smooth regions to 64-class transforms
+    (enc_ac_strategy.cc:897-921 second-level merge); the stream stays
+    decodable by both decoders (+-1) and at least one 64-class strategy
+    (DCT64X64/DCT64X32/DCT32X64, raw 18-20) is selected."""
+    import collections
+
+    import libjxl_tpu.vardct.enc_acs as EA
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    yy, xx = np.mgrid[0:192, 0:256]
+    img = np.stack([
+        128 + 60 * np.sin(xx / 97) + 40 * np.cos(yy / 71),
+        128 + 50 * np.sin((xx + yy) / 131),
+        128 + 50 * np.cos((xx - yy) / 113),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    seen = collections.Counter()
+    orig = EA.choose_acs
+
+    def spy(*a, **k):
+        acs, anch, rq = orig(*a, **k)
+        seen.update(acs[anch].tolist())
+        return acs, anch, rq
+
+    EA.choose_acs = spy
+    try:
+        data = encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    finally:
+        EA.choose_acs = orig
+    assert any(s in seen for s in (18, 19, 20)), seen
+    dec = decode(data)
+    assert dec.shape == img.shape
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        ref = oracle_decode(data).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
