@@ -284,3 +284,13 @@ def serialize_splines(w, splines: Splines) -> None:
     codes = build_entropy_codes([arr], num_contexts=NUM_SPLINE_CONTEXTS)
     write_entropy_codes(w, codes)
     write_tokens(w, arr, codes)
+
+
+def find_splines(xyb: np.ndarray) -> Splines | None:
+    """Encoder-side spline detection (enc_splines.cc:103-106
+    FindSplines). The reference ships this as an explicit stub — "TODO:
+    implement spline detection" returning an empty set — so detection
+    parity is: no splines are auto-detected. User-supplied splines are
+    encoded through ``LossyOptions.splines`` (the reference's
+    cparams.custom_splines path, enc_heuristics.cc:1046-1048)."""
+    return None

@@ -165,6 +165,11 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             subtract_patches,
         )
         found = find_text_like_patches(np.asarray(xyb, np.float32))
+        if d >= 3.0:
+            # dots only pay off at low quality (enc_params.h:194
+            # kMinButteraugliForDots; enc_dot_dictionary.cc:44)
+            from libjxl_tpu.render.enc_dots import find_dots
+            found.extend(find_dots(xyb))
         if found:
             found, atlas, apos = pack_patches(found)
             chans, atlas_dec = quantize_atlas_modular(atlas)

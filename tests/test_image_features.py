@@ -386,3 +386,40 @@ def test_encoder_patch_detection_roundtrip():
     assert err.mean() < 0.1 and err.max() <= 32
     ref = oracle_decode(data).pixels
     assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+
+def test_dot_detection_end_to_end():
+    """enc_detect_dots.cc DetectGaussianEllipses: isolated speckles on a
+    flat background are detected, shipped as single-occurrence patches,
+    and survive a low-quality VarDCT roundtrip far better than without
+    the patch path — at no size cost."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.color.xyb import linear_to_xyb, srgb_to_linear
+    from libjxl_tpu.render.enc_dots import find_dots
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(5)
+    img = np.full((128, 160, 3), 90, np.uint8)
+    img += rng.integers(0, 3, img.shape).astype(np.uint8)
+    dots_at = [(20, 30), (40, 100), (80, 60), (100, 130), (60, 20)]
+    for (y, x) in dots_at:
+        img[y, x] = [255, 240, 40]
+        img[y, x + 1] = [230, 220, 60]
+
+    xyb = linear_to_xyb(np.moveaxis(
+        srgb_to_linear(img.astype(np.float64) / 255.0), -1, 0))
+    found = find_dots(np.asarray(xyb))
+    assert len(found) == len(dots_at)
+
+    data = encode_lossy(img, LossyOptions(distance=3.5, effort=7))
+    dec = decode(data)
+    off = LossyOptions(distance=3.5, effort=7)
+    off.patches = False
+    dec_off = decode(encode_lossy(img, off))
+    idx = tuple(zip(*dots_at))
+    err_on = np.abs(dec[idx].astype(int) - img[idx].astype(int)).mean()
+    err_off = np.abs(dec_off[idx].astype(int) - img[idx].astype(int)).mean()
+    assert err_on < 0.5 * err_off
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        assert np.array_equal(oracle_decode(data).pixels, dec)
