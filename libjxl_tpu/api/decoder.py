@@ -175,7 +175,7 @@ def _group_pool():
 
 def decode_vardct_frame(meta: CodecMetadata, frame,
                         reference_frames=None,
-                        dc_image=None) -> np.ndarray:
+                        dc_image=None, _return_prefilter=False):
     """Decode one VarDCT frame to a float XYB image, then apply the
     restoration filters, patches/splines, frame upsampling and noise;
     returns (3, H, W) XYB (pre-color-transform). Stage order per
@@ -292,6 +292,11 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         dec.pixels = np.stack(planes)
     xyb = dec.pixels[:, :fd.ysize, :fd.xsize]
     lf = fh.loop_filter
+    if _return_prefilter:
+        # encoder hook (EPF sharpness search, enc_heuristics.cc:892):
+        # the pre-filter reconstruction + decoder state lets the caller
+        # re-run gaborish/EPF with candidate sharpness fields locally
+        return xyb, dec, lf
     from libjxl_tpu.config import config as _cfg
     if _cfg.device_filters and (lf.gab or lf.epf_iters > 0):
         from libjxl_tpu.render.filters_jax import restore_device
@@ -447,6 +452,34 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
         img = np.concatenate([color, img[3:]]) if img.shape[0] > 3 \
             else color
     return img, img
+
+
+def _decode_prefilter(data: bytes):
+    """Encoder-internal: decode the first regular VarDCT frame of
+    ``data`` up to (not including) the restoration filters. Returns
+    (xyb, dec_state, loop_filter). Reference/DC frames before it are
+    decoded normally (patch atlases etc.)."""
+    from libjxl_tpu.api.container import extract_codestream
+    meta, frames = parse_codestream(extract_codestream(data))
+    refs = [None] * 4
+    dc_store = {}
+    for fs in frames:
+        fh = fs.header
+        if fh.frame_type == FrameType.REFERENCE_ONLY:
+            img, pre_ct = _frame_to_float(meta, fs, refs, dc_store)
+            refs[fh.save_as_reference] = \
+                pre_ct if fh.save_before_color_transform else img
+            continue
+        if fh.frame_type == FrameType.DC_FRAME:
+            _, pre_ct = _frame_to_float(meta, fs, refs, dc_store)
+            dc_store[fh.dc_level] = pre_ct
+            continue
+        if fh.encoding != FrameEncoding.VARDCT:
+            raise FormatError("prefilter decode expects a VarDCT frame")
+        return decode_vardct_frame(meta, fs, refs,
+                                   dc_store.get(fh.dc_level + 1),
+                                   _return_prefilter=True)
+    raise FormatError("no regular frame found")
 
 
 def decode_frames(data: bytes):

@@ -62,6 +62,8 @@ class LossyOptions:
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
     qf_override = None           # explicit float quant field (internal:
                                  # the butteraugli iteration loop)
+    _sharpness_field = None      # per-block EPF sharpness (internal:
+                                 # ComputeARHeuristics search result)
     _aux = None                  # dict filled with qf_field/acs when set
     _in_iteration = False        # internal: inside the butteraugli loop
     _animation = None            # AnimationHeader for multi-frame streams
@@ -189,6 +191,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         xyb_pre_gab = np.pad(xyb,
                              ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
                              mode="edge")
+        if options._aux is not None:
+            # pre-gaborish, post-feature-subtraction opsin: the AR
+            # search compares decoded candidates against this
+            options._aux["opsin"] = np.asarray(xyb, np.float64).copy()
         if use_gab:
             from libjxl_tpu.render.filters import gaborish_inverse
             xyb = gaborish_inverse(xyb)
@@ -585,9 +591,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         acs_qf[0, :] = acs_map[y0:y0 + bhd, x0:x0 + bwd][a_sel]
         acs_qf[1, :] = raw_quant[y0:y0 + bhd, x0:x0 + bwd][a_sel] - 1
         am.channel.append(Channel(acs_qf))
-        # EPF sharpness: the fast-tier constant 4 (enc_heuristics.cc:907)
-        sharp = 4 if fh.loop_filter.epf_iters > 0 else 0
-        am.channel.append(Channel(np.full((bhd, bwd), sharp, np.int32)))
+        # EPF sharpness: per-block field from the AR search when set,
+        # else the fast-tier constant 4 (enc_heuristics.cc:907)
+        if options._sharpness_field is not None and \
+                fh.loop_filter.epf_iters > 0:
+            am.channel.append(Channel(np.ascontiguousarray(
+                options._sharpness_field[y0:y0 + bhd, x0:x0 + bwd],
+                np.int32)))
+        else:
+            sharp = 4 if fh.loop_filter.epf_iters > 0 else 0
+            am.channel.append(Channel(
+                np.full((bhd, bwd), sharp, np.int32)))
         modular_encode(sw, am, group_id=1 + 2 * fd.num_dc_groups + g,
                        tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)])
 
@@ -769,12 +783,114 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         it._aux = aux
         it._in_iteration = True
         _stats.record_count("num_butteraugli_iters", 1)
-        if i == iters - 1:          # only the emitted stream's bits count
+        last = i == iters - 1
+        if last and options.distance >= 0.5:
+            with _stats.suppress():
+                data = encode_lossy(pixels, it)
+            # EPF sharpness search (ComputeARHeuristics,
+            # enc_heuristics.cc:892-1018) on the converged stream; the
+            # sharpness field doesn't change coefficients, so one final
+            # re-encode emits it
+            field = _epf_sharpness_search(data, aux.get("opsin"),
+                                          options.distance)
+            if field is not None:
+                it = copy.copy(it)
+                it._sharpness_field = field
+            data = encode_lossy(pixels, it)
+        elif last:                  # only the emitted stream's bits count
             data = encode_lossy(pixels, it)
         else:
             with _stats.suppress():
                 data = encode_lossy(pixels, it)
     return data
+
+
+def _epf_sharpness_search(data: bytes, orig_xyb, d: float):
+    """Per-block EPF sharpness selection (enc_heuristics.cc:892-1018
+    ComputeARHeuristics): decode the stream up to the filters once,
+    re-run gaborish+EPF locally per candidate uniform sharpness, pick
+    per block by weighted L2 error with neighbor hysteresis, then
+    re-pick with context-frequency multipliers (the entropy-aware
+    second pass). Returns the (yb, xb) field or None when EPF is off
+    or nothing beats the default."""
+    if orig_xyb is None:
+        return None
+    from libjxl_tpu.api.decoder import _decode_prefilter
+    from libjxl_tpu.render.filters import (
+        compute_sigma, epf_step0, epf_step1, epf_step2, gaborish,
+    )
+    xyb, dec, lf = _decode_prefilter(data)
+    if lf.epf_iters == 0:
+        return None
+    steps = [0, 4] if d > 4.5 else [0, 2, 7]
+    yb, xb = dec.epf_sharpness.shape
+    _, h, w = xyb.shape
+    base = gaborish(xyb, lf) if lf.gab else xyb
+    kw = np.array([12.339445295782363, 1.0, 0.2])   # :884-888
+    err = {}
+    for s in steps:
+        sh = np.full((yb, xb), s, np.int32)
+        inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
+                                  dec.raw_quant, sh, dec.quantizer.scale)
+        out = base
+        if lf.epf_iters >= 3:
+            out = epf_step0(out, inv_sigma, lf)
+        out = epf_step1(out, inv_sigma, lf)
+        if lf.epf_iters >= 2:
+            out = epf_step2(out, inv_sigma, lf)
+        d2 = ((np.asarray(out, np.float64) - orig_xyb[:, :h, :w]) ** 2
+              * kw[:, None, None]).sum(axis=0)
+        d2 = np.pad(d2, ((0, yb * 8 - h), (0, xb * 8 - w)))
+        err[s] = d2.reshape(yb, 8, xb, 8).sum(axis=(1, 3))
+    lut = {s: i for i, s in enumerate(steps)}
+    favor_none = 0.99                               # kFavorNoSmoothing
+    out = np.zeros((yb, xb), np.int32)
+    histo = np.zeros((9, 8), np.int64)
+    totals = np.ones(9, np.int64)
+    for by in range(yb):
+        for bx in range(xb):
+            top = int(out[by - 1, bx]) if by else 0
+            left = int(out[by, bx - 1]) if bx else 0
+            bv, be = 0, np.inf
+            for s in steps:
+                e = err[s][by, bx] * (favor_none if s == 0 else 1.0)
+                if e < be:
+                    bv, be = s, e
+            te, le = err[top][by, bx], err[left][by, bx]
+            if be < min(te, le):
+                out[by, bx] = bv
+            elif te < le:
+                out[by, bx] = top
+            else:
+                out[by, bx] = left
+            ctx = lut[top] * 3 + lut[left]
+            histo[ctx, out[by, bx]] += 1
+            totals[ctx] += 1
+    # context-frequency multipliers (:979-997)
+    cb = max(0.85970338919928291,
+             0.98017198824148288 ** min(5.0, d))
+    c5 = 0.1087690359555803
+    clamped = min(5.0, max(d, 1e-3))
+    mul = {}
+    for tv in steps:
+        for lv in steps:
+            ctx = lut[tv] * 3 + lut[lv]
+            for s in steps:
+                m = 1.0 / (1.0 + c5 * np.log1p(
+                    histo[ctx, s] / totals[ctx]) / clamped)
+                mul[(ctx, s)] = m * (cb if s == 0 else 1.0)
+    for by in range(yb):
+        for bx in range(xb):
+            top = int(out[by - 1, bx]) if by else 0
+            left = int(out[by, bx - 1]) if bx else 0
+            ctx = lut[top] * 3 + lut[left]
+            bv, be = 0, np.inf
+            for s in steps:
+                e = err[s][by, bx] * mul[(ctx, s)]
+                if e < be:
+                    bv, be = s, e
+            out[by, bx] = bv
+    return out
 
 
 def encode_lossy_animation(frames, durations=None,

@@ -311,3 +311,44 @@ def test_lossy_e7_large_transform_merges():
     if oracle_available():
         ref = oracle_decode(data).pixels
         assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+
+
+def test_epf_sharpness_search_field():
+    """ComputeARHeuristics (enc_heuristics.cc:892): at e7 the encoder
+    signals a PER-BLOCK sharpness field chosen by candidate-filter
+    error, not the flat fast-tier constant; mixed smooth/noisy content
+    must produce a non-constant field and decode +-1 vs the oracle."""
+    import libjxl_tpu.vardct.frame_enc as FE
+    from libjxl_tpu.api.decoder import decode
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:160, 0:224]
+    img = np.stack([
+        150 + 60 * np.sin(xx / 90) + 30 * np.cos(yy / 60),
+        140 + 50 * np.sin((xx + yy) / 120),
+        120 + 40 * np.cos((xx - yy) / 100),
+    ], axis=-1)
+    img[80:, :, :] += rng.normal(0, 25, (80, 224, 3))
+    img = img.clip(0, 255).astype(np.uint8)
+
+    fields = []
+    orig = FE._epf_sharpness_search
+
+    def spy(data, opsin, d):
+        f = orig(data, opsin, d)
+        fields.append(f)
+        return f
+
+    FE._epf_sharpness_search = spy
+    try:
+        data = FE.encode_lossy(img, FE.LossyOptions(distance=1.5,
+                                                    effort=7))
+    finally:
+        FE._epf_sharpness_search = orig
+    assert fields and fields[0] is not None
+    assert len(np.unique(fields[0])) > 1      # actually per-block
+    dec = decode(data)
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        ref = oracle_decode(data).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
