@@ -453,28 +453,150 @@ def encode_animation(frames, durations=None,
 
 
 def encode_lossless_streaming(pixels: np.ndarray,
-                              options: EncodeOptions | None = None,
-                              stripe_height: int = 256):
-    """Memory-bounded streaming encode: yields codestream byte chunks as
-    horizontal stripes are encoded (enc_frame.cc EncodeFrameStreaming's
-    model — the image is written as cropped sub-frames composited by
-    REPLACE blending; peak state is one stripe, not the whole image).
+                              options: EncodeOptions | None = None):
+    """Spec streaming encode (enc_frame.cc:2045 EncodeFrameStreaming,
+    ComputePermutationForStreaming :1867): ONE regular frame whose
+    sections are produced and laid out DC-group by DC-group, with a
+    Lehmer-coded TOC permutation mapping them back to spec order. Every
+    group section is self-contained (local MA tree + histograms,
+    GroupHeader.use_global_tree=0), so encoder pixel/token state is
+    bounded by one 2048-row band — the image is never materialized.
 
-    ``pixels`` may be a full array or any object supporting
-    ``pixels[y0:y1]`` row slicing (e.g. a memory-mapped file)."""
+    The reference patches the TOC through a seekable output processor;
+    here the (small) compressed section bytes are buffered and the
+    codestream is yielded as chunks once the TOC is known. Input
+    ``pixels`` may be any object supporting ``pixels[y0:y1]`` row
+    slicing (e.g. a memory-mapped file). Palette/squeeze are global
+    transforms and are disabled in streaming mode (the reference's
+    streaming tier makes the same restriction)."""
     options = options or EncodeOptions()
     first = np.asarray(pixels[0:1])
     h = len(pixels)
+    w = first.shape[1]
+    nch = 1 if first.ndim == 2 else first.shape[2]
+    group_dim = 128 << options.group_size_shift
+    if h <= group_dim and w <= group_dim:
+        # single group: one-shot encode is already streaming-shaped
+        yield encode_lossless(np.asarray(pixels[0:h]), options)
+        return
     meta, header_bytes = _modular_headers(
         np.empty((h,) + first.shape[1:], first.dtype), options)
     yield header_bytes
-    n_stripes = (h + stripe_height - 1) // stripe_height
-    for i in range(n_stripes):
-        y0 = i * stripe_height
-        stripe = np.asarray(pixels[y0:y0 + stripe_height])
-        yield _modular_frame_bytes(stripe, options, meta,
-                                   is_last=(i == n_stripes - 1),
-                                   origin=(0, y0))
+
+    # ---- frame header (mirrors _modular_frame_bytes) --------------------
+    bw = BitWriter()
+    fh = FrameHeader(encoding=FrameEncoding.MODULAR,
+                     color_transform=ColorTransform.NONE,
+                     group_size_shift=options.group_size_shift)
+    fh.loop_filter.gab = False
+    fh.loop_filter.epf_iters = 0
+    fh.is_last = True
+    fh.visit(FieldWriter(bw), meta)
+    fd = FrameDimensions(w, h, fh.group_dim)
+
+    use_rct = options.use_rct and nch >= 3
+    transforms = [Transform(id=TransformId.RCT, begin_c=0, rct_type=6)] \
+        if use_rct else []
+    tree_fixed = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+
+    # ---- section permutation (DC-group-major file order) ----------------
+    num_dc, num_g = fd.num_dc_groups, fd.num_groups
+    n_sections = 2 + num_dc + num_g
+    perm = np.zeros(n_sections, np.int64)
+    file_order = []                  # logical index per file position
+    new_ix = 0
+    perm[0] = new_ix
+    new_ix += 1
+    file_order.append(0)
+    gxs, gys = fd.xsize_groups, fd.ysize_groups
+    for dcy in range(fd.ysize_dc_groups):
+        for dcx in range(fd.xsize_dc_groups):
+            dc_ix = dcy * fd.xsize_dc_groups + dcx
+            perm[1 + dc_ix] = new_ix
+            new_ix += 1
+            file_order.append(1 + dc_ix)
+            for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
+                for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
+                    g = gy * gxs + gx
+                    logical = 2 + num_dc + g
+                    perm[logical] = new_ix
+                    new_ix += 1
+                    file_order.append(logical)
+    perm[1 + num_dc] = new_ix       # AC global is last in the file
+    new_ix += 1
+    file_order.append(1 + num_dc)
+    assert new_ix == n_sections
+
+    # ---- DC global: transforms signaled, NO global tree ------------------
+    sw = BitWriter()
+    sw.write(1, 1)                  # DequantMatrices::DecodeDC all_default
+    sw.write(1, 0)                  # no global tree: groups self-contained
+    gh = GroupHeader(use_global_tree=False, transforms=transforms)
+    gh.write(sw)
+    sw.zero_pad_to_byte()
+    dc_global = sw.to_bytes()
+
+    def group_section(band, gy: int, gx: int) -> bytes:
+        """Self-contained AC-group section: local tree + codes + tokens."""
+        y0 = gy * fd.group_dim - band_y0
+        x0 = gx * fd.group_dim
+        sub_px = band[y0:y0 + fd.group_dim, x0:x0 + fd.group_dim]
+        sub = ModularImage(sub_px.shape[1], sub_px.shape[0], bits)
+        for c in range(nch):
+            sub.channel.append(Channel(sub_px[:, :, c].astype(np.int32)))
+        if use_rct:
+            fwd_rct(sub, 0, 6)
+        sid = stream_id_modular_ac(fd, gy * gxs + gx, 0)
+        if options.effort >= 5:
+            from libjxl_tpu.modular.enc_ma import (
+                learn_tree, tokenize_with_tree,
+            )
+            tree = learn_tree(
+                [(ci, sub.channel[ci].plane) for ci in range(nch)],
+                max_leaves=24)
+            arr = tokenize_with_tree(
+                [(ci, sub.channel[ci].plane) for ci in range(nch)],
+                tree, sid)
+        else:
+            tree = tree_fixed
+            toks = []
+            for ci in range(nch):
+                toks.extend(map(tuple, np.asarray(tokens_to_array(
+                    encode_modular_channel_tokens(
+                        sub, ci, sid, tree, GroupHeader().wp_header)))))
+            arr = tokens_to_array(toks)
+        num_ctx = (len(tree) + 1) // 2
+        codes = build_entropy_codes([arr], num_ctx)
+        ssw = BitWriter()
+        GroupHeader(use_global_tree=False).write(ssw)
+        write_tree(ssw, tree)
+        write_entropy_codes(ssw, codes)
+        if arr.size:
+            write_tokens(ssw, arr, codes)
+        ssw.zero_pad_to_byte()
+        return ssw.to_bytes()
+
+    # ---- per-DC-group band encode (bounded pixel state) ------------------
+    file_sections = [dc_global]
+    bits = 16 if first.dtype == np.uint16 else 8
+    for dcy in range(fd.ysize_dc_groups):
+        band_y0 = dcy * fd.dc_group_dim
+        band = np.asarray(pixels[band_y0:band_y0 + fd.dc_group_dim])
+        if band.ndim == 2:
+            band = band[:, :, None]
+        for dcx in range(fd.xsize_dc_groups):
+            file_sections.append(b"")    # DC group: no shift>=3 channels
+            for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
+                for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
+                    file_sections.append(group_section(band, gy, gx))
+    file_sections.append(b"")            # AC global: nothing for modular
+
+    from libjxl_tpu.core.toc import write_toc_permuted
+    write_toc_permuted(bw, [len(s) for s in file_sections], perm)
+    yield bw.to_bytes()
+    for s in file_sections:
+        if s:
+            yield s
 
 
 def encode_lossless_device(pixels: np.ndarray,

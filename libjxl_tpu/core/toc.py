@@ -61,3 +61,16 @@ def write_toc(w: BitWriter, sizes) -> None:
     for s in sizes:
         write_u32(w, TOC_DIST, int(s))
     w.zero_pad_to_byte()
+
+
+def write_toc_permuted(w: BitWriter, sizes_file_order, perm) -> None:
+    """Permuted TOC (streaming encode, enc_frame.cc:1867): sizes are in
+    FILE order; ``perm[logical_section] = file_position`` so the decoder
+    recovers the spec section order (read_toc applies sizes[perm])."""
+    from libjxl_tpu.entropy.permutation import encode_permutation
+    w.write(1, 1)
+    encode_permutation(w, perm)
+    w.zero_pad_to_byte()
+    for s in sizes_file_order:
+        write_u32(w, TOC_DIST, int(s))
+    w.zero_pad_to_byte()

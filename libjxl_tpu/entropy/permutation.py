@@ -67,3 +67,26 @@ def decode_permutation(r: BitReader, size: int, skip: int = 0) -> np.ndarray:
     if not reader.check_final_state():
         raise FormatError("invalid permutation ANS state")
     return perm
+
+
+def encode_permutation(w, perm, skip: int = 0) -> None:
+    """Standalone Lehmer-coded permutation with its own histograms
+    (inverse of decode_permutation; coeff_order.cc EncodePermutation)."""
+    from libjxl_tpu.entropy.ans import (
+        build_entropy_codes, write_entropy_codes, write_tokens,
+    )
+    perm = np.asarray(perm)
+    size = len(perm)
+    lehmer = encode_lehmer(perm)
+    end = size
+    while end > skip and lehmer[end - 1] == 0:
+        end -= 1                    # trailing zeros are implicit
+    toks = [(coeff_order_context(size), end - skip)]
+    last = 0
+    for i in range(skip, end):
+        toks.append((coeff_order_context(last), int(lehmer[i])))
+        last = int(lehmer[i])
+    arr = np.array(toks, dtype=np.int64).reshape(-1, 2)
+    codes = build_entropy_codes([arr], K_PERMUTATION_CONTEXTS)
+    write_entropy_codes(w, codes)
+    write_tokens(w, arr, codes)

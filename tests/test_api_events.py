@@ -118,14 +118,13 @@ def test_encoder_api_jpeg(rng):
         assert oracle_decode_jpeg(out) == jb
 
 
-def test_streaming_encode_stripes(rng):
-    """Memory-bounded streaming encode (EncodeFrameStreaming model):
-    stripes as cropped REPLACE sub-frames; both decoders restore the
-    image exactly."""
+def test_streaming_encode_spec_mode(rng):
+    """Spec streaming encode (enc_frame.cc:2045 EncodeFrameStreaming):
+    ONE frame, sections laid out DC-group-major with a permuted TOC,
+    per-group local trees; both decoders restore the image exactly."""
     from libjxl_tpu.api.encoder import encode_lossless_streaming
     img = rng.integers(0, 255, (700, 500, 3), dtype=np.uint8)
     chunks = list(encode_lossless_streaming(img, EncodeOptions(effort=2)))
-    assert len(chunks) == 4          # header + 3 stripes
     data = b"".join(chunks)
     assert np.array_equal(decode(data), img)
     from libjxl_tpu.utils.oracle import oracle_available
@@ -133,6 +132,23 @@ def test_streaming_encode_stripes(rng):
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
                               img)
+
+
+def test_streaming_encode_multi_dc_group(rng):
+    """>2048 rows spans multiple DC groups; the TOC permutation maps the
+    DC-group-major file layout back to spec section order."""
+    from libjxl_tpu.api.encoder import encode_lossless_streaming
+    yy, xx = np.mgrid[0:2200, 0:128]
+    img = ((xx * 255 // 128 + yy * 255 // 2200) // 2 +
+           rng.integers(0, 4, (2200, 128))).clip(0, 255).astype(np.uint8)
+    data = b"".join(encode_lossless_streaming(img,
+                                              EncodeOptions(effort=5)))
+    assert np.array_equal(np.squeeze(decode(data)), img)
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        ref = oracle_decode(data).pixels
+        assert np.array_equal(ref.squeeze(), img)
 
 
 def test_encoder_stats_bit_accounting():
