@@ -164,6 +164,67 @@ def xyb_reference_frame_bytes(channels: list, meta, save_slot: int,
                                 customize=customize)
 
 
+def _rct_candidate_cost(planes) -> float:
+    """Cheap bits estimate for a channel set: entropy of hybrid-uint
+    tokens of packed clamped-gradient residuals plus their extra bits
+    (enc_modular.cc EstimateCost's role in the RCT search)."""
+    total = 0.0
+    for p in planes:
+        p = p.astype(np.int64)
+        w_ = np.empty_like(p)
+        w_[:, 1:] = p[:, :-1]
+        w_[1:, 0] = p[:-1, 0]
+        w_[0, 0] = 0
+        n = np.empty_like(p)
+        n[1:] = p[:-1]
+        n[0] = w_[0]
+        nw = np.empty_like(p)
+        nw[1:, 1:] = p[:-1, :-1]
+        nw[0] = w_[0]
+        nw[1:, 0] = w_[1:, 0]
+        pred = np.clip(w_ + n - nw, np.minimum(w_, n), np.maximum(w_, n))
+        res = p - pred
+        packed = np.where(res >= 0, 2 * res, -2 * res - 1)
+        # hybrid(4,2,0) token ids + extra-bit counts
+        big = packed >= 16
+        bl = np.frexp(packed.astype(np.float64))[1] - 1   # floor(log2)
+        tok = np.where(big, 16 + (bl - 4) * 4 +
+                       ((packed >> np.maximum(bl - 2, 0)) & 3), packed)
+        nbits = np.where(big, np.maximum(bl - 2, 0), 0)
+        hist = np.bincount(tok.reshape(-1), minlength=1)
+        nz = hist[hist > 0]
+        tot = nz.sum()
+        total += float(-(nz * np.log2(nz / tot)).sum() + nbits.sum())
+    return total
+
+
+def _search_rct(img: ModularImage, effort: int) -> int:
+    """Global RCT selection (enc_modular.cc:1444-1520): try the
+    reference's deduplicated candidate list (first N by speed tier),
+    rank by estimated residual entropy, return the winner (0 = none)."""
+    tries = {5: 4, 6: 5, 7: 7, 8: 9}.get(effort, 19 if effort >= 9 else 0)
+    candidates = [0, 6, 5, 1 * 7 + 3, 3 * 7 + 5, 5 * 7 + 5, 1 * 7 + 5,
+                  2 * 7 + 5, 1 * 7 + 1, 4, 1 * 7 + 2, 2 * 7 + 1, 2 * 7 + 2,
+                  2 * 7 + 3, 4 * 7 + 4, 4 * 7 + 5, 2, 1, 3][:tries]
+    if len(candidates) <= 1:
+        return 6
+    orig = [img.channel[c].plane for c in range(3)]
+    best_cost, best = None, 0
+    for t in candidates:
+        if t == 0:
+            cost = _rct_candidate_cost(orig)
+        else:
+            probe = ModularImage(img.w, img.h, img.bitdepth)
+            for p in orig:
+                probe.channel.append(Channel(p.copy()))
+            fwd_rct(probe, 0, t)
+            cost = _rct_candidate_cost(
+                [probe.channel[c].plane for c in range(3)])
+        if best_cost is None or cost < best_cost:
+            best_cost, best = cost, t
+    return best
+
+
 def _modular_frame_bytes(pixels, options, meta,
                          is_last: bool = True, duration: int = 0,
                          origin: tuple | None = None,
@@ -213,9 +274,13 @@ def _modular_frame_bytes(pixels, options, meta,
             transforms.append(t)
             palettized = True
     if options.use_rct and nch >= 3 and not palettized:
-        fwd_rct(img, 0, 6)  # YCoCg
-        transforms.append(Transform(id=TransformId.RCT, begin_c=0,
-                                    rct_type=6))
+        rct_type = 6                 # global YCoCg at fast tiers
+        if options.effort >= 5:
+            rct_type = _search_rct(img, options.effort)
+        if rct_type:
+            fwd_rct(img, 0, rct_type)
+            transforms.append(Transform(id=TransformId.RCT, begin_c=0,
+                                        rct_type=rct_type))
     if options.squeeze:
         from libjxl_tpu.modular.transforms import fwd_squeeze
         fwd_squeeze(img, [])    # default parameters, signalled empty
