@@ -11,6 +11,27 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+class _ChunkedFrame:
+    """Row-sliceable shim over a chunk callback: the streaming encoder
+    pulls pixels one ``pixels[y0:y1]`` band at a time."""
+
+    def __init__(self, xsize: int, ysize: int, get_chunk, dtype):
+        self.xsize, self.ysize = xsize, ysize
+        self._get = get_chunk
+        self._dtype = dtype
+
+    def __len__(self) -> int:
+        return self.ysize
+
+    def __getitem__(self, sl):
+        y0 = sl.start or 0
+        y1 = self.ysize if sl.stop is None else min(sl.stop, self.ysize)
+        out = np.asarray(self._get(0, y0, self.xsize, y1 - y0))
+        if out.shape[0] != y1 - y0 or out.shape[1] != self.xsize:
+            raise ValueError("chunk callback returned wrong shape")
+        return out.astype(self._dtype, copy=False)
+
+
 @dataclass
 class FrameSettings:
     """Per-frame options (encode.h JxlEncoderFrameSettings, the commonly
@@ -47,6 +68,23 @@ class Encoder:
         if self._jpeg is not None:
             raise ValueError("cannot mix JPEG and pixel frames")
         self._frames.append((np.asarray(pixels), settings or
+                             FrameSettings()))
+
+    def add_chunked_frame(self, xsize: int, ysize: int, get_chunk,
+                          settings: FrameSettings | None = None,
+                          dtype=np.uint8) -> None:
+        """Chunked frame input (encode.cc:2534
+        JxlEncoderChunkedFrameAdapter / JxlChunkedFrameInputSource): the
+        frame is supplied by ``get_chunk(x0, y0, w, h) -> (h, w, c)``
+        callbacks instead of one array. A lossless frame is encoded
+        through the streaming path — chunks are requested one DC-group
+        band at a time and the image is never materialized; a lossy
+        frame falls back to buffering the full frame first, exactly like
+        the reference adapter when streaming is not possible."""
+        if self._jpeg is not None:
+            raise ValueError("cannot mix JPEG and pixel frames")
+        self._frames.append((_ChunkedFrame(xsize, ysize, get_chunk,
+                                           dtype), settings or
                              FrameSettings()))
 
     def add_jpeg_frame(self, jpeg_bytes: bytes) -> None:
@@ -103,6 +141,14 @@ class Encoder:
         return cs
 
     def _encode_single(self, px, st: FrameSettings) -> bytes:
+        if isinstance(px, _ChunkedFrame):
+            if st.lossless:
+                from libjxl_tpu.api.encoder import (
+                    EncodeOptions, encode_lossless_streaming,
+                )
+                return b"".join(encode_lossless_streaming(
+                    px, EncodeOptions(effort=st.effort)))
+            px = px[0:px.ysize]          # buffer: non-streaming fallback
         if st.lossless:
             from libjxl_tpu.api.encoder import (
                 EncodeOptions, encode_lossless,

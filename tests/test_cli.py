@@ -73,3 +73,42 @@ def test_jxltran_pack_extract_strip(tmp_path):
     sdata = stripped.read_bytes()
     assert b"Exif" not in sdata
     assert np.array_equal(decode(sdata), img)
+
+
+def test_benchmark_xl_harness(tmp_path, rng):
+    """benchmark_xl-class harness (tools/benchmark/benchmark_xl.cc,
+    doc/benchmarking.md:56-77 columns) over two configs."""
+    from PIL import Image
+
+    from libjxl_tpu.cli.benchmark_xl import _load, run_benchmark
+
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    p = tmp_path / "a.png"
+    Image.fromarray(img).save(p)
+    rows = run_benchmark([_load(str(p))], ["jxl:d0:e2", "jxl:d1.0:e3"],
+                         out=open("/dev/null", "w"))
+    assert len(rows) == 2
+    lossless, lossy = rows
+    assert lossless["max_norm"] < 1e-4 and lossless["psnr"] > 90
+    assert lossy["bpp"] < lossless["bpp"]
+    for k in ("bpp", "enc_mpps", "dec_mpps", "ssimulacra2", "pnorm",
+              "qabpp"):
+        assert np.isfinite(rows[0][k]) and np.isfinite(rows[1][k])
+
+
+def test_chunked_frame_adapter(rng):
+    """JxlEncoderChunkedFrameAdapter (encode.cc:2534): callback-supplied
+    frames encode through the streaming path and roundtrip exactly."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder_api import Encoder, FrameSettings
+
+    img = rng.integers(0, 256, (300, 200, 3)).astype(np.uint8)
+
+    def get_chunk(x0, y0, w, h):
+        return img[y0:y0 + h, x0:x0 + w]
+
+    enc = Encoder()
+    enc.add_chunked_frame(200, 300, get_chunk,
+                          FrameSettings(lossless=True, effort=2))
+    data = enc.output()
+    assert np.array_equal(decode(data), img)
