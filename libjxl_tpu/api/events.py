@@ -75,6 +75,7 @@ class StreamingDecoder:
         self._refs = [None] * 4
         self._dc_store = {}
         self._canvas = None
+        self._out_format = None       # PixelFormat for FULL_IMAGE bytes
         self.images = []              # decoded (h, w, c) float arrays
 
     # ---- input ------------------------------------------------------------
@@ -91,6 +92,14 @@ class StreamingDecoder:
 
     def skip_frames(self, n: int) -> None:
         self._skip += n
+
+    def set_image_out_format(self, fmt) -> None:
+        """Request FULL_IMAGE payloads as packed bytes in an external
+        pixel format (decode.h JxlDecoderSetImageOutBuffer +
+        JxlPixelFormat: uint8/uint16/float16/float32, channel count,
+        endianness, row alignment). ``self.images`` keeps the float
+        arrays either way."""
+        self._out_format = fmt
 
     def flush(self):
         """Render what has arrived of the CURRENT (incomplete) frame
@@ -255,7 +264,9 @@ class StreamingDecoder:
             if self._skip > 0:
                 self._skip -= 1
             else:
-                events.append((DecoderEvent.FULL_IMAGE, out))
+                payload = pack_pixels(out, self._out_format) \
+                    if self._out_format is not None else out
+                events.append((DecoderEvent.FULL_IMAGE, payload))
             if fh.is_last:
                 self._done = True
                 events.append((DecoderEvent.SUCCESS, None))
@@ -271,3 +282,56 @@ class StreamingDecoder:
                          m.bit_depth.bits_per_sample,
                          m.color_encoding.channels, m.num_extra_channels,
                          m.have_animation)
+
+
+@dataclass
+class PixelFormat:
+    """Output pixel format (decode.h JxlPixelFormat): requested channel
+    count, sample type, endianness and row alignment."""
+
+    num_channels: int = 0          # 0 = native channel count
+    data_type: str = "uint8"       # uint8|uint16|float16|float32
+    endianness: str = "native"     # native|little|big
+    align: int = 0                 # row byte alignment (0/1 = packed)
+
+
+def pack_pixels(img, fmt: PixelFormat) -> bytes:
+    """Convert a decoded (h, w, c) float [0,1] image to the requested
+    external format (dec_external_image.cc ConvertToExternal): integer
+    types are scaled to full range with round-half-away, float types
+    pass through; rows are padded to ``align`` bytes."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    nc = fmt.num_channels or c
+    if nc > c:
+        # gray expands to RGB first, then pad with opaque alpha
+        # (ConvertToExternal rules)
+        if c == 1 and nc >= 3:
+            img = np.repeat(img, 3, axis=2)
+            c = 3
+        if nc > c:
+            img = np.concatenate(
+                [img, np.ones((h, w, nc - c), np.float32)], axis=2)
+    img = img[:, :, :nc]
+    dt = {"uint8": np.uint8, "uint16": np.uint16,
+          "float16": np.float16, "float32": np.float32}[fmt.data_type]
+    if dt in (np.uint8, np.uint16):
+        maxval = 255.0 if dt == np.uint8 else 65535.0
+        arr = np.clip(np.floor(img * maxval + 0.5), 0, maxval).astype(dt)
+    else:
+        arr = img.astype(dt)
+    if fmt.endianness in ("little", "big") and arr.dtype.itemsize > 1:
+        want = "<" if fmt.endianness == "little" else ">"
+        arr = arr.astype(arr.dtype.newbyteorder(want))
+    row_bytes = w * nc * arr.dtype.itemsize
+    align = max(fmt.align, 1)
+    stride = -(-row_bytes // align) * align
+    if stride == row_bytes:
+        return arr.tobytes()
+    out = bytearray(stride * h)
+    flat = arr.reshape(h, -1).view(np.uint8)
+    for y in range(h):
+        out[y * stride:y * stride + row_bytes] = flat[y].tobytes()
+    return bytes(out)

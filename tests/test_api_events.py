@@ -192,3 +192,34 @@ def test_encoder_stats_bit_accounting():
     total.merge(enc.stats)
     total.merge(enc.stats)
     assert total.num_butteraugli_iters == 2 * enc.stats.num_butteraugli_iters
+
+
+def test_pixel_format_matrix(rng):
+    """JxlPixelFormat output matrix (decode.h, dec_external_image.cc):
+    uint8/uint16/float16/float32 x endianness x channel count x row
+    alignment, via ImageDecoder.set_image_out_format."""
+    from libjxl_tpu.api.events import PixelFormat
+
+    img = rng.integers(0, 256, (10, 7, 3)).astype(np.uint8)
+    data = encode_lossless(img, EncodeOptions(effort=2))
+    for dt, np_dt in (("uint8", np.uint8), ("uint16", ">u2"),
+                      ("float32", "<f4")):
+        dec = StreamingDecoder(ALL_EVENTS)
+        endian = {"uint16": "big", "float32": "little"}.get(dt, "native")
+        dec.set_image_out_format(PixelFormat(3, dt, endian, align=8))
+        dec.feed(data)
+        evs = dict(dec.process())
+        raw = evs[DecoderEvent.FULL_IMAGE]
+        assert isinstance(raw, bytes)
+        itemsize = np.dtype(np_dt).itemsize
+        stride = -(-7 * 3 * itemsize // 8) * 8
+        assert len(raw) == stride * 10
+        row0 = np.frombuffer(raw[:7 * 3 * itemsize], np_dt)
+        if dt == "uint8":
+            assert np.array_equal(row0.reshape(7, 3), img[0])
+        elif dt == "uint16":
+            assert np.allclose(row0.reshape(7, 3) / 257.0, img[0],
+                               atol=0.51)
+        else:
+            assert np.allclose(row0.reshape(7, 3) * 255.0, img[0],
+                               atol=0.51)
