@@ -158,19 +158,12 @@ def _is_srgb_like(ce) -> bool:
                                         TransferFunction.UNKNOWN))
 
 
-_GROUP_POOL = None
-
-
 def _group_pool():
-    """Persistent worker pool for per-group decode (the reference's
-    ThreadParallelRunner keeps workers alive too,
-    thread_parallel_runner_internal.h:50)."""
-    global _GROUP_POOL
-    if _GROUP_POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-        _GROUP_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
-    return _GROUP_POOL
+    """Per-group decode fan-out goes through the pluggable runner seam
+    (parallel/runner.py; the reference threads a JxlParallelRunner
+    through every such loop, parallel_runner.h)."""
+    from libjxl_tpu.parallel.runner import default_runner
+    return default_runner()
 
 
 def decode_vardct_frame(meta: CodecMetadata, frame,

@@ -223,3 +223,43 @@ def test_pixel_format_matrix(rng):
         else:
             assert np.allclose(row0.reshape(7, 3) * 255.0, img[0],
                                atol=0.51)
+
+
+def test_parallel_runner_seam(rng):
+    """Pluggable parallel runner (parallel_runner.h C ABI model):
+    sequential / thread / resizable runners share one interface, and the
+    decoder's group fan-out honors set_default_runner."""
+    from libjxl_tpu.parallel.runner import (
+        ResizableRunner, SequentialRunner, ThreadRunner, default_runner,
+        set_default_runner,
+    )
+
+    for runner in (SequentialRunner(), ThreadRunner(3)):
+        hits = []
+        runner.run(17, lambda i, t: hits.append((i, t)))
+        assert sorted(i for i, _ in hits) == list(range(17))
+    rr = ResizableRunner(2)
+    rr.set_num_threads(4)
+    assert rr.num_threads == 4
+    assert ResizableRunner.suggested_threads(4096, 4096) >= 1
+    out = rr.map(lambda x: x * x, range(9))
+    assert out == [x * x for x in range(9)]
+
+    # decode goes through the seam: a counting sequential runner sees use
+    class Counting(SequentialRunner):
+        calls = 0
+
+        def map(self, fn, items):
+            Counting.calls += 1
+            return super().map(fn, items)
+
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    img = rng.integers(0, 256, (600, 600, 3)).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=2.0, effort=3))
+    prev = default_runner()
+    set_default_runner(Counting())
+    try:
+        assert decode(data).shape == img.shape
+    finally:
+        set_default_runner(prev)
+    assert Counting.calls >= 1
