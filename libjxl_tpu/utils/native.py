@@ -422,3 +422,43 @@ def lz77_parse(values: np.ndarray, sym_cost: np.ndarray,
     if rc < 0:
         return None
     return out_len, out_sym
+
+
+def tokenize_dct8(qp: np.ndarray, order: np.ndarray,
+                  block_ctx: np.ndarray, histo_off: np.ndarray,
+                  num_ctxs: int, knz: np.ndarray, kfr: np.ndarray
+                  ) -> np.ndarray | None:
+    """AC-group tokenizer for all-DCT8 groups (DecodeACVarBlock mirror,
+    enc_entropy_coder.cc:153): returns an (N, 2) int64 (context, value)
+    token array or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_tokenize_dct8_bound"):
+        lib.jxlt_tokenize_dct8.restype = ctypes.c_int64
+        lib.jxlt_tokenize_dct8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.jxlt_tokenize_dct8_bound = True
+    qp = np.ascontiguousarray(qp, dtype=np.int32)
+    gh, gw = qp.shape[:2]
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    block_ctx = np.ascontiguousarray(block_ctx, dtype=np.int32)
+    histo_off = np.ascontiguousarray(histo_off, dtype=np.int32)
+    knz = np.ascontiguousarray(knz, dtype=np.int32)
+    kfr = np.ascontiguousarray(kfr, dtype=np.int32)
+    cap = gh * gw * 3 * 64
+    out_ctx = np.empty(cap, np.int32)
+    out_val = np.empty(cap, np.int32)
+    n = lib.jxlt_tokenize_dct8(
+        qp.ctypes.data, gh, gw, order.ctypes.data, block_ctx.ctypes.data,
+        histo_off.ctypes.data, num_ctxs, knz.ctypes.data, kfr.ctypes.data,
+        out_ctx.ctypes.data, out_val.ctypes.data)
+    if n < 0:
+        return None
+    out = np.empty((n, 2), np.int64)
+    out[:, 0] = out_ctx[:n]
+    out[:, 1] = out_val[:n]
+    return out

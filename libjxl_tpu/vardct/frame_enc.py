@@ -64,6 +64,8 @@ class LossyOptions:
                                  # the butteraugli iteration loop)
     _sharpness_field = None      # per-block EPF sharpness (internal:
                                  # ComputeARHeuristics search result)
+    _dispatch_only = False       # internal: device serving pipeline
+    _predispatched = None        # internal: (packed, dense16) handles
     _aux = None                  # dict filled with qf_field/acs when set
     _in_iteration = False        # internal: inside the butteraugli loop
     _animation = None            # AnimationHeader for multi-frame streams
@@ -268,14 +270,24 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         qac_f = (quantizer.scale *
                  raw_quant.astype(np.float32))
         inv_qac_f = (inv_gs / raw_quant.astype(np.float32))
-        packed, dense16 = encode_lossy_frame_device(
-            device_put_fast(pixels[:, :, :3]), device_put_fast(qac_f),
-            device_put_fast(inv_qac_f),
-            jnp.asarray(table, jnp.float32),
-            jnp.asarray(quadrant_thresholds(0.56, 0.62), jnp.float32),
-            jnp.asarray(quadrant_thresholds(0.58, 0.62), jnp.float32),
-            jnp.asarray(np.asarray(mul_dc), jnp.float32),
-            h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
+        if options._predispatched is not None:
+            packed, dense16 = options._predispatched
+        else:
+            packed, dense16 = encode_lossy_frame_device(
+                device_put_fast(pixels[:, :, :3]), device_put_fast(qac_f),
+                device_put_fast(inv_qac_f),
+                jnp.asarray(table, jnp.float32),
+                jnp.asarray(quadrant_thresholds(0.56, 0.62), jnp.float32),
+                jnp.asarray(quadrant_thresholds(0.58, 0.62), jnp.float32),
+                jnp.asarray(np.asarray(mul_dc), jnp.float32),
+                h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
+        if options._dispatch_only:
+            # serving mode: return the in-flight device handles; the
+            # caller collects later with _predispatched (fetches start
+            # now so the link overlaps other images' host work)
+            packed.copy_to_host_async()
+            dense16.copy_to_host_async()
+            return packed, dense16
         q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
             packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
         use_acs = False
@@ -929,16 +941,31 @@ def encode_lossy_many(images, options: LossyOptions | None = None,
                       workers: int = 3) -> list[bytes]:
     """Serving-mode lossy encode of a batch of images.
 
-    A small thread pool keeps the chip fed: while one stream runs its
-    host half (context modeling + rANS emission, largely GIL-free numpy
-    and native code), another's fused device program and link transfers
-    are in flight. The reference instead parallelizes WITHIN one image
+    Device path: phase 1 dispatches every image's fused XLA program and
+    starts its d2h fetches back-to-back (the device queue and link run
+    ahead of the host), phase 2 runs the host halves (context modeling
+    + rANS emission) on a small thread pool against already-landing
+    payloads. The reference instead parallelizes WITHIN one image
     (enc_frame.cc group loop); a TPU serving host gets more from
     stream-level overlap."""
+    import copy
     from concurrent.futures import ThreadPoolExecutor
 
     if not images:
         return []
+    if options is not None and options.use_device:
+        disp = copy.copy(options)
+        disp._dispatch_only = True
+        pending = [encode_lossy(im, disp) for im in images]
+
+        def _finish(args):
+            im, p = args
+            o = copy.copy(options)
+            o._predispatched = p
+            return encode_lossy(im, o)
+
+        with ThreadPoolExecutor(max(1, workers)) as ex:
+            return list(ex.map(_finish, zip(images, pending)))
     with ThreadPoolExecutor(max(1, workers)) as ex:
         return list(ex.map(lambda im: encode_lossy(im, options), images))
 
@@ -957,6 +984,25 @@ def _tokenize_group_dct8(qp: np.ndarray, order: np.ndarray,
         K_NONZERO_BUCKETS, K_ZERO_DENSITY_CONTEXT_COUNT, NUM_ORDERS,
     )
     gh, gw = qp.shape[:2]
+    # block context / zero-density offsets (shared with the native path)
+    qf_idx0 = np.searchsorted(np.asarray(bctx.qf_thresholds, np.int64),
+                              qf.astype(np.int64), side="left") \
+        if bctx.qf_thresholds else np.zeros((gh, gw), np.int64)
+    cidx0 = np.array([1, 0, 2], np.int64)
+    idx0 = (cidx0[None, None] * NUM_ORDERS) * \
+        (len(bctx.qf_thresholds) + 1) + qf_idx0[:, :, None]
+    idx0 = idx0 * bctx.num_dc_ctxs
+    bctx_map = np.asarray(bctx.ctx_map, np.int64)[idx0]  # (gh, gw, 3)
+    hoff = bctx.num_ctxs * K_NONZERO_BUCKETS + \
+        K_ZERO_DENSITY_CONTEXT_COUNT * bctx_map
+    from libjxl_tpu.utils import native
+    if native.available():
+        out = native.tokenize_dct8(
+            qp, order, bctx_map, hoff, bctx.num_ctxs,
+            np.asarray(K_COEFF_NUM_NONZERO_CONTEXT, np.int32),
+            np.asarray(K_COEFF_FREQ_CONTEXT, np.int32))
+        if out is not None:
+            return out
     vals = qp[:, :, :, order[1:]].astype(np.int64)       # (gh, gw, 3, 63)
     m = vals != 0
     nzeros = m.sum(-1, dtype=np.int64)                   # (gh, gw, 3)

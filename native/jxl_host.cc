@@ -1072,3 +1072,73 @@ EXPORT int64_t jxlt_lz77_parse(const uint32_t* values, int64_t n,
   }
   return matches;
 }
+
+// ---------------------------------------------------------------------------
+// VarDCT AC-group tokenizer for DCT8 groups (enc_entropy_coder.cc:153
+// DecodeACVarBlock mirror): per block (raster, channels Y,X,B) the
+// nonzero-count token then zero-density coefficient tokens. Hot path of
+// serving-mode lossy encode; block contexts and zero-density histogram
+// offsets are precomputed by the caller.
+// ---------------------------------------------------------------------------
+EXPORT int64_t jxlt_tokenize_dct8(
+    const int32_t* qp,          // (gh, gw, 3, 64) stored-layout coeffs
+    int64_t gh, int64_t gw,
+    const int32_t* order,       // 64 natural-order indices
+    const int32_t* block_ctx,   // (gh, gw, 3) [c in memory order 0,1,2]
+    const int32_t* histo_off,   // (gh, gw, 3) zero-density offsets
+    int64_t num_ctxs,
+    const int32_t* knz,         // kCoeffNumNonzeroContext[64]
+    const int32_t* kfr,         // kCoeffFreqContext[64]
+    int32_t* out_ctx, int32_t* out_val) {
+  // per-channel nzeros of the previous row / current row (for the
+  // predicted-nonzeros context)
+  std::vector<int32_t> prev_row(gw * 3, 0);
+  std::vector<int32_t> cur_row(gw * 3, 0);
+  static const int corder[3] = {1, 0, 2};
+  int64_t n = 0;
+  for (int64_t by = 0; by < gh; ++by) {
+    for (int64_t bx = 0; bx < gw; ++bx) {
+      for (int ci = 0; ci < 3; ++ci) {
+        int c = corder[ci];
+        const int32_t* blk = qp + ((by * gw + bx) * 3 + c) * 64;
+        int32_t vals[63];
+        int32_t nzeros = 0;
+        for (int k = 1; k < 64; ++k) {
+          int32_t v = blk[order[k]];
+          vals[k - 1] = v;
+          nzeros += (v != 0);
+        }
+        int32_t predicted;
+        if (bx == 0) {
+          predicted = by > 0 ? prev_row[bx * 3 + c] : 32;
+        } else if (by == 0) {
+          predicted = cur_row[(bx - 1) * 3 + c];
+        } else {
+          predicted =
+              (prev_row[bx * 3 + c] + cur_row[(bx - 1) * 3 + c] + 1) >> 1;
+        }
+        cur_row[bx * 3 + c] = nzeros;
+        int64_t bc = block_ctx[(by * gw + bx) * 3 + c];
+        int32_t nzb = predicted < 8 ? predicted : 4 + predicted / 2;
+        out_ctx[n] = (int32_t)(nzb * num_ctxs + bc);
+        out_val[n] = nzeros;
+        ++n;
+        if (nzeros == 0) continue;
+        int64_t ho = histo_off[(by * gw + bx) * 3 + c];
+        int32_t prev = nzeros > 4 ? 0 : 1;
+        int32_t left = nzeros;
+        for (int k = 1; k < 64; ++k) {
+          int32_t v = vals[k - 1];
+          out_ctx[n] = (int32_t)(ho + (knz[left] + kfr[k]) * 2 + prev);
+          out_val[n] = v >= 0 ? (v << 1) : ((-v) << 1) - 1;
+          ++n;
+          prev = v != 0;
+          left -= prev;
+          if (left == 0) break;
+        }
+      }
+    }
+    std::swap(prev_row, cur_row);
+  }
+  return n;
+}
