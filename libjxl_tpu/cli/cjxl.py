@@ -47,7 +47,37 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         return 0
 
-    from libjxl_tpu.extras.io import load_image
+    from libjxl_tpu.extras.io import load_animation, load_image
+
+    # animated GIF/APNG input becomes an animated JXL (cjxl_main.cc)
+    if args.input.lower().endswith((".gif", ".png", ".apng", ".webp")):
+        frames, durations_ms, loops = load_animation(args.input)
+        if len(frames) > 1:
+            t0 = time.perf_counter()
+            if args.lossless or args.distance == 0:
+                from libjxl_tpu.api.encoder import (
+                    EncodeOptions, encode_animation,
+                )
+                data = encode_animation(
+                    frames, durations_ms,
+                    EncodeOptions(effort=args.effort),
+                    tps=(1000, 1), num_loops=loops)
+            else:
+                from libjxl_tpu.vardct.frame_enc import (
+                    LossyOptions, encode_lossy_animation,
+                )
+                data = encode_lossy_animation(
+                    frames, durations_ms,
+                    LossyOptions(distance=args.distance,
+                                 effort=args.effort),
+                    tps=(1000, 1), num_loops=loops)
+            dt = time.perf_counter() - t0
+            with open(args.output, "wb") as f:
+                f.write(data)
+            if not args.quiet:
+                print(f"Compressed {len(frames)} frames to {len(data)} "
+                      f"bytes ({dt:.2f} s)", file=sys.stderr)
+            return 0
 
     img = load_image(args.input)
     t0 = time.perf_counter()

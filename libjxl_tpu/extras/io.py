@@ -51,6 +51,9 @@ def load_image(path: str) -> np.ndarray:
     if data[:2] == b"\xff\x0a" or data[:12].endswith(b"JXL \r\n\x87\n"):
         from libjxl_tpu.api.decoder import decode
         return decode(data)
+    if data[:4] == b"\x76\x2f\x31\x01":
+        from libjxl_tpu.extras.exr import read_exr
+        return read_exr(data)              # float32 HDR
     try:
         from PIL import Image
         img = Image.open(io.BytesIO(data))
@@ -80,5 +83,34 @@ def save_image(path: str, img: np.ndarray) -> None:
     if ext == ".npy":
         np.save(path, img)
         return
+    if ext == ".exr":
+        from libjxl_tpu.extras.exr import write_exr
+        f32 = img.astype(np.float32)
+        if img.dtype == np.uint8:
+            f32 /= 255.0
+        elif img.dtype == np.uint16:
+            f32 /= 65535.0
+        with open(path, "wb") as f:
+            f.write(write_exr(f32))
+        return
     from PIL import Image
     Image.fromarray(img2d).save(path)
+
+
+def load_animation(path: str):
+    """Decode an animated GIF/APNG/WebP to (frames, durations_ms,
+    num_loops); a still image returns a single frame (the reference's
+    extras GIF/APNG decoders, lib/extras/dec/gif.cc, apng.cc)."""
+    from PIL import Image, ImageSequence
+    img = Image.open(path)
+    n = getattr(img, "n_frames", 1)
+    if n <= 1:
+        return [load_image(path)], [0], 0
+    frames, durations = [], []
+    mode = "RGBA" if "transparency" in img.info or img.mode == "RGBA" \
+        else "RGB"
+    for frame in ImageSequence.Iterator(img):
+        durations.append(int(frame.info.get("duration", 100)))
+        frames.append(np.asarray(frame.convert(mode), dtype=np.uint8))
+    loops = img.info.get("loop", 0)
+    return frames, durations, int(loops)

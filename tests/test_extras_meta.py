@@ -96,3 +96,45 @@ def test_compressed_icc_roundtrip():
     comp = icc_profile_encode(icc)
     assert icc_profile_decode(comp) == icc
     assert len(comp) < len(icc) + 64
+
+
+def test_exr_roundtrip_all_modes(tmp_path):
+    """Minimal EXR codec (extras/exr.py; the reference wraps OpenEXR in
+    lib/extras/dec/exr.cc): HALF/FLOAT x NONE/ZIP/ZIPS scanline files
+    roundtrip, and load_image/save_image dispatch on magic/extension."""
+    from libjxl_tpu.extras.exr import read_exr, write_exr
+    from libjxl_tpu.extras.io import load_image, save_image
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((37, 53, 3)) * 4).astype(np.float32)
+    for pt in ("half", "float"):
+        for comp in ("none", "zip", "zips"):
+            out = read_exr(write_exr(img, pt, comp))
+            want = img.astype(np.float16).astype(np.float32) \
+                if pt == "half" else img
+            assert np.allclose(out, want, atol=2e-3 if pt == "half"
+                               else 0)
+    p = str(tmp_path / "t.exr")
+    save_image(p, img)
+    assert np.allclose(load_image(p), img.astype(np.float16), atol=2e-3)
+
+
+def test_load_animation_gif_apng(tmp_path):
+    """Animated GIF/APNG input (lib/extras/dec/gif.cc, apng.cc):
+    frames + per-frame durations + loop count."""
+    from PIL import Image
+
+    from libjxl_tpu.extras.io import load_animation
+
+    rng = np.random.default_rng(4)
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (20, 24, 3)).astype(np.uint8))
+        for _ in range(3)]
+    for ext in ("gif", "png"):
+        p = str(tmp_path / f"a.{ext}")
+        frames[0].save(p, save_all=True, append_images=frames[1:],
+                       duration=70, loop=2)
+        fr, dur, loops = load_animation(p)
+        assert len(fr) == 3 and dur == [70, 70, 70] and loops == 2
+        if ext == "png":                    # APNG is lossless
+            assert np.array_equal(fr[1], np.asarray(frames[1]))
