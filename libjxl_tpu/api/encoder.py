@@ -285,6 +285,18 @@ def _modular_frame_bytes(pixels, options, meta,
         from libjxl_tpu.modular.transforms import fwd_squeeze
         fwd_squeeze(img, [])    # default parameters, signalled empty
         transforms.append(Transform(id=TransformId.SQUEEZE, squeezes=[]))
+    # WP mode search (enc_modular.cc:1525-1541: 2 presets at kitten e8,
+    # 5 at tortoise e9+), signaled through the stream's WPHeader
+    wp_header = GroupHeader().wp_header
+    if options.effort >= 8:
+        from libjxl_tpu.modular.predict import (
+            search_wp_mode, wp_mode_header,
+        )
+        mode = search_wp_mode(
+            [img.channel[i].plane for i in range(len(img.channel))],
+            2 if options.effort == 8 else 5)
+        if mode:
+            wp_header = wp_mode_header(mode)
     learned = options.effort >= 5
     if learned:
         # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
@@ -292,11 +304,12 @@ def _modular_frame_bytes(pixels, options, meta,
         from libjxl_tpu.modular.enc_ma import learn_tree
         tree = learn_tree([(i, img.channel[i].plane)
                            for i in range(len(img.channel))],
-                          max_leaves=48 if options.effort < 8 else 96)
+                          max_leaves=48 if options.effort < 8 else 96,
+                          wp_header=wp_header
+                          if not wp_header.is_all_default() else None)
     else:
         tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
     num_ctx = (len(tree) + 1) // 2
-    wp_header = GroupHeader().wp_header
 
     # Stream channel assignment (dec_modular.cc DecodeGlobalInfo/Group):
     # the prefix of channels with w,h <= group_dim goes to the global
@@ -335,7 +348,9 @@ def _modular_frame_bytes(pixels, options, meta,
             from libjxl_tpu.modular.enc_ma import tokenize_with_tree
             return tokenize_with_tree(
                 [(ci, sub.channel[ci].plane) for ci in
-                 range(len(sub.channel))], tree, sid)
+                 range(len(sub.channel))], tree, sid,
+                wp_header=wp_header
+                if not wp_header.is_all_default() else None)
         toks = []
         for ci in range(len(sub.channel)):
             toks.extend(map(tuple, np.asarray(tokens_to_array(
@@ -360,7 +375,10 @@ def _modular_frame_bytes(pixels, options, meta,
         if learned:
             from libjxl_tpu.modular.enc_ma import tokenize_with_tree
             t = tokenize_with_tree([(ci, img.channel[ci].plane)], tree,
-                                   stream_id_global())
+                                   stream_id_global(),
+                                   wp_header=wp_header
+                                   if not wp_header.is_all_default()
+                                   else None)
             global_toks.append(t)
             continue
         t = encode_modular_channel_tokens(img, ci, stream_id_global(), tree,
@@ -390,6 +408,7 @@ def _modular_frame_bytes(pixels, options, meta,
         write_tree(sw, tree)
         write_entropy_codes(sw, codes)
         gh = GroupHeader(use_global_tree=True, transforms=transforms)
+        gh.wp_header = wp_header
         gh.write(sw)
         if global_arr.size:
             write_tokens(sw, global_arr, codes)
@@ -401,6 +420,7 @@ def _modular_frame_bytes(pixels, options, meta,
             return b""
         sw = BitWriter()
         gh = GroupHeader(use_global_tree=True)
+        gh.wp_header = wp_header
         gh.write(sw)
         write_tokens(sw, arr, codes)
         sw.zero_pad_to_byte()
@@ -832,6 +852,7 @@ def _assemble_lossless_device(pixels: np.ndarray, options: EncodeOptions,
         write_tree(sw, tree)
         write_entropy_codes(sw, codes)
         gh = GroupHeader(use_global_tree=True, transforms=transforms)
+        gh.wp_header = wp_header
         gh.write(sw)
         if fd.num_groups == 1:
             write_group_stream(sw, 0)
@@ -841,6 +862,7 @@ def _assemble_lossless_device(pixels: np.ndarray, options: EncodeOptions,
     def ac_group_section(g: int) -> bytes:
         sw = BitWriter()
         gh = GroupHeader(use_global_tree=True)
+        gh.wp_header = wp_header
         gh.write(sw)
         write_group_stream(sw, g)
         sw.zero_pad_to_byte()

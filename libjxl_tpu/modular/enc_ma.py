@@ -79,7 +79,8 @@ def neighbor_planes(plane: np.ndarray):
     return left, top, topleft, topright, leftleft, toptop
 
 
-def property_planes(plane: np.ndarray, chan_idx: int, group_id: int):
+def property_planes(plane: np.ndarray, chan_idx: int, group_id: int,
+                    wp_header=None):
     """-> dict prop_id -> int64 plane (properties 0..15)."""
     p = plane.astype(np.int64)
     h, w = p.shape
@@ -87,7 +88,7 @@ def property_planes(plane: np.ndarray, chan_idx: int, group_id: int):
     wp_pred = wp_prop = None
     if _have_wp():
         from libjxl_tpu.utils import native
-        res = native.wp_plane(plane.astype(np.int32))
+        res = native.wp_plane(plane.astype(np.int32), wp_header)
         if res is not None:
             wp_pred, wp_prop = (r.astype(np.int64) for r in res)
     grad = left + top - topleft
@@ -162,7 +163,7 @@ def _cost(tokens, nbits) -> float:
 
 
 def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
-               group_id: int = 0):
+               group_id: int = 0, wp_header=None):
     """channels: list of (chan_idx, plane). Returns (tree_nodes,
     leaf predictor list) in the decode tree layout."""
     cand = _candidate_predictors()
@@ -172,7 +173,7 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     for pred in cand:
         resid_by_pred[pred] = []
     for chan_idx, plane in channels:
-        props, nb = property_planes(plane, chan_idx, group_id)
+        props, nb = property_planes(plane, chan_idx, group_id, wp_header)
         flat = {k: v.ravel() for k, v in props.items()}
         props_all.append(flat)
         for pred in cand:
@@ -281,13 +282,14 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     return nodes
 
 
-def tokenize_with_tree(channels, tree, group_id: int) -> np.ndarray:
+def tokenize_with_tree(channels, tree, group_id: int,
+                       wp_header=None) -> np.ndarray:
     """Vectorized token stream for a learned tree: (N, 2) array of
     (leaf context, packed residual) in decode traversal order (channels
     sequential, row-major). ``channels``: list of (chan_idx, plane)."""
     out = []
     for chan_idx, plane in channels:
-        props, nb = property_planes(plane, chan_idx, group_id)
+        props, nb = property_planes(plane, chan_idx, group_id, wp_header)
         preds = {p: predictions(nb, p) for p in _candidate_predictors()}
         h, w = plane.shape
         ctx = np.zeros((h, w), np.int32)

@@ -270,3 +270,52 @@ def compute_properties_scalar(props, plane: np.ndarray, x: int, y: int,
     props[13] = top - toptop
     props[14] = left - leftleft
     return left, top, topleft, topright, leftleft, toptop, trr
+
+
+def wp_mode_header(mode: int) -> WPHeader:
+    """WP parameter presets (context_predict.h:214-276 PredictorMode):
+    0 ~lossless16, 1 ~default lossless8, 2 ~west, 3 ~north, 4 other."""
+    presets = {
+        0: (16, 10, 7, 7, 7, 0, 0, [0xD, 0xC, 0xC, 0xC]),
+        1: (8, 8, 4, 0, 3, 23, 2, [0xD, 0xC, 0xC, 0xB]),
+        2: (10, 9, 7, 0, 0, 16, 9, [0xD, 0xC, 0xD, 0xC]),
+        3: (16, 8, 0, 16, 0, 23, 0, [0xD, 0xD, 0xC, 0xC]),
+        4: (10, 10, 5, 5, 5, 12, 4, [0xD, 0xC, 0xC, 0xC]),
+    }
+    h = WPHeader()
+    (h.p1C, h.p2C, h.p3Ca, h.p3Cb, h.p3Cc, h.p3Cd, h.p3Ce,
+     h.w) = presets[mode if mode in presets else 4]
+    return h
+
+
+def search_wp_mode(planes, n_modes: int) -> int:
+    """EstimateWPCost (enc_modular.cc:1525-1541): rank the first
+    ``n_modes`` WP presets by residual token entropy over the channel
+    planes, return the winning mode (0 when native is unavailable)."""
+    from libjxl_tpu.utils import native
+    if not native.available() or n_modes <= 1:
+        return 0
+    best_mode, best_cost = 0, None
+    for mode in range(n_modes):
+        hdr = wp_mode_header(mode)
+        cost = 0.0
+        for plane in planes:
+            res = native.wp_plane(np.ascontiguousarray(plane, np.int32),
+                                  hdr)
+            if res is None:
+                return 0
+            resid = plane.astype(np.int64) - res[0].astype(np.int64)
+            packed = np.where(resid >= 0, 2 * resid, -2 * resid - 1)
+            big = packed >= 16
+            bl = np.frexp(packed.astype(np.float64))[1] - 1
+            tok = np.where(big, 16 + (bl - 4) * 4 +
+                           ((packed >> np.maximum(bl - 2, 0)) & 3),
+                           packed)
+            nbits = np.where(big, np.maximum(bl - 2, 0), 0)
+            hist = np.bincount(tok.reshape(-1))
+            nz = hist[hist > 0]
+            tot = nz.sum()
+            cost += float(-(nz * np.log2(nz / tot)).sum() + nbits.sum())
+        if best_cost is None or cost < best_cost:
+            best_cost, best_mode = cost, mode
+    return best_mode

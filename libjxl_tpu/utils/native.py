@@ -361,8 +361,11 @@ def prefix_encode_group(packed: np.ndarray, gw: int, gh: int,
     return out[:nbytes].tobytes()
 
 
-def wp_plane(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
-    """Whole-plane weighted-predictor sweep: (pred, p15_property)."""
+def wp_plane(plane: np.ndarray, wp_header=None
+             ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Whole-plane weighted-predictor sweep: (pred, p15_property).
+    ``wp_header``: optional modular WPHeader (non-default params,
+    context_predict.h PredictorMode presets)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -376,7 +379,13 @@ def wp_plane(plane: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     h, w = plane.shape
     pred = np.empty((h, w), np.int32)
     prop = np.empty((h, w), np.int32)
-    lib.jxlt_wp_plane(plane.ctypes.data, w, h, None,
+    hdr_ptr = None
+    if wp_header is not None:
+        hdr = np.array([wp_header.p1C, wp_header.p2C, wp_header.p3Ca,
+                        wp_header.p3Cb, wp_header.p3Cc, wp_header.p3Cd,
+                        wp_header.p3Ce] + list(wp_header.w), np.int32)
+        hdr_ptr = hdr.ctypes.data
+    lib.jxlt_wp_plane(plane.ctypes.data, w, h, hdr_ptr,
                       pred.ctypes.data, prop.ctypes.data)
     return pred, prop
 

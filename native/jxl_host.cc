@@ -776,7 +776,8 @@ EXPORT void jxlt_wp_plane(const int32_t* plane, int64_t w, int64_t h,
   if (hdr9) {
     c.p1C = hdr9[0]; c.p2C = hdr9[1]; c.p3Ca = hdr9[2]; c.p3Cb = hdr9[3];
     c.p3Cc = hdr9[4]; c.p3Cd = hdr9[5]; c.p3Ce = hdr9[6];
-    // hdr9[7..10] would be weights; keep defaults unless provided fully
+    c.w[0] = hdr9[7]; c.w[1] = hdr9[8]; c.w[2] = hdr9[9];
+    c.w[3] = hdr9[10];
   }
   std::vector<int64_t> pred_errors[4];
   std::vector<int64_t> error((w + 2) * 2, 0);
