@@ -60,6 +60,10 @@ class LossyOptions:
                                    # sensor at this ISO would have
                                    # (enc_photon_noise.cc)
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
+    progressive_dc: int = 0      # 1: DC rides a separate LF (DC_FRAME)
+                                 # at dc_level 1 (enc_frame.cc
+                                 # progressive_dc; decoder
+                                 # USE_DC_FRAME path)
     qf_override = None           # explicit float quant field (internal:
                                  # the butteraugli iteration loop)
     _sharpness_field = None      # per-block EPF sharpness (internal:
@@ -505,6 +509,38 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             chans, meta, PATCH_FRAME_REF_ID)
         bw.write_bytes(atlas_frame_bytes)
 
+    dc_frame_bytes = b""
+    if options.progressive_dc:
+        # LF frame: the reconstructed DC (exactly what the in-band DC
+        # path would decode: quantized DC + base CfL factors) rides a
+        # modular-XYB DC_FRAME at dc_level 1; the main frame sets
+        # USE_DC_FRAME and omits its DC-modular payload
+        from libjxl_tpu.api.encoder import (
+            EncodeOptions as _EncOpts, _modular_frame_bytes,
+        )
+        from libjxl_tpu.core.frame_header import FrameType
+        from libjxl_tpu.modular.image import (
+            Channel as _Chan, ModularImage as _MImg,
+        )
+        from libjxl_tpu.render.enc_patches import quantize_atlas_modular
+        dcy_r = q_dc[:, :, 1].astype(np.float32) * mul_dc[1]
+        dcx_r = q_dc[:, :, 0].astype(np.float32) * mul_dc[0]
+        dcb_r = q_dc[:, :, 2].astype(np.float32) * mul_dc[2] + dcy_r
+        chans, _ = quantize_atlas_modular(np.stack([dcx_r, dcy_r, dcb_r]))
+        img_dc = _MImg(xb, yb, 32)
+        for ch in chans:
+            img_dc.channel.append(_Chan(np.ascontiguousarray(ch)))
+
+        def _dc_customize(f):
+            f.frame_type = FrameType.DC_FRAME
+            f.dc_level = 1
+            f.color_transform = ColorTransform.XYB
+
+        dc_frame_bytes = _modular_frame_bytes(
+            img_dc, _EncOpts(effort=3, use_rct=False, palette=0),
+            meta, is_last=False, customize=_dc_customize)
+        bw.write_bytes(dc_frame_bytes)
+
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
     fh.is_last = options._is_last
@@ -516,6 +552,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         fh.flags |= FrameFlags.SPLINES
     if noise_lut is not None:
         fh.flags |= FrameFlags.NOISE
+    if options.progressive_dc:
+        fh.flags |= FrameFlags.USE_DC_FRAME
     fh.x_qm_scale = x_qm_scale
     if options.progressive:
         fh.passes.num_passes = 3
@@ -578,13 +616,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         x0, y0 = gx * fd.group_dim, gy * fd.group_dim   # in blocks
         bwd = min(fd.group_dim, xb - x0)
         bhd = min(fd.group_dim, yb - y0)
-        sw.write(2, 0)                       # extra_precision = 0
-        img = ModularImage(bwd, bhd, 32)
-        for src_c in (1, 0, 2):              # stream order [Y, X, B]
-            img.channel.append(Channel(
-                q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
-        modular_encode(sw, img, group_id=1 + g,
-                       tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)])
+        if not options.progressive_dc:
+            # (with USE_DC_FRAME the DC-modular payload is absent;
+            # frame_dec.py:161 mirror)
+            sw.write(2, 0)                   # extra_precision = 0
+            img = ModularImage(bwd, bhd, 32)
+            for src_c in (1, 0, 2):          # stream order [Y, X, B]
+                img.channel.append(Channel(
+                    q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
+            modular_encode(sw, img, group_id=1 + g,
+                           tree=[TreeNode(-1, 0, 0, 0,
+                                          PREDICTOR_GRADIENT, 0, 1)])
         # Modular DC group: no channels -> nothing.
         # AC metadata: acs + qf entries per anchor in raster order
         upper = bwd * bhd

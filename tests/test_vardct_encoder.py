@@ -352,3 +352,32 @@ def test_epf_sharpness_search_field():
     if oracle_available():
         ref = oracle_decode(data).pixels
         assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+
+
+def test_progressive_dc_lf_frame():
+    """progressive_dc=1 (enc_frame.cc progressive DC): the DC rides a
+    modular-XYB DC_FRAME at dc_level 1, the main frame sets
+    USE_DC_FRAME and omits the DC-modular payload. Decodes match the
+    in-band-DC encode's quality class, and the system decoder agrees
+    +-1."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.metrics.butteraugli import butteraugli_distance_srgb
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:300, 0:280]
+    img = (np.stack([xx % 256, yy % 256, (xx * yy) % 256], -1)
+           + rng.integers(0, 10, (300, 280, 3))
+           ).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=3,
+                                          progressive_dc=1))
+    dec = decode(data)
+    base = decode(encode_lossy(img, LossyOptions(distance=1.0,
+                                                 effort=3)))
+    ba = butteraugli_distance_srgb(img, dec)
+    ba0 = butteraugli_distance_srgb(img, base)
+    assert ba < ba0 + 0.1
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        ref = oracle_decode(data).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
