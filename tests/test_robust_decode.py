@@ -108,3 +108,11 @@ def test_corruption_fuzz_never_crashes(kind):
             decode(bytes(d))
         except FormatError:
             pass
+
+
+def test_fuzzer_harness_clean():
+    """Standalone fuzz harness (tools/djxl_fuzzer.cc model): truncation,
+    corruption, splices and garbage across seed streams produce only
+    clean FormatError/ValueError rejections."""
+    from libjxl_tpu.cli.fuzz import run_fuzz
+    assert run_fuzz(60, seed=7, timeout_s=60) == 0
