@@ -447,6 +447,131 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     return img, img
 
 
+def decode_rows(data: bytes):
+    """Low-memory banded decode (low_memory_render_pipeline.cc /
+    dec_group_border.h halo model): yields ``(y0, band_u8)`` tuples of
+    output rows top-to-bottom, with PIXEL memory bounded by three group
+    rows (the current 256-row band plus an 8-px halo on each side) —
+    the full frame is never materialized. A one-band delay provides the
+    bottom halo so the restoration filters are exact everywhere.
+
+    Supported on single-frame 4:4:4 VarDCT streams without
+    patches/splines/noise/upsampling/extra channels; other streams fall
+    back to a whole-frame decode sliced into identical yields.
+    (Compressed section bytes are held in memory — the same concession
+    the spec streaming encoder makes.)"""
+    from libjxl_tpu.api.container import extract_codestream
+    from libjxl_tpu.color.xyb import linear_to_srgb, xyb_to_linear
+    from libjxl_tpu.render.filters import (
+        compute_sigma, epf_step0, epf_step1, epf_step2, gaborish,
+    )
+    from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
+
+    meta, frames = parse_codestream(extract_codestream(data))
+    fs = frames[0]
+    fh = fs.header
+    fd = fs.dims
+    banded_ok = (
+        len(frames) == 1 and fh.encoding == FrameEncoding.VARDCT and
+        not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                         FrameFlags.NOISE | FrameFlags.USE_DC_FRAME)) and
+        fh.upsampling == 1 and meta.m.num_extra_channels == 0 and
+        fh.chroma_subsampling.max_hshift == 0 and
+        fh.chroma_subsampling.max_vshift == 0 and
+        len(fs.sections) > 1)
+    if not banded_ok:
+        full = decode(data)
+        gd = 256
+        for y0 in range(0, full.shape[0], gd):
+            yield y0, full[y0:y0 + gd]
+        return
+
+    dec = VarDCTFrameDecoder(fh, meta.m, fd)
+    dec.pixels = None                       # no full-frame buffer
+    if fs.sections[0] is None:
+        raise FormatError("truncated stream: DC global missing")
+    dec.decode_dc_global(BitReader(fs.sections[0]))
+    for g in range(fd.num_dc_groups):
+        sec = fs.sections[1 + g]
+        if sec is None:
+            raise FormatError("truncated stream: DC group missing")
+        dec.decode_dc_group(BitReader(sec), g)
+    dec.finalize_dc()
+    dec.decode_ac_global(BitReader(fs.sections[1 + fd.num_dc_groups]))
+
+    lf = fh.loop_filter
+    gd = fd.group_dim
+    margin = 8                              # > gaborish(1) + EPF(<=6)
+    w8 = fd.xsize_blocks * 8
+    intensity = meta.m.tone_mapping.intensity_target
+
+    def decode_band(gy: int) -> np.ndarray:
+        rows = min(gd, fd.ysize_blocks * 8 - gy * gd)
+        dec.pixels = np.zeros((3, rows, w8), np.float32)
+        dec.pixel_row0 = gy * gd
+        for gx in range(fd.xsize_groups):
+            g = gy * fd.xsize_groups + gx
+            secs = [fs.sections[ac_group_index(
+                p, g, fd.num_groups, fd.num_dc_groups)]
+                for p in range(fh.passes.num_passes)]
+            if any(s is None for s in secs):
+                raise FormatError("truncated stream: AC section missing")
+            dec.decode_ac_group([BitReader(s) for s in secs],
+                                g, fh.passes.num_passes)
+        # crop to the visible image NOW: the whole-frame path filters
+        # the cropped image, so mirror boundaries must sit at the image
+        # edge, not the block-padded edge
+        return dec.pixels[:, :min(gd, fd.ysize - gy * gd), :fd.xsize]
+
+    def filter_band(prev_tail, band, next_head, gy: int):
+        parts = [p for p in (prev_tail, band, next_head) if p is not None]
+        ext = np.concatenate(parts, axis=1)
+        top = 0 if prev_tail is None else prev_tail.shape[1]
+        if lf.gab or lf.epf_iters > 0:
+            # block-row slice of the per-block fields covering ext
+            br0 = (gy * gd - top) // 8
+            br1 = br0 + -(-ext.shape[1] // 8)
+            if lf.epf_iters > 0:
+                inv_sigma = compute_sigma(
+                    lf, dec.acs_raw[br0:br1], dec.acs_anchor[br0:br1],
+                    dec.raw_quant[br0:br1], dec.epf_sharpness[br0:br1],
+                    dec.quantizer.scale)
+            if lf.gab:
+                ext = gaborish(ext, lf)
+            if lf.epf_iters > 0:
+                if lf.epf_iters >= 3:
+                    ext = epf_step0(ext, inv_sigma, lf)
+                ext = epf_step1(ext, inv_sigma, lf)
+                if lf.epf_iters >= 2:
+                    ext = epf_step2(ext, inv_sigma, lf)
+        return ext[:, top:top + band.shape[1]]
+
+    maxval = float((1 << min(meta.m.bit_depth.bits_per_sample, 16)) - 1)
+    out_dtype = np.uint8 if maxval <= 255 else np.uint16
+
+    def to_output(xyb_band: np.ndarray) -> np.ndarray:
+        linear = xyb_to_linear(xyb_band, intensity_target=intensity)
+        srgb = linear_to_srgb(linear)
+        u = np.clip(np.round(srgb * maxval), 0, maxval).astype(out_dtype)
+        return np.moveaxis(u, 0, -1)
+
+    n_gy = fd.ysize_groups
+    prev = None                             # previous band, pre-filter
+    prev_prev_tail = None
+    for gy in range(n_gy):
+        band = decode_band(gy)
+        if prev is not None:
+            done = filter_band(prev_prev_tail, prev, band[:, :margin],
+                               gy - 1)
+            yield (gy - 1) * gd, to_output(done)
+            prev_prev_tail = prev[:, -margin:]
+        prev = band
+    done = filter_band(prev_prev_tail, prev, None, n_gy - 1)
+    y0 = (n_gy - 1) * gd
+    if y0 < fd.ysize:
+        yield y0, to_output(done)
+
+
 def _decode_prefilter(data: bytes):
     """Encoder-internal: decode the first regular VarDCT frame of
     ``data`` up to (not including) the restoration filters. Returns

@@ -115,6 +115,10 @@ class VarDCTFrameDecoder:
         self.ytox_map = np.zeros((ty, tx), dtype=np.int32)
         self.ytob_map = np.zeros((ty, tx), dtype=np.int32)
         self.pixels = np.zeros((3, yb * 8, xb * 8), dtype=np.float32)
+        # banded (low-memory) mode: the driver replaces self.pixels with
+        # a window buffer and sets pixel_row0 to the absolute pixel row
+        # of buffer row 0 (low_memory_render_pipeline.cc model)
+        self.pixel_row0 = 0
         self.num_histograms = 1
         self.coeff_orders = [None] * fh.passes.num_passes  # per pass
         self.codes = [None] * fh.passes.num_passes
@@ -529,7 +533,8 @@ class VarDCTFrameDecoder:
                         st = dq[c, i].reshape(8, 8).copy()
                         st[0, 0] = self.dc[c, Y[i], X[i]]
                         pix = special_to_pixels(strat, st)
-                        self.pixels[c, Y[i] * 8:Y[i] * 8 + 8,
+                        yo = Y[i] * 8 - self.pixel_row0
+                        self.pixels[c, yo:yo + 8,
                                     X[i] * 8:X[i] * 8 + 8] = pix
                 continue
             mn, mx = min(cx, cy), max(cx, cy)
@@ -554,7 +559,8 @@ class VarDCTFrameDecoder:
             pix = imy[None, None] @ np.ascontiguousarray(rc) @ imx.T
             ry = np.arange(R)
             rx = np.arange(C)
-            yy = (Y * 8)[:, None, None] + ry[None, :, None]
+            yy = (Y * 8 - self.pixel_row0)[:, None, None] \
+                + ry[None, :, None]
             xx = (X * 8)[:, None, None] + rx[None, None, :]
             for c in range(3):
                 self.pixels[c, yy, xx] = pix[c]
@@ -750,7 +756,8 @@ class VarDCTFrameDecoder:
                 st = stored[c].copy()
                 st[0, 0] = self.dc[c, y, x]
                 pix = special_to_pixels(raw, st)
-                self.pixels[c, y * 8:(y + 1) * 8, x * 8:(x + 1) * 8] = pix
+                yo = y * 8 - self.pixel_row0
+                self.pixels[c, yo:yo + 8, x * 8:(x + 1) * 8] = pix
             return
         for c in range(3):
             dcb = self.dc[c, y:y + cy, x:x + cx]
@@ -761,7 +768,8 @@ class VarDCTFrameDecoder:
             st[:llf_stored.shape[0], :llf_stored.shape[1]] = llf_stored
             rc = coeffs_stored_to_rc(st, cy * 8, cx * 8)
             pix = idct2d(rc)
-            self.pixels[c, y * 8:(y + cy) * 8, x * 8:(x + cx) * 8] = pix
+            yo = y * 8 - self.pixel_row0
+            self.pixels[c, yo:yo + cy * 8, x * 8:(x + cx) * 8] = pix
 
 
 def _mdc_stream_id(fd: FrameDimensions, g: int) -> int:

@@ -116,3 +116,38 @@ def test_fuzzer_harness_clean():
     clean FormatError/ValueError rejections."""
     from libjxl_tpu.cli.fuzz import run_fuzz
     assert run_fuzz(60, seed=7, timeout_s=60) == 0
+
+
+def test_banded_low_memory_decode(rng):
+    """Low-memory banded decode (low_memory_render_pipeline.cc model):
+    decode_rows yields the image in group-row bands, bit-identical to
+    the whole-frame decode, with the pixel buffer bounded to one band
+    (pixel_row0 windowing) instead of the full frame."""
+    import libjxl_tpu.vardct.frame_dec as FD
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    yy, xx = np.mgrid[0:700, 0:420]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 12, (700, 420, 3))
+           ).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.2, effort=3))
+    full = decode(data)
+
+    max_rows = []
+    orig = FD.VarDCTFrameDecoder.decode_ac_group
+
+    def spy(self, *a, **k):
+        if self.pixels is not None:
+            max_rows.append(self.pixels.shape[1])
+        return orig(self, *a, **k)
+
+    FD.VarDCTFrameDecoder.decode_ac_group = spy
+    try:
+        bands = list(decode_rows(data))
+    finally:
+        FD.VarDCTFrameDecoder.decode_ac_group = orig
+    got = np.concatenate([b for _, b in bands], axis=0)
+    assert np.array_equal(got, full)
+    assert bands[0][0] == 0 and len(bands) == 3
+    assert max(max_rows) <= 256          # never the full 700-row frame
