@@ -131,12 +131,19 @@ def _cms_output(linear: np.ndarray, ce, intensity: float) -> np.ndarray:
     from libjxl_tpu.color.xyb import linear_to_srgb
 
     if ce.want_icc:
-        import warnings
-        warnings.warn(
-            "stream color is described by an ICC profile; output is "
-            "produced as sRGB (ICC-driven CMS not implemented)",
-            stacklevel=3)
-        return linear_to_srgb(linear)
+        # matrix/TRC ICC profiles get true color management
+        # (color/icc_profile.py; the jxl_cms.cc surface); LUT-based
+        # profiles fall back to sRGB output with a call-out
+        try:
+            from libjxl_tpu.color.icc_profile import linear_srgb_to_icc
+            return linear_srgb_to_icc(np.asarray(linear, np.float64),
+                                      ce.icc).astype(np.float32)
+        except ValueError as e:
+            import warnings
+            warnings.warn(
+                f"ICC profile not color-managed ({e}); output is sRGB",
+                stacklevel=3)
+            return linear_to_srgb(linear)
     if _is_srgb_like(ce):
         return linear_to_srgb(linear)
     from libjxl_tpu.color.cms import linear_srgb_to_encoding

@@ -365,7 +365,11 @@ def linear_srgb_to_encoding(linear: np.ndarray, ce,
 def encoding_to_linear_srgb(signal: np.ndarray, ce,
                             intensity_target: float = 255.0) -> np.ndarray:
     """Signal in ColorEncoding ``ce`` -> linear sRGB(D65) planes
-    (encode-side CMS input normalization)."""
+    (encode-side CMS input normalization). ICC-described encodings go
+    through the matrix/TRC profile CMS (color/icc_profile.py)."""
+    if getattr(ce, "want_icc", False) and getattr(ce, "icc", None):
+        from libjxl_tpu.color.icc_profile import icc_to_linear_srgb
+        return icc_to_linear_srgb(np.asarray(signal, np.float64), ce.icc)
     linear = apply_tf_decode(signal, ce, intensity_target)
     if ce.color_space == ColorSpace.GRAY:
         return np.broadcast_to(linear, (3,) + linear.shape[-2:]).copy()

@@ -138,3 +138,95 @@ def test_gray_and_gamma_encodings():
     sig = cms.linear_srgb_to_encoding(lin, gamma_ce, 255.0)
     back = cms.encoding_to_linear_srgb(sig, gamma_ce, 255.0)
     assert np.allclose(back, lin, atol=1e-5)
+
+def _make_matrix_trc_icc(matrix_cols, gamma):
+    """Minimal v2 RGB matrix/TRC profile (test fixture)."""
+    import struct
+
+    def xyz_tag(v):
+        return b"XYZ " + b"\0" * 4 + b"".join(
+            struct.pack(">i", int(round(x * 65536))) for x in v)
+
+    def curv_gamma(g):
+        return (b"curv" + b"\0" * 4 + struct.pack(">I", 1) +
+                struct.pack(">H", int(round(g * 256))))
+
+    tags = [(b"wtpt", xyz_tag([0.9642, 1.0, 0.8249])),
+            (b"rXYZ", xyz_tag(matrix_cols[0])),
+            (b"gXYZ", xyz_tag(matrix_cols[1])),
+            (b"bXYZ", xyz_tag(matrix_cols[2])),
+            (b"rTRC", curv_gamma(gamma)), (b"gTRC", curv_gamma(gamma)),
+            (b"bTRC", curv_gamma(gamma))]
+    n = len(tags)
+    table, payload = b"", b""
+    off = 132 + 12 * n
+    for sig, data in tags:
+        pad = (4 - len(data) % 4) % 4
+        table += struct.pack(">4sII", sig, off, len(data))
+        payload += data + b"\0" * pad
+        off += len(data) + pad
+    hdr = bytearray(128)
+    struct.pack_into(">I", hdr, 0, 132 + 12 * n + len(payload))
+    hdr[8:12] = b"\x02\x10\x00\x00"
+    hdr[12:16] = b"mntr"
+    hdr[16:20] = b"RGB "
+    hdr[20:24] = b"XYZ "
+    hdr[36:40] = b"acsp"
+    struct.pack_into(">iii", hdr, 68, int(0.9642 * 65536), 65536,
+                     int(0.8249 * 65536))
+    return bytes(hdr) + struct.pack(">I", n) + table + payload
+
+
+def test_icc_profile_cms_vs_littlecms():
+    """Matrix/TRC ICC color management (color/icc_profile.py; the
+    jxl_cms.cc surface): parsed transforms agree with littleCMS within
+    +-1/255 on both an sRGB profile and a wide-gamut gamma profile."""
+    import io
+
+    pytest.importorskip("PIL.ImageCms")
+    from PIL import Image, ImageCms
+
+    from libjxl_tpu.color.icc_profile import icc_to_linear_srgb
+    from libjxl_tpu.color.xyb import linear_to_srgb
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+    cols = [[0.6097, 0.3111, 0.0195], [0.2053, 0.6257, 0.0609],
+            [0.1492, 0.0632, 0.7445]]          # AdobeRGB-like, D50
+    for icc in (_make_matrix_trc_icc(cols, 2.2),
+                ImageCms.ImageCmsProfile(
+                    ImageCms.createProfile("sRGB")).tobytes()):
+        tr = ImageCms.buildTransform(
+            ImageCms.ImageCmsProfile(io.BytesIO(icc)),
+            ImageCms.createProfile("sRGB"), "RGB", "RGB",
+            renderingIntent=ImageCms.Intent.RELATIVE_COLORIMETRIC)
+        ref = np.asarray(ImageCms.applyTransform(Image.fromarray(img),
+                                                 tr))
+        sig = np.moveaxis(img.astype(np.float64) / 255.0, -1, 0)
+        lin = icc_to_linear_srgb(sig, icc)
+        ours = np.moveaxis(np.clip(
+            linear_to_srgb(lin) * 255 + 0.5, 0, 255).astype(np.uint8),
+            0, -1)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_icc_input_to_encoder():
+    """ICC-described encoder input normalizes through the profile CMS
+    (encoding_to_linear_srgb ICC branch) instead of silently assuming
+    sRGB."""
+    from libjxl_tpu.color.cms import encoding_to_linear_srgb
+    from libjxl_tpu.core.headers import ColorEncoding
+
+    cols = [[0.6097, 0.3111, 0.0195], [0.2053, 0.6257, 0.0609],
+            [0.1492, 0.0632, 0.7445]]
+    icc = _make_matrix_trc_icc(cols, 2.2)
+    ce = ColorEncoding()
+    ce.want_icc = True
+    ce.icc = icc
+    rng = np.random.default_rng(0)
+    sig = rng.random((3, 8, 9))
+    out = encoding_to_linear_srgb(sig, ce)
+    # gamma-2.2 wide-gamut reds land OUTSIDE the naive sRGB decode
+    naive = sig ** 2.4
+    assert not np.allclose(out, naive, atol=1e-3)
+    assert out.shape == sig.shape
