@@ -1,0 +1,35 @@
+import time
+import numpy as np, jax, jax.numpy as jnp
+from libjxl_tpu.core.frame_header import LoopFilter
+from libjxl_tpu.models.pallas_filters import available, restore_pallas, static_lf_params
+print("pallas available:", available(), flush=True)
+rng = np.random.default_rng(0)
+H, W = 2048, 2048
+xyb = rng.random((3, H, W)).astype(np.float32)
+inv_sig = np.full((H, W), -5.0, np.float32)
+lf = LoopFilter(); lf.gab = True; lf.epf_iters = 2
+t0 = time.time()
+out = restore_pallas(jnp.asarray(xyb), jnp.asarray(inv_sig), static_lf_params(lf), True, 2)
+r = np.asarray(out[:, :2, :2])
+print(f"first call (compile): {time.time()-t0:.1f}s", flush=True)
+xd = jax.device_put(jnp.asarray(xyb)); sd = jax.device_put(jnp.asarray(inv_sig))
+n = 10
+t0 = time.time()
+for _ in range(n):
+    out = restore_pallas(xd, sd, static_lf_params(lf), True, 2)
+np.asarray(out[:, :2, :2])
+dt = time.time()-t0
+print(f"pallas gab+EPF2: {n*H*W/1e6/dt:.0f} MP/s", flush=True)
+
+# XLA comparison
+from libjxl_tpu.render.filters_jax import _restore, lf_params
+yb, xb = H//8, W//8
+rq = jnp.asarray(np.full((yb, xb), 20, np.int32))
+sh = jnp.asarray(np.full((yb, xb), 4, np.int32))
+o2 = _restore(xd, rq, sh, jnp.float32(0.005), lf_params(lf), True, 2)
+np.asarray(o2[:, :2, :2])
+t0 = time.time()
+for _ in range(n):
+    o2 = _restore(xd, rq, sh, jnp.float32(0.005), lf_params(lf), True, 2)
+np.asarray(o2[:, :2, :2])
+print(f"XLA gab+EPF2:    {n*H*W/1e6/(time.time()-t0):.0f} MP/s", flush=True)

@@ -20,6 +20,10 @@ class RuntimeConfig:
     # XL, SURVEY.md 2.2). Histograms become cross-shard reductions; the
     # emitted bitstream is identical to the single-device one.
     shard_encode: bool = False
+    # Use the Pallas tile kernels for the EPF/gaborish stencils inside
+    # restore_device (models/pallas_filters.py): one HBM read+write per
+    # pass vs XLA's per-shifted-view temporaries.
+    pallas_filters: bool = False
 
 
 config = RuntimeConfig()

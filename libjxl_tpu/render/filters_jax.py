@@ -71,14 +71,37 @@ def _restore(xyb, raw_quant, epf_sharpness, quant_scale, lfp: LfParams,
 
 def restore_device(xyb: np.ndarray, lf, raw_quant, epf_sharpness,
                    quant_scale: float, fetch: bool = True):
-    """Run gaborish+EPF as one XLA program.
+    """Run gaborish+EPF as one device program.
 
-    With ``fetch`` (default) the result comes back as numpy; with
-    ``fetch=False`` it STAYS on device so a downstream device stage
-    (color conversion / quantization) can consume it without a host
-    round-trip — the d2h transfer is the decode bottleneck."""
+    With ``config.pallas_filters`` the EPF/gaborish stencils run as
+    Pallas tile kernels (one HBM read+write per pass instead of XLA's
+    per-shift temporaries, models/pallas_filters.py); otherwise the
+    fused XLA program. With ``fetch`` (default) the result comes back
+    as numpy; with ``fetch=False`` it STAYS on device so a downstream
+    device stage (color conversion / quantization) can consume it
+    without a host round-trip — the d2h transfer is the decode
+    bottleneck."""
     import jax.numpy as jnp
 
+    from libjxl_tpu.config import config as _cfg
+    if _cfg.pallas_filters and lf.epf_iters <= 2:
+        from libjxl_tpu.models import pallas_filters as PF
+        if PF.available():
+            import libjxl_tpu.render.filters as F
+            inv_sigma = F.compute_sigma(lf, None, None,
+                                        np.asarray(raw_quant),
+                                        np.asarray(epf_sharpness),
+                                        quant_scale)
+            h, w = np.shape(xyb)[1], np.shape(xyb)[2]
+            sig_pix = F._upsample8(np.asarray(inv_sigma, np.float32),
+                                   h, w)
+            out = PF.restore_pallas(
+                jnp.asarray(xyb, jnp.float32), jnp.asarray(sig_pix),
+                PF.static_lf_params(lf), bool(lf.gab),
+                int(lf.epf_iters))
+            if not fetch:
+                return out
+            return np.asarray(out).astype(xyb.dtype)
     out = _restore(jnp.asarray(xyb, jnp.float32),
                    jnp.asarray(raw_quant), jnp.asarray(epf_sharpness),
                    jnp.float32(quant_scale), lf_params(lf),

@@ -69,3 +69,45 @@ def test_oracle_agreement():
     m = dm_oracle > 0.3
     ratio = dm[m] / dm_oracle[m]
     assert ratio.std() < 0.25          # same structure
+
+
+def test_pallas_filter_kernels_match_host():
+    """Pallas EPF/gaborish tile kernels (models/pallas_filters.py,
+    SURVEY §7 stencil kernels) match the host reference filters to
+    float32 precision — validated via the Pallas interpreter so the
+    CPU suite covers the kernel math."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import libjxl_tpu.models.pallas_filters as PF
+    from libjxl_tpu.core.frame_header import LoopFilter
+    from libjxl_tpu.render.filters import (
+        _upsample8, compute_sigma, epf_step1, epf_step2, gaborish,
+    )
+
+    rng = np.random.default_rng(0)
+    H, W = 280, 520
+    xyb = (rng.random((3, H, W)).astype(np.float32) - 0.4) * 0.3
+    yb, xb = (H + 7) // 8, (W + 7) // 8
+    rq = rng.integers(1, 40, (yb, xb)).astype(np.int32)
+    sh = np.full((yb, xb), 4, np.int32)
+    sh[1:3, 1:4] = 0
+    lf = LoopFilter()
+    lf.gab = True
+    lf.epf_iters = 2
+    inv_sig = compute_sigma(lf, None, None, rq, sh, 0.005)
+    ref = epf_step2(epf_step1(gaborish(xyb, lf), inv_sig, lf),
+                    inv_sig, lf)
+    sig_pix = _upsample8(np.asarray(inv_sig, np.float32), H, W)
+    orig = PF.pl.pallas_call
+    PF.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = np.asarray(PF.restore_pallas(
+            jnp.asarray(xyb), jnp.asarray(sig_pix),
+            PF.static_lf_params(lf), True, 2))
+    finally:
+        PF.pl.pallas_call = orig
+    assert np.abs(out - ref).max() < 1e-5
