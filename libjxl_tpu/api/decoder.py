@@ -298,58 +298,25 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
         # re-run gaborish/EPF with candidate sharpness fields locally
         return xyb, dec, lf
     from libjxl_tpu.config import config as _cfg
-    if _cfg.device_filters and (lf.gab or lf.epf_iters > 0):
-        from libjxl_tpu.render.filters_jax import restore_device
-        # keep the result ON DEVICE when nothing downstream needs host
-        # pixels: decode() then fuses color conversion + quantization
-        # into the device program and fetches only the uint8 image
-        keep = (not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
-                                 FrameFlags.NOISE)) and
-                fh.upsampling == 1 and
-                (dec.mfd.full_image is None or
-                 not dec.mfd.full_image.channel))
-        xyb = restore_device(xyb, lf, dec.raw_quant, dec.epf_sharpness,
-                             dec.quantizer.scale, fetch=not keep)
-        if keep:
-            return xyb
-    else:
-        if lf.gab:
-            xyb = gaborish(xyb, lf)
-        if lf.epf_iters > 0:
-            inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
-                                      dec.raw_quant, dec.epf_sharpness,
-                                      dec.quantizer.scale)
-            if lf.epf_iters >= 3:
-                xyb = epf_step0(xyb, inv_sigma, lf)
-            xyb = epf_step1(xyb, inv_sigma, lf)
-            if lf.epf_iters >= 2:
-                xyb = epf_step2(xyb, inv_sigma, lf)
-    if fh.flags & FrameFlags.PATCHES:
-        from libjxl_tpu.render.patches import apply_patches
-        nec = meta.m.num_extra_channels
-        if nec:
-            img = np.concatenate(
-                [xyb, np.zeros((nec,) + xyb.shape[1:], xyb.dtype)])
-        else:
-            img = xyb
-        img = apply_patches(img, dec.patches, dec.reference_frames,
-                            meta.m.extra_channel_info)
-        xyb = img[:3]
-    if fh.flags & FrameFlags.SPLINES:
-        from libjxl_tpu.render.splines import render_splines
-        xyb = render_splines(xyb, dec.splines,
-                             dec.cmap.ytox_ratio(0), dec.cmap.ytob_ratio(0))
-    if fh.upsampling > 1:
-        from libjxl_tpu.render.upsample import upsample_image
-        shift = fh.upsampling.bit_length() - 1
-        xyb = upsample_image(xyb, shift, meta.transform_data)
-    if fh.flags & FrameFlags.NOISE:
-        from libjxl_tpu.render.noise import add_noise
-        h = min(xyb.shape[1], fd.ysize * fh.upsampling)
-        w = min(xyb.shape[2], fd.xsize * fh.upsampling)
-        xyb = add_noise(xyb[:, :h, :w], dec.noise_lut, fh.group_dim,
-                        base_correlation_x=dec.cmap.base_correlation_x,
-                        base_correlation_b=dec.cmap.base_correlation_b)
+    from libjxl_tpu.render.pipeline import (
+        build_render_pipeline, run_render_pipeline,
+    )
+    device = _cfg.device_filters and (lf.gab or lf.epf_iters > 0)
+    # keep the result ON DEVICE when nothing downstream needs host
+    # pixels: decode() then fuses color conversion + quantization
+    # into the device program and fetches only the uint8 image
+    keep = (device and
+            not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                             FrameFlags.NOISE)) and
+            fh.upsampling == 1 and
+            (dec.mfd.full_image is None or
+             not dec.mfd.full_image.channel))
+    stages = build_render_pipeline(fh, meta, dec, device=device,
+                                   device_keep=keep)
+    ctx = dict(dec=dec, fh=fh, meta=meta, fd=fd, lf=lf)
+    xyb = run_render_pipeline(stages, xyb, ctx)
+    if keep:
+        return xyb
     if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
         fi = dec.mfd.finalize()
         xyb = np.asarray(xyb)

@@ -423,3 +423,51 @@ def test_dot_detection_end_to_end():
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
     if oracle_available():
         assert np.array_equal(oracle_decode(data).pixels, dec)
+
+
+def test_render_pipeline_stage_graph(rng):
+    """The render pipeline is a pluggable stage list
+    (render_pipeline/render_pipeline.h model): stages are assembled
+    from the frame header in dec_cache.cc order, and a custom stage
+    inserted into the graph runs during decode."""
+    import libjxl_tpu.render.pipeline as RP
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    yy, xx = np.mgrid[0:96, 0:112]
+    img = np.stack([yy % 256, xx % 256, (xx + yy) % 256],
+                   -1).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=3))
+
+    seen = []
+    orig = RP.build_render_pipeline
+
+    class SpyStage(RP.Stage):
+        name = "spy"
+
+        def process(self, im, ctx):
+            seen.append([s.name for s in ctx["_stages"]])
+            return im
+
+    def patched(fh, meta, dec, **kw):
+        stages = orig(fh, meta, dec, **kw)
+        stages.append(SpyStage())
+        return stages
+
+    RP.build_render_pipeline = patched
+    orig_run = RP.run_render_pipeline
+
+    def run_spy(stages, im, ctx):
+        ctx["_stages"] = stages
+        return orig_run(stages, im, ctx)
+
+    RP.run_render_pipeline = run_spy
+    import libjxl_tpu.api.decoder as D
+    try:
+        dec_img = decode(data)
+    finally:
+        RP.build_render_pipeline = orig
+        RP.run_render_pipeline = orig_run
+    assert dec_img.shape == img.shape
+    assert seen and seen[0][-1] == "spy"
+    assert "epf" in seen[0]          # gaborish is an e>=5 encoder flag
