@@ -212,39 +212,81 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
             self.cost, self.predictor = best
             return best[0]
 
+    alphabet = 1 + max(int(t.max()) if t.size else 0
+                       for t, _ in tok.values())
+
+    def _seg_entropies(counts: np.ndarray) -> np.ndarray:
+        """counts: (k, A) histograms -> (k,) shannon bits * n."""
+        tot = counts.sum(axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lp = np.where(counts > 0,
+                          np.log2(np.maximum(counts, 1) /
+                                  np.maximum(tot, 1)), 0.0)
+        return -(counts * lp).sum(axis=1)
+
+    def _best_split(leaf):
+        """One pass per (prop, predictor): sort the leaf's samples by
+        the property, histogram the token ids per threshold segment,
+        and score every candidate threshold from prefix sums — same
+        costs/tie-breaks as the original per-threshold masking, minus
+        its O(n) re-scan per threshold."""
+        idx = np.flatnonzero(leaf.mask)
+        m = idx.size
+        if m < 256:
+            return None
+        best = None
+        ltok = {p: (tok[p][0][idx], tok[p][1][idx]) for p in cand}
+        for prop in split_props:
+            vals = props[prop][idx]
+            if vals.size == 0:
+                continue
+            qs = np.unique(np.percentile(
+                vals, (6, 12, 25, 37, 50, 63, 75, 88, 94)).astype(
+                    np.int64))
+            order = np.argsort(vals, kind="stable")
+            svals = vals[order]
+            cuts = np.searchsorted(svals, qs, side="right")
+            # n_right = samples with val <= sv (rchild), n_left = > sv
+            valid = (cuts >= 64) & (m - cuts >= 64)
+            if not valid.any():
+                continue
+            seg = np.searchsorted(cuts, np.arange(m), side="right")
+            nseg = len(qs) + 1
+            cl_min = np.full(len(qs), np.inf)
+            cr_min = np.full(len(qs), np.inf)
+            for p in cand:
+                t_s = ltok[p][0][order]
+                nb_s = ltok[p][1][order]
+                hist = np.bincount(
+                    seg * alphabet + t_s,
+                    minlength=nseg * alphabet).reshape(nseg, alphabet)
+                cum = np.cumsum(hist, axis=0)          # <= sv side
+                nb_seg = np.bincount(seg, weights=nb_s, minlength=nseg)
+                nb_cum = np.cumsum(nb_seg)
+                le = cum[:len(qs)]                     # rchild (<= sv)
+                gt = cum[-1][None] - le                # lchild (> sv)
+                cr = _seg_entropies(le) + nb_cum[:len(qs)]
+                cl = _seg_entropies(gt) + (nb_cum[-1] -
+                                           nb_cum[:len(qs)])
+                cr_min = np.minimum(cr_min, cr)
+                cl_min = np.minimum(cl_min, cl)
+            gains = leaf.cost - (cl_min + cr_min) - 96
+            gains = np.where(valid, gains, -np.inf)
+            k = int(np.argmax(gains))
+            if gains[k] > 0 and (best is None or gains[k] > best[0]):
+                best = (float(gains[k]), prop, int(qs[k]))
+        return best
+
     root = _Node(np.ones(next(iter(props.values())).size, bool))
     root.best_pred()
+    root.split = _best_split(root)
     leaves = [root]
     while len(leaves) < max_leaves:
-        # find best (leaf, prop, split) improvement
         best = None
         for leaf in leaves:
-            if leaf.mask.sum() < 256 or getattr(leaf, "no_gain", False):
-                continue
-            found = False
-            for prop in split_props:
-                vals = props[prop][leaf.mask]
-                if vals.size == 0:
-                    continue
-                qs = np.unique(np.percentile(
-                    vals, (6, 12, 25, 37, 50, 63, 75, 88, 94)).astype(
-                        np.int64))
-                for sv in qs:
-                    sel = props[prop] > sv
-                    lm = leaf.mask & sel
-                    rm = leaf.mask & ~sel
-                    if lm.sum() < 64 or rm.sum() < 64:
-                        continue
-                    cl = min(_cost(tok[p][0][lm], tok[p][1][lm])
-                             for p in cand)
-                    cr = min(_cost(tok[p][0][rm], tok[p][1][rm])
-                             for p in cand)
-                    gain = leaf.cost - (cl + cr) - 96  # split overhead
-                    if gain > 0 and (best is None or gain > best[0]):
-                        best = (gain, leaf, prop, int(sv))
-                        found = True
-            if not found:
-                leaf.no_gain = True
+            s = leaf.split
+            if s is not None and (best is None or s[0] > best[0]):
+                best = (s[0], leaf, s[1], s[2])
         if best is None:
             break
         _, leaf, prop, sv = best
@@ -255,6 +297,8 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
         leaf.right = _Node(leaf.mask & ~sel)
         leaf.left.best_pred()
         leaf.right.best_pred()
+        leaf.left.split = _best_split(leaf.left)
+        leaf.right.split = _best_split(leaf.right)
         leaves.remove(leaf)
         leaves += [leaf.left, leaf.right]
 
