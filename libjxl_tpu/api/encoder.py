@@ -51,6 +51,8 @@ class EncodeOptions:
     squeeze: bool = False          # squeeze transform (responsive mode)
     orientation: int = 1           # Exif orientation 1..8 stored in the
                                    # metadata (decoder re-orients)
+    _zero_tree: bool = False       # internal: fixed Zero-predictor tree
+                                   # (pure-LZ77 mode, enc_ans.cc:1377)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -78,17 +80,23 @@ def encode_lossless(pixels: np.ndarray,
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
-    if options.effort >= 9 and options.palette and _try_both_palette:
-        # exhaustive tier (enc_ans.cc kOptimal spirit): the palette
-        # transform can hurt LZ77-heavy content — encode both ways and
-        # keep the smaller stream
+    if options.effort >= 8 and _try_both_palette:
+        # high-effort candidate product (enc_ans.cc kOptimal spirit):
+        # the learned-tree encode competes against the pure-LZ77 Zero-
+        # predictor mode ("No predictor requires LZ77",
+        # enc_ans.cc:1372-1380) — raw sample sequences repeat exactly
+        # on tiled/screenshot content where prediction residuals break
+        # at tile seams — and, at e9, against palette on/off; the
+        # smallest stream wins.
         import dataclasses
-        with_pal = encode_lossless(pixels, options,
-                                   _try_both_palette=False)
-        without = encode_lossless(
-            pixels, dataclasses.replace(options, palette=0),
-            _try_both_palette=False)
-        return min(with_pal, without, key=len)
+        cands = [options, dataclasses.replace(options, _zero_tree=True)]
+        if options.effort >= 9 and options.palette:
+            cands.append(dataclasses.replace(options, palette=0))
+            cands.append(dataclasses.replace(options, palette=0,
+                                             _zero_tree=True))
+        outs = [encode_lossless(pixels, c, _try_both_palette=False)
+                for c in cands]
+        return min(outs, key=len)
     meta, header_bytes = _modular_headers(pixels, options)
     from libjxl_tpu.api import stats as _stats
     _stats.record("header", len(header_bytes) * 8)
@@ -210,6 +218,7 @@ def _search_rct(img: ModularImage, effort: int) -> int:
         return 6
     orig = [img.channel[c].plane for c in range(3)]
     best_cost, best = None, 0
+    cost6 = None
     for t in candidates:
         if t == 0:
             cost = _rct_candidate_cost(orig)
@@ -220,8 +229,16 @@ def _search_rct(img: ModularImage, effort: int) -> int:
             fwd_rct(probe, 0, t)
             cost = _rct_candidate_cost(
                 [probe.channel[c].plane for c in range(3)])
+        if t == 6:
+            cost6 = cost
         if best_cost is None or cost < best_cost:
             best_cost, best = cost, t
+    # The gradient-entropy proxy can't see tree/LZ77 effects, so its
+    # small margins are noise (a screenshot measured 0.8% "better"
+    # without RCT but encoded 37% larger); stay on YCoCg unless a
+    # candidate is clearly ahead.
+    if best != 6 and cost6 is not None and best_cost >= 0.98 * cost6:
+        return 6
     return best
 
 
@@ -297,8 +314,11 @@ def _modular_frame_bytes(pixels, options, meta,
             2 if options.effort == 8 else 5)
         if mode:
             wp_header = wp_mode_header(mode)
-    learned = options.effort >= 5
-    if learned:
+    learned = options.effort >= 5 and not options._zero_tree
+    if options._zero_tree:
+        from libjxl_tpu.modular.predict import PREDICTOR_ZERO
+        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)]
+    elif learned:
         # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
         # predictors chosen by entropy on the actual image
         from libjxl_tpu.modular.enc_ma import learn_tree

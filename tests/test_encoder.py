@@ -241,3 +241,27 @@ def test_encode_animation():
         from libjxl_tpu.utils.oracle import oracle_decode
         assert np.array_equal(oracle_decode(data, num_channels=3).pixels,
                               frames[-1])
+
+
+def test_lossless_e8_beats_libjxl_on_screenshot(rng):
+    """The e8 candidate product (learned tree vs pure-LZ77 Zero
+    predictor, palette on) must beat the reference encoder on tiled
+    screenshot-like content — the match-or-beat bar from BASELINE.md."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils.oracle import (
+        oracle_available, oracle_decode, oracle_encode,
+    )
+
+    glyphs = [rng.integers(0, 255, (8, 6, 3)).astype(np.uint8)
+              for _ in range(8)]
+    img = np.concatenate(
+        [np.concatenate([glyphs[g] for g in rng.integers(0, 8, 20)],
+                        axis=1) for _ in range(12)], axis=0)
+    img[40:60] = 230
+    data = encode_lossless(img, EncodeOptions(effort=8))
+    assert np.array_equal(decode(data), img)
+    if oracle_available():
+        assert np.array_equal(oracle_decode(data).pixels, img)
+        ref = oracle_encode(img, lossless=True, effort=8)
+        assert len(data) < len(ref), (len(data), len(ref))
