@@ -80,7 +80,7 @@ def encode_lossless(pixels: np.ndarray,
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
-    if options.effort >= 8 and _try_both_palette:
+    if options.effort >= 7 and _try_both_palette:
         # high-effort candidate product (enc_ans.cc kOptimal spirit):
         # the learned-tree encode competes against the pure-LZ77 Zero-
         # predictor mode ("No predictor requires LZ77",
@@ -498,7 +498,7 @@ def _modular_frame_bytes(pixels, options, meta,
             n_plain = sum(len(a) for a in all_arrs)
             if n_plain - sum(len(a) for a in t_arrs) > 0.1 * n_plain:
                 try_streams(t_arrs)
-        if options.effort >= 8:
+        if options.effort >= 8 or options._zero_tree:
             t_arrs = lz77_match_transform(
                 all_arrs, num_ctx, LZ77Params(enabled=True), mults)
             if t_arrs is not None:
