@@ -212,9 +212,9 @@ def test_lossless_e8_lz77_denser_on_repetitive(rng):
     img = np.concatenate(
         [np.concatenate([glyphs[g] for g in rng.integers(0, 8, 20)],
                         axis=1) for _ in range(12)], axis=0)
-    e7 = encode_lossless(img, EncodeOptions(effort=7, palette=0))
+    e5 = encode_lossless(img, EncodeOptions(effort=5, palette=0))
     e8 = encode_lossless(img, EncodeOptions(effort=8, palette=0))
-    assert len(e8) < 0.5 * len(e7)
+    assert len(e8) < 0.5 * len(e5)   # e5: RLE-only LZ77, no candidates
     dec = decode(e8)
     assert np.array_equal(dec, img)
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
