@@ -391,19 +391,20 @@ def _modular_frame_bytes(pixels, options, meta,
                           fd.group_dim, fd.group_dim), 0, 2)
 
     global_toks = []
-    for ci in global_chans:
-        if learned:
-            from libjxl_tpu.modular.enc_ma import tokenize_with_tree
-            t = tokenize_with_tree([(ci, img.channel[ci].plane)], tree,
-                                   stream_id_global(),
-                                   wp_header=wp_header
-                                   if not wp_header.is_all_default()
-                                   else None)
-            global_toks.append(t)
-            continue
-        t = encode_modular_channel_tokens(img, ci, stream_id_global(), tree,
-                                          wp_header)
-        global_toks.append(tokens_to_array(t))
+    if learned and global_chans:
+        # ONE call over the whole channel list: prev-channel reference
+        # properties (16+) see the same neighbors the decoder computes
+        from libjxl_tpu.modular.enc_ma import tokenize_with_tree
+        global_toks.append(tokenize_with_tree(
+            [(ci, img.channel[ci].plane) for ci in global_chans], tree,
+            stream_id_global(),
+            wp_header=wp_header
+            if not wp_header.is_all_default() else None))
+    elif global_chans:
+        for ci in global_chans:
+            t = encode_modular_channel_tokens(img, ci, stream_id_global(),
+                                              tree, wp_header)
+            global_toks.append(tokens_to_array(t))
     global_arr = (np.concatenate(global_toks) if global_toks
                   else np.zeros((0, 2), dtype=np.int64))
     empty = np.zeros((0, 2), dtype=np.int64)

@@ -323,7 +323,7 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
     plane = ch.plane.astype(np.int64)
     tokens = []
     max_prop = max_property_used(tree)
-    use_wp = max_prop == NUM_NONREF_PROPERTIES - 1 or any(
+    use_wp = max_prop >= NUM_NONREF_PROPERTIES - 1 or any(
         n.is_leaf and n.predictor == PREDICTOR_WEIGHTED for n in tree)
     num_refs = 0
     if max_prop >= NUM_NONREF_PROPERTIES:

@@ -25,9 +25,51 @@ def _have_wp() -> bool:
 
 # properties we consider for splits (context_predict.h:508-530 ids);
 # p15 (the WP max-error) needs the native WP sweep
+N_REF_CHANNELS = 2           # prev-channel properties 16..23
+
+
 def _split_props():
     base = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
-    return base + (15,) if _have_wp() else base
+    base = base + (15,) if _have_wp() else base
+    return base + tuple(range(16, 16 + 4 * N_REF_CHANNELS))
+
+
+def ref_property_planes(planes, chan_idx: int) -> dict:
+    """Prev-channel properties 16+ (context_predict.h
+    PrecomputeReferences, codec.py:64-93 is the matching decode):
+    per reference channel |v|, v, |v - grad|, v - grad at the same
+    pixel. Missing references stay 0 (the decoder's default)."""
+    h, w = planes[chan_idx].shape
+    out = {16 + k: np.zeros((h, w), np.int64)
+           for k in range(4 * N_REF_CHANNELS)}
+    offset = 0
+    for j in range(chan_idx - 1, -1, -1):
+        if offset >= 4 * N_REF_CHANNELS:
+            break
+        rp = planes[j]
+        if rp.shape != planes[chan_idx].shape:
+            continue
+        v = rp.astype(np.int64)
+        vleft = np.empty_like(v)
+        vleft[:, 1:] = v[:, :-1]
+        vleft[:, 0] = 0                 # decode: left of col 0 is 0
+        vtop = np.empty_like(v)
+        vtop[1:] = v[:-1]
+        vtop[0] = vleft[0]
+        vtopleft = np.empty_like(v)
+        vtopleft[1:, 1:] = v[:-1, :-1]
+        vtopleft[0] = vleft[0]
+        vtopleft[1:, 0] = vleft[1:, 0]
+        m = np.minimum(vleft, vtop)
+        M = np.maximum(vleft, vtop)
+        grad = vleft + vtop - vtopleft
+        vpred = np.where(vtopleft < m, M, np.where(vtopleft > M, m, grad))
+        out[16 + offset] = np.abs(v)
+        out[16 + offset + 1] = v
+        out[16 + offset + 2] = np.abs(v - vpred)
+        out[16 + offset + 3] = v - vpred
+        offset += 4
+    return out
 
 
 def _candidate_predictors():
@@ -172,8 +214,10 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     resid_by_pred = {}
     for pred in cand:
         resid_by_pred[pred] = []
-    for chan_idx, plane in channels:
+    chan_planes = [p for _, p in channels]
+    for pos, (chan_idx, plane) in enumerate(channels):
         props, nb = property_planes(plane, chan_idx, group_id, wp_header)
+        props.update(ref_property_planes(chan_planes, pos))
         flat = {k: v.ravel() for k, v in props.items()}
         props_all.append(flat)
         for pred in cand:
@@ -332,8 +376,10 @@ def tokenize_with_tree(channels, tree, group_id: int,
     (leaf context, packed residual) in decode traversal order (channels
     sequential, row-major). ``channels``: list of (chan_idx, plane)."""
     out = []
-    for chan_idx, plane in channels:
+    chan_planes = [p for _, p in channels]
+    for pos, (chan_idx, plane) in enumerate(channels):
         props, nb = property_planes(plane, chan_idx, group_id, wp_header)
+        props.update(ref_property_planes(chan_planes, pos))
         preds = {p: predictions(nb, p) for p in _candidate_predictors()}
         h, w = plane.shape
         ctx = np.zeros((h, w), np.int32)

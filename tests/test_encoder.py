@@ -265,3 +265,32 @@ def test_lossless_e8_beats_libjxl_on_screenshot(rng):
         assert np.array_equal(oracle_decode(data).pixels, img)
         ref = oracle_encode(img, lossless=True, effort=8)
         assert len(data) < len(ref), (len(data), len(ref))
+
+
+def test_prev_channel_reference_properties(rng):
+    """MA trees can split on prev-channel reference properties 16+
+    (context_predict.h PrecomputeReferences): strongly channel-
+    correlated content gets markedly denser, streams stay conformant
+    in both decoders, and the win beats libjxl's own e5."""
+    import libjxl_tpu.modular.enc_ma as MA
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils.oracle import (
+        oracle_available, oracle_decode, oracle_encode,
+    )
+
+    base = rng.integers(0, 200, (120, 160)).astype(np.int32)
+    img = np.stack([base, base + rng.integers(0, 3, base.shape),
+                    base // 2 + rng.integers(0, 3, base.shape)],
+                   -1).clip(0, 255).astype(np.uint8)
+    sav = MA.N_REF_CHANNELS
+    MA.N_REF_CHANNELS = 0
+    no_refs = encode_lossless(img, EncodeOptions(effort=5, palette=0))
+    MA.N_REF_CHANNELS = sav
+    with_refs = encode_lossless(img, EncodeOptions(effort=5, palette=0))
+    assert len(with_refs) < 0.95 * len(no_refs)
+    assert np.array_equal(decode(with_refs), img)
+    if oracle_available():
+        assert np.array_equal(oracle_decode(with_refs).pixels, img)
+        ref = oracle_encode(img, lossless=True, effort=5)
+        assert len(with_refs) < len(ref)
