@@ -94,6 +94,44 @@ def _compute_references(image: ModularImage, chan_idx: int, y: int,
     return refs
 
 
+def _reference_planes(image: ModularImage, chan_idx: int, num_refs: int,
+                      h: int, w: int) -> np.ndarray:
+    """Whole-plane form of _compute_references for the native decode
+    path: (num_refs, h, w) int32."""
+    out = np.zeros((num_refs, h, w), np.int32)
+    ch = image.channel[chan_idx]
+    offset = 0
+    for j in range(chan_idx - 1, -1, -1):
+        if offset >= num_refs:
+            break
+        rch = image.channel[j]
+        if rch.w != ch.w or rch.h != ch.h or rch.hshift != ch.hshift or \
+                rch.vshift != ch.vshift:
+            continue
+        v = rch.plane.astype(np.int64)
+        vleft = np.empty_like(v)
+        vleft[:, 1:] = v[:, :-1]
+        vleft[:, 0] = 0
+        vtop = np.empty_like(v)
+        vtop[1:] = v[:-1]
+        vtop[0] = vleft[0]
+        vtopleft = np.empty_like(v)
+        vtopleft[1:, 1:] = v[:-1, :-1]
+        vtopleft[0] = vleft[0]
+        vtopleft[1:, 0] = vleft[1:, 0]
+        m = np.minimum(vleft, vtop)
+        M = np.maximum(vleft, vtop)
+        grad = vleft + vtop - vtopleft
+        vpred = np.where(vtopleft < m, M,
+                         np.where(vtopleft > M, m, grad))
+        out[offset] = np.abs(v)
+        out[offset + 1] = v
+        out[offset + 2] = np.abs(v - vpred)
+        out[offset + 3] = v - vpred
+        offset += EXTRA_PROPS_PER_CHANNEL
+    return out
+
+
 def _tree_lookup(tree, props):
     pos = 0
     while True:
@@ -210,7 +248,25 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
         ch.plane = plane.astype(np.int32)
         return
 
-    # General path: full properties + tree walk per pixel.
+    # General path: native per-pixel tree-walk decode when the stream
+    # shape allows (no prefix codes / LZ77); python scalar otherwise.
+    code = reader.code
+    if not code.use_prefix_code and not reader.lz77_enabled and \
+            max_prop < 32:        # native props buffer is 32-wide
+        from libjxl_tpu.utils import native
+        if native.available():
+            refs = _reference_planes(image, chan_idx, num_refs, h, w) \
+                if num_refs else None
+            out32 = np.zeros((h, w), np.int32)
+            res = native.modular_generic_decode(
+                r._data, r.bits_consumed, reader.state, code, tree,
+                out32, refs, chan_idx, group_id, use_wp, wp_header)
+            if res is not None:
+                end_bit, state = res
+                r.skip(end_bit - r.bits_consumed)
+                reader.state = state
+                ch.plane = out32
+                return
     nprops = max(max_prop + 1, NUM_NONREF_PROPERTIES) + num_refs
     props = [0] * (NUM_NONREF_PROPERTIES + num_refs)
     props[0] = chan_idx

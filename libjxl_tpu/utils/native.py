@@ -471,3 +471,79 @@ def tokenize_dct8(qp: np.ndarray, order: np.ndarray,
     out[:, 0] = out_ctx[:n]
     out[:, 1] = out_val[:n]
     return out
+
+
+def modular_generic_decode(data, start_bit: int, state: int, code,
+                           tree, plane: np.ndarray, refs,
+                           chan_idx: int, group_id: int, use_wp: bool,
+                           wp_header) -> tuple[int, int] | None:
+    """General modular channel decode (DecodeModularChannelMAANS) in
+    native code: per-pixel MA-tree context + rANS + hybrid-uint +
+    all predictors incl. WP. ``code`` is the decoded ANSCode (no
+    prefix/LZ77 — caller gates), ``tree`` the node list, ``plane`` an
+    (h, w) int32 output buffer, ``refs`` an optional
+    (n_ref_props, h, w) int32 array of reference properties.
+    Returns (end_bit, state) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_modular_generic_decode_bound"):
+        lib.jxlt_modular_generic_decode.restype = ctypes.c_int64
+        lib.jxlt_modular_generic_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p]
+        lib.jxlt_modular_generic_decode_bound = True
+    nhist = len(code.alias_freqs)
+    a_sym = np.ascontiguousarray(
+        np.stack([np.asarray(s, np.int32) for s in code.alias_symbols]))
+    a_off = np.ascontiguousarray(
+        np.stack([np.asarray(s, np.int32) for s in code.alias_offsets]))
+    freqs_off = np.zeros(nhist + 1, np.int64)
+    freqs_off[1:] = np.cumsum([len(f) for f in code.alias_freqs])
+    freqs_flat = np.ascontiguousarray(np.concatenate(
+        [np.asarray(f, np.int32) for f in code.alias_freqs]))
+    cmap = np.ascontiguousarray(np.asarray(code.context_map, np.int32))
+    cfg_se = np.array([c.split_exponent for c in code.uint_configs],
+                      np.int32)
+    cfg_msb = np.array([c.msb_in_token for c in code.uint_configs],
+                       np.int32)
+    cfg_lsb = np.array([c.lsb_in_token for c in code.uint_configs],
+                       np.int32)
+    tarr = np.zeros((len(tree), 8), np.int32)
+    for i, n in enumerate(tree):
+        tarr[i] = (n.property, n.splitval, n.lchild, n.rchild,
+                   n.context, n.predictor, n.predictor_offset,
+                   n.multiplier)
+    tarr = np.ascontiguousarray(tarr)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h, w = plane.shape
+    st = np.array([state], np.uint32)
+    if refs is None:
+        refs_arr = None
+        n_ref = 0
+    else:
+        refs_arr = np.ascontiguousarray(refs, np.int32)
+        n_ref = refs_arr.shape[0]
+    hdr = np.array([wp_header.p1C, wp_header.p2C, wp_header.p3Ca,
+                    wp_header.p3Cb, wp_header.p3Cc, wp_header.p3Cd,
+                    wp_header.p3Ce] + list(wp_header.w), np.int32)
+    end = lib.jxlt_modular_generic_decode(
+        buf.ctypes.data, len(buf), start_bit, st.ctypes.data,
+        a_sym.ctypes.data, a_off.ctypes.data, freqs_flat.ctypes.data,
+        freqs_off.ctypes.data, cmap.ctypes.data, len(cmap),
+        cfg_se.ctypes.data, cfg_msb.ctypes.data, cfg_lsb.ctypes.data,
+        tarr.ctypes.data, len(tree),
+        plane.ctypes.data, w, h,
+        refs_arr.ctypes.data if refs_arr is not None else None, n_ref,
+        chan_idx, group_id, 1 if use_wp else 0, hdr.ctypes.data)
+    if end < 0:
+        return None
+    return int(end), int(st[0])

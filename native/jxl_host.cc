@@ -1143,3 +1143,255 @@ EXPORT int64_t jxlt_tokenize_dct8(
   }
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// General modular channel decode (encoding.cc DecodeModularChannelMAANS
+// :149-506): interleaved rANS + hybrid-uint reads with per-pixel MA-tree
+// context selection over properties 0..15 (+ precomputed prev-channel
+// reference properties), all 14 predictors incl. the weighted predictor.
+// This is the host decode hot path for learned-tree streams; LZ77 and
+// prefix-code streams stay on the python path (the wrapper bails).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct WpDec {
+  // incremental weighted predictor (context_predict.h State), matching
+  // jxlt_wp_plane's math pixel for pixel
+  WpConsts c;
+  int64_t w;
+  std::vector<int64_t> pred_errors[4];
+  std::vector<int64_t> error;
+  int64_t prediction[4];
+  int64_t pred = 0;
+  int64_t divlookup[64];
+  static constexpr int kBits = 3;
+  static constexpr int kRound = ((1 << kBits) >> 1) - 1;
+
+  WpDec(int64_t width, const int32_t* hdr11) : w(width) {
+    if (hdr11) {
+      c.p1C = hdr11[0]; c.p2C = hdr11[1]; c.p3Ca = hdr11[2];
+      c.p3Cb = hdr11[3]; c.p3Cc = hdr11[4]; c.p3Cd = hdr11[5];
+      c.p3Ce = hdr11[6];
+      c.w[0] = hdr11[7]; c.w[1] = hdr11[8]; c.w[2] = hdr11[9];
+      c.w[3] = hdr11[10];
+    }
+    for (int i = 0; i < 64; i++) divlookup[i] = (1ll << 24) / (i + 1);
+    for (int i = 0; i < 4; i++) pred_errors[i].assign((w + 2) * 2, 0);
+    error.assign((w + 2) * 2, 0);
+  }
+
+  int64_t Predict(int64_t x, int64_t y, int64_t top, int64_t left,
+                  int64_t topright, int64_t topleft, int64_t toptop,
+                  int64_t* p15) {
+    int64_t cur_row = (y & 1) ? 0 : (w + 2);
+    int64_t prev_row = (y & 1) ? (w + 2) : 0;
+    int64_t pos_n = prev_row + x;
+    int64_t pos_ne = x < w - 1 ? pos_n + 1 : pos_n;
+    int64_t pos_nw = x > 0 ? pos_n - 1 : pos_n;
+    int64_t weights[4];
+    for (int i = 0; i < 4; i++) {
+      int64_t werr = pred_errors[i][pos_n] + pred_errors[i][pos_ne] +
+                     pred_errors[i][pos_nw];
+      int shift = FloorLog2(werr + 1) - 5;
+      if (shift < 0) shift = 0;
+      weights[i] = 4 + ((c.w[i] * divlookup[werr >> shift]) >> shift);
+    }
+    int64_t N = top << kBits, W = left << kBits, NE = topright << kBits;
+    int64_t NW = topleft << kBits, NN = toptop << kBits;
+    int64_t teW = x == 0 ? 0 : error[cur_row + x - 1];
+    int64_t teN = error[pos_n];
+    int64_t teNW = error[pos_nw];
+    int64_t teNE = error[pos_ne];
+    int64_t sumWN = teN + teW;
+    int64_t p = teW;
+    if (std::llabs(teN) > std::llabs(p)) p = teN;
+    if (std::llabs(teNW) > std::llabs(p)) p = teNW;
+    if (std::llabs(teNE) > std::llabs(p)) p = teNE;
+    *p15 = p;
+    prediction[0] = W + NE - N;
+    prediction[1] = N - (((sumWN + teNE) * c.p1C) >> 5);
+    prediction[2] = W - (((sumWN + teNW) * c.p2C) >> 5);
+    prediction[3] = N - ((teNW * c.p3Ca + teN * c.p3Cb + teNE * c.p3Cc +
+                          (NN - N) * c.p3Cd + (NW - W) * c.p3Ce) >> 5);
+    int64_t weight_sum = weights[0] + weights[1] + weights[2] + weights[3];
+    int log_weight = FloorLog2(weight_sum);
+    for (int i = 0; i < 4; i++) weights[i] >>= (log_weight - 4);
+    weight_sum = weights[0] + weights[1] + weights[2] + weights[3];
+    int64_t s = (weight_sum >> 1) - 1;
+    for (int i = 0; i < 4; i++) s += prediction[i] * weights[i];
+    pred = (s * divlookup[weight_sum - 1]) >> 24;
+    if (((teN ^ teW) | (teN ^ teNW)) <= 0) {
+      int64_t mx = std::max(W, std::max(NE, N));
+      int64_t mn = std::min(W, std::min(NE, N));
+      pred = std::max(mn, std::min(mx, pred));
+    }
+    return (pred + kRound) >> kBits;
+  }
+
+  void Update(int64_t x, int64_t y, int64_t val) {
+    int64_t cur_row = (y & 1) ? 0 : (w + 2);
+    int64_t prev_row = (y & 1) ? (w + 2) : 0;
+    val <<= kBits;
+    error[cur_row + x] = pred - val;
+    for (int i = 0; i < 4; i++) {
+      int64_t err = (std::llabs(prediction[i] - val) + kRound) >> kBits;
+      pred_errors[i][cur_row + x] = err;
+      pred_errors[i][prev_row + x + 1] += err;
+    }
+  }
+};
+
+inline int64_t TDiv(int64_t a, int64_t b) {
+  int64_t q = (a >= 0 ? a : -a) / b;
+  return a >= 0 ? q : -q;
+}
+
+inline int64_t PredictOneC(int p, int64_t left, int64_t top,
+                           int64_t toptop, int64_t topleft,
+                           int64_t topright, int64_t leftleft,
+                           int64_t trr, int64_t wp_pred) {
+  switch (p) {
+    case 0: return 0;
+    case 1: return left;
+    case 2: return top;
+    case 3: {  // select
+      int64_t g = left + top - topleft;
+      return std::llabs(g - left) < std::llabs(g - top) ? left : top;
+    }
+    case 6: return wp_pred;
+    case 5: {  // clamped gradient
+      int64_t m = std::min(top, left), M = std::max(top, left);
+      int64_t grad = top + left - topleft;
+      if (topleft < m) return M;
+      if (topleft > M) return m;
+      return grad;
+    }
+    case 7: return topleft;
+    case 8: return topright;
+    case 9: return leftleft;
+    case 4: return TDiv(left + top, 2);    // avg0
+    case 10: return TDiv(left + topleft, 2);
+    case 11: return TDiv(topleft + top, 2);
+    case 12: return TDiv(top + topright, 2);
+    case 13: return TDiv(6 * top - 2 * toptop + 7 * left + leftleft +
+                         trr + 3 * topright + 8, 16);
+    default: return 0;
+  }
+}
+
+}  // namespace
+
+// tree: (n_nodes, 8) int32 rows [prop, splitval, lch, rch, ctx, pred,
+// offset, multiplier]; prop < 0 marks a leaf.
+// refs: (n_ref_props, h, w) int32 precomputed reference-property planes
+// (properties 16+), or null.
+// Returns new bit position, or negative error; *state_io updated.
+EXPORT int64_t jxlt_modular_generic_decode(
+    const uint8_t* data, int64_t nbytes, int64_t start_bit,
+    uint32_t* state_io,
+    const int32_t* alias_sym_flat, const int32_t* alias_off_flat,
+    const int32_t* freqs_flat, const int64_t* freqs_off,
+    const int32_t* cluster_map, int64_t n_ctx,
+    const int32_t* cfg_se, const int32_t* cfg_msb, const int32_t* cfg_lsb,
+    const int32_t* tree, int64_t n_nodes,
+    int32_t* plane, int64_t w, int64_t h,
+    const int32_t* refs, int64_t n_ref_props,
+    int32_t chan_idx, int32_t group_id, int32_t use_wp,
+    const int32_t* wp_hdr11) {
+  BitSource src{data, nbytes, start_bit};
+  uint32_t state = *state_io;
+  WpDec wp(w, wp_hdr11);
+  int64_t props[32] = {0};
+  props[0] = chan_idx;
+  props[1] = group_id;
+  for (int64_t y = 0; y < h; ++y) {
+    props[2] = y;
+    int64_t prev_grad = 0;
+    for (int64_t x = 0; x < w; ++x) {
+      // neighbors with border rules (context_predict.h Predict)
+      int64_t left = x ? plane[y * w + x - 1]
+                       : (y ? plane[(y - 1) * w + x] : 0);
+      int64_t top = y ? plane[(y - 1) * w + x] : left;
+      int64_t topleft = (x && y) ? plane[(y - 1) * w + x - 1] : left;
+      int64_t topright = (x + 1 < w && y) ? plane[(y - 1) * w + x + 1]
+                                          : top;
+      int64_t leftleft = x > 1 ? plane[y * w + x - 2] : left;
+      int64_t toptop = y > 1 ? plane[(y - 2) * w + x] : top;
+      int64_t trr = (x + 2 < w && y) ? plane[(y - 1) * w + x + 2]
+                                     : topright;
+      props[3] = x;
+      props[4] = std::llabs(top);
+      props[5] = std::llabs(left);
+      props[6] = top;
+      props[7] = left;
+      props[8] = left - prev_grad;
+      int64_t new_grad = left + top - topleft;
+      props[9] = new_grad;
+      prev_grad = new_grad;
+      props[10] = left - topleft;
+      props[11] = topleft - top;
+      props[12] = top - topright;
+      props[13] = top - toptop;
+      props[14] = left - leftleft;
+      int64_t wp_pred = 0;
+      if (use_wp) {
+        wp_pred = wp.Predict(x, y, top, left, topright, topleft, toptop,
+                             &props[15]);
+      } else {
+        props[15] = 0;
+      }
+      for (int64_t k = 0; k < n_ref_props; ++k) {
+        props[16 + k] = refs[(k * h + y) * w + x];
+      }
+      // tree walk
+      int64_t node = 0;
+      while (tree[node * 8] >= 0) {
+        node = props[tree[node * 8]] > tree[node * 8 + 1]
+                   ? tree[node * 8 + 2]
+                   : tree[node * 8 + 3];
+      }
+      int32_t ctx = tree[node * 8 + 4];
+      if (ctx < 0 || ctx >= n_ctx) return -3;
+      int32_t hist = cluster_map[ctx];
+      // rANS symbol
+      uint32_t res = state & (kAnsTabSize - 1);
+      uint32_t sym = (uint32_t)alias_sym_flat[hist * kAnsTabSize + res];
+      uint32_t off = (uint32_t)alias_off_flat[hist * kAnsTabSize + res];
+      state = (uint32_t)freqs_flat[freqs_off[hist] + sym] *
+                  (state >> kAnsLogTabSize) + off;
+      if (state < (1u << 16)) {
+        state = (state << 16) | (uint32_t)src.Read(16);
+      }
+      // hybrid uint with the cluster's config
+      uint32_t token = sym;
+      uint32_t se = (uint32_t)cfg_se[hist];
+      uint32_t msb = (uint32_t)cfg_msb[hist];
+      uint32_t lsb = (uint32_t)cfg_lsb[hist];
+      uint32_t value;
+      if (token < (1u << se)) {
+        value = token;
+      } else {
+        uint32_t nb = se - (msb + lsb) + ((token - (1u << se)) >>
+                                          (msb + lsb));
+        if (nb > 31) return -2;
+        uint32_t low = token & ((1u << lsb) - 1);
+        token >>= lsb;
+        uint32_t extra = (uint32_t)src.Read(nb);
+        value = ((((1u << msb) | (token & ((1u << msb) - 1))) << nb) |
+                 extra) << lsb | low;
+      }
+      // unpack_signed
+      int64_t sv = (value & 1) ? -(int64_t)((value >> 1) + 1)
+                               : (int64_t)(value >> 1);
+      int64_t guess = PredictOneC(tree[node * 8 + 5], left, top, toptop,
+                                  topleft, topright, leftleft, trr,
+                                  wp_pred);
+      int64_t val = sv * tree[node * 8 + 7] + guess + tree[node * 8 + 6];
+      plane[y * w + x] = (int32_t)val;
+      if (use_wp) wp.Update(x, y, val);
+    }
+  }
+  if (src.bitpos > nbytes * 8) return -2;
+  *state_io = state;
+  return src.bitpos;
+}
