@@ -98,20 +98,31 @@ def decode_modular_frame(meta: CodecMetadata, frame,
                     fd.dc_group_dim, fd.dc_group_dim), 3, 1000,
                 stream_id_modular_dc(fd, g))
         # AC global section: nothing for modular frames.
+        # Groups are independent sections (TOC random access); fan them
+        # out through the runner — the native channel decoder releases
+        # the GIL, so threads scale.
         for pass_idx in range(fh.passes.num_passes):
             mins, maxs = get_downsampling_bracket(fh.passes, pass_idx)
-            for g in range(fd.num_groups):
+
+            def _group(g: int, pass_idx=pass_idx, mins=mins, maxs=maxs):
                 sec = ac_group_index(pass_idx, g, fd.num_groups,
                                      fd.num_dc_groups)
                 if frame.sections[sec] is None:
-                    continue    # partial: later passes/groups missing
+                    return      # partial: later passes/groups missing
                 r = BitReader(frame.sections[sec])
                 gx = g % fd.xsize_groups
                 gy = g // fd.xsize_groups
                 dec.decode_group(
-                    r, (gx * fd.group_dim, gy * fd.group_dim, fd.group_dim,
-                        fd.group_dim), mins, maxs,
+                    r, (gx * fd.group_dim, gy * fd.group_dim,
+                        fd.group_dim, fd.group_dim), mins, maxs,
                     stream_id_modular_ac(fd, g, pass_idx))
+
+            if fd.num_groups > 2:
+                from libjxl_tpu.parallel.runner import default_runner
+                list(default_runner().map(_group, range(fd.num_groups)))
+            else:
+                for g in range(fd.num_groups):
+                    _group(g)
     fi = dec.finalize()
     fi.features = features
     if return_dc_quant:

@@ -206,6 +206,32 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
                     ch.plane = native.gradient_reconstruct(
                         vals.reshape(h, w), h, w)
                 return
+
+    # Native per-pixel tree-walk decode (DecodeModularChannelMAANS in
+    # C++): handles learned trees, WP, reference properties and the
+    # LZ77 value window; prefix-code streams and trees with properties
+    # >= 32 stay on the python paths below.
+    code = reader.code
+    if not code.use_prefix_code and max_prop < 32:
+        from libjxl_tpu.utils import native
+        if native.available():
+            refs = _reference_planes(image, chan_idx, num_refs, h, w) \
+                if num_refs else None
+            out32 = np.zeros((h, w), np.int32)
+            res = native.modular_generic_decode(
+                r._data, r.bits_consumed, reader.state, code, tree,
+                out32, refs, chan_idx, group_id, use_wp, wp_header,
+                reader=reader)
+            if res is not None:
+                end_bit, state = res
+                r.skip(end_bit - r.bits_consumed)
+                reader.state = state
+                ch.plane = out32
+                return
+
+    if len(tree) == 1:
+        node = tree[0]
+        ctx = int(context_map[node.context])
         if node.predictor == PREDICTOR_ZERO and node.predictor_offset == 0 \
                 and node.multiplier == 1:
             # token stream is context-independent: bulk decode
@@ -248,25 +274,6 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
         ch.plane = plane.astype(np.int32)
         return
 
-    # General path: native per-pixel tree-walk decode when the stream
-    # shape allows (no prefix codes / LZ77); python scalar otherwise.
-    code = reader.code
-    if not code.use_prefix_code and not reader.lz77_enabled and \
-            max_prop < 32:        # native props buffer is 32-wide
-        from libjxl_tpu.utils import native
-        if native.available():
-            refs = _reference_planes(image, chan_idx, num_refs, h, w) \
-                if num_refs else None
-            out32 = np.zeros((h, w), np.int32)
-            res = native.modular_generic_decode(
-                r._data, r.bits_consumed, reader.state, code, tree,
-                out32, refs, chan_idx, group_id, use_wp, wp_header)
-            if res is not None:
-                end_bit, state = res
-                r.skip(end_bit - r.bits_consumed)
-                reader.state = state
-                ch.plane = out32
-                return
     nprops = max(max_prop + 1, NUM_NONREF_PROPERTIES) + num_refs
     props = [0] * (NUM_NONREF_PROPERTIES + num_refs)
     props[0] = chan_idx

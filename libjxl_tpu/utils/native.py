@@ -476,7 +476,8 @@ def tokenize_dct8(qp: np.ndarray, order: np.ndarray,
 def modular_generic_decode(data, start_bit: int, state: int, code,
                            tree, plane: np.ndarray, refs,
                            chan_idx: int, group_id: int, use_wp: bool,
-                           wp_header) -> tuple[int, int] | None:
+                           wp_header, reader=None
+                           ) -> tuple[int, int] | None:
     """General modular channel decode (DecodeModularChannelMAANS) in
     native code: per-pixel MA-tree context + rANS + hybrid-uint +
     all predictors incl. WP. ``code`` is the decoded ANSCode (no
@@ -499,7 +500,11 @@ def modular_generic_decode(data, start_bit: int, state: int, code,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p]
+            ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.jxlt_modular_generic_decode_bound = True
     nhist = len(code.alias_freqs)
     a_sym = np.ascontiguousarray(
@@ -535,6 +540,28 @@ def modular_generic_decode(data, start_bit: int, state: int, code,
     hdr = np.array([wp_header.p1C, wp_header.p2C, wp_header.p3Ca,
                     wp_header.p3Cb, wp_header.p3Cc, wp_header.p3Cd,
                     wp_header.p3Ce] + list(wp_header.w), np.int32)
+    lz_enabled = bool(reader is not None and reader.lz77_enabled)
+    if lz_enabled:
+        lz = code.lz77
+        if not reader.window.flags["C_CONTIGUOUS"] or \
+                reader.window.dtype != np.uint32:
+            return None
+        lz_window = reader.window
+        lz_state = np.array([reader.num_decoded, reader.copy_pos,
+                             reader.num_to_copy], np.int64)
+        special = np.ascontiguousarray(
+            np.asarray(reader.special, np.int32)) \
+            if reader.num_special else np.zeros(0, np.int32)
+        lcfg = lz.length_uint_config
+        lz_args = (1, int(lz.min_symbol), int(lz.min_length),
+                   int(lcfg.split_exponent), int(lcfg.msb_in_token),
+                   int(lcfg.lsb_in_token), int(lz.distance_context),
+                   special.ctypes.data if len(special) else None,
+                   len(special), lz_window.ctypes.data,
+                   lz_state.ctypes.data)
+    else:
+        lz_state = None
+        lz_args = (0, 0, 0, 0, 0, 0, 0, None, 0, None, None)
     end = lib.jxlt_modular_generic_decode(
         buf.ctypes.data, len(buf), start_bit, st.ctypes.data,
         a_sym.ctypes.data, a_off.ctypes.data, freqs_flat.ctypes.data,
@@ -543,7 +570,12 @@ def modular_generic_decode(data, start_bit: int, state: int, code,
         tarr.ctypes.data, len(tree),
         plane.ctypes.data, w, h,
         refs_arr.ctypes.data if refs_arr is not None else None, n_ref,
-        chan_idx, group_id, 1 if use_wp else 0, hdr.ctypes.data)
+        chan_idx, group_id, 1 if use_wp else 0, hdr.ctypes.data,
+        *lz_args)
     if end < 0:
         return None
+    if lz_enabled:
+        reader.num_decoded = int(lz_state[0])
+        reader.copy_pos = int(lz_state[1])
+        reader.num_to_copy = int(lz_state[2])
     return int(end), int(st[0])

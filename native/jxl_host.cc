@@ -1297,10 +1297,25 @@ EXPORT int64_t jxlt_modular_generic_decode(
     int32_t* plane, int64_t w, int64_t h,
     const int32_t* refs, int64_t n_ref_props,
     int32_t chan_idx, int32_t group_id, int32_t use_wp,
-    const int32_t* wp_hdr11) {
+    const int32_t* wp_hdr11,
+    // LZ77 (dec_ans.h window semantics); lz_* ignored when !lz_enabled
+    int32_t lz_enabled, int32_t lz_min_symbol, int32_t lz_min_length,
+    int32_t lz_len_se, int32_t lz_len_msb, int32_t lz_len_lsb,
+    int32_t lz_dist_hist, const int32_t* lz_special, int64_t lz_nspecial,
+    uint32_t* lz_window, int64_t* lz_state_io) {
   BitSource src{data, nbytes, start_bit};
   uint32_t state = *state_io;
   WpDec wp(w, wp_hdr11);
+  // LZ77 value window: the CALLER's buffer (the python reader's own
+  // window array), so state persists across channels and paths
+  constexpr int64_t kWin = 1 << 20;
+  constexpr int64_t kWinMask = kWin - 1;
+  int64_t num_decoded = 0, copy_pos = 0, copy_remaining = 0;
+  if (lz_enabled) {
+    num_decoded = lz_state_io[0];
+    copy_pos = lz_state_io[1];
+    copy_remaining = lz_state_io[2];
+  }
   int64_t props[32] = {0};
   props[0] = chan_idx;
   props[1] = group_id;
@@ -1353,33 +1368,82 @@ EXPORT int64_t jxlt_modular_generic_decode(
       int32_t ctx = tree[node * 8 + 4];
       if (ctx < 0 || ctx >= n_ctx) return -3;
       int32_t hist = cluster_map[ctx];
-      // rANS symbol
-      uint32_t res = state & (kAnsTabSize - 1);
-      uint32_t sym = (uint32_t)alias_sym_flat[hist * kAnsTabSize + res];
-      uint32_t off = (uint32_t)alias_off_flat[hist * kAnsTabSize + res];
-      state = (uint32_t)freqs_flat[freqs_off[hist] + sym] *
-                  (state >> kAnsLogTabSize) + off;
-      if (state < (1u << 16)) {
-        state = (state << 16) | (uint32_t)src.Read(16);
-      }
-      // hybrid uint with the cluster's config
-      uint32_t token = sym;
-      uint32_t se = (uint32_t)cfg_se[hist];
-      uint32_t msb = (uint32_t)cfg_msb[hist];
-      uint32_t lsb = (uint32_t)cfg_lsb[hist];
-      uint32_t value;
-      if (token < (1u << se)) {
-        value = token;
-      } else {
+      auto read_symbol = [&](int32_t hh) -> uint32_t {
+        uint32_t res = state & (kAnsTabSize - 1);
+        uint32_t sym = (uint32_t)alias_sym_flat[hh * kAnsTabSize + res];
+        uint32_t off = (uint32_t)alias_off_flat[hh * kAnsTabSize + res];
+        state = (uint32_t)freqs_flat[freqs_off[hh] + sym] *
+                    (state >> kAnsLogTabSize) + off;
+        if (state < (1u << 16)) {
+          state = (state << 16) | (uint32_t)src.Read(16);
+        }
+        return sym;
+      };
+      bool bad = false;
+      auto hybrid = [&](uint32_t token, uint32_t se, uint32_t msb,
+                        uint32_t lsb) -> uint32_t {
+        if (token < (1u << se)) return token;
         uint32_t nb = se - (msb + lsb) + ((token - (1u << se)) >>
                                           (msb + lsb));
-        if (nb > 31) return -2;
+        if (nb > 31) { bad = true; return 0; }
         uint32_t low = token & ((1u << lsb) - 1);
         token >>= lsb;
         uint32_t extra = (uint32_t)src.Read(nb);
-        value = ((((1u << msb) | (token & ((1u << msb) - 1))) << nb) |
-                 extra) << lsb | low;
+        return ((((1u << msb) | (token & ((1u << msb) - 1))) << nb) |
+                extra) << lsb | low;
+      };
+      uint32_t value;
+      if (lz_enabled) {
+        // dec_ans.h ReadHybridUintClustered window semantics
+        // (entropy/ans.py:312-344 mirror)
+        for (;;) {
+          if (copy_remaining > 0) {
+            value = lz_window[copy_pos & kWinMask];
+            ++copy_pos;
+            --copy_remaining;
+            lz_window[num_decoded & kWinMask] = value;
+            ++num_decoded;
+            break;
+          }
+          uint32_t token = read_symbol(hist);
+          if ((int32_t)token >= lz_min_symbol) {
+            copy_remaining = (int64_t)hybrid(token - lz_min_symbol,
+                                             lz_len_se, lz_len_msb,
+                                             lz_len_lsb) + lz_min_length;
+            uint32_t dt = read_symbol(lz_dist_hist);
+            int64_t distance = (int64_t)hybrid(
+                dt, (uint32_t)cfg_se[lz_dist_hist],
+                (uint32_t)cfg_msb[lz_dist_hist],
+                (uint32_t)cfg_lsb[lz_dist_hist]);
+            if (bad) return -2;
+            if (distance < lz_nspecial) {
+              distance = lz_special[distance];
+            } else {
+              distance = distance + 1 - lz_nspecial;
+            }
+            if (distance > num_decoded) distance = num_decoded;
+            if (distance > kWin) distance = kWin;
+            copy_pos = num_decoded - distance;
+            if (distance == 0) {
+              int64_t nz = copy_remaining < kWin ? copy_remaining : kWin;
+              for (int64_t z = 0; z < nz; ++z) lz_window[z] = 0;
+            }
+            continue;
+          }
+          value = hybrid(token, (uint32_t)cfg_se[hist],
+                         (uint32_t)cfg_msb[hist],
+                         (uint32_t)cfg_lsb[hist]);
+          if (bad) return -2;
+          lz_window[num_decoded & kWinMask] = value;
+          ++num_decoded;
+          break;
+        }
+      } else {
+        uint32_t token = read_symbol(hist);
+        value = hybrid(token, (uint32_t)cfg_se[hist],
+                       (uint32_t)cfg_msb[hist], (uint32_t)cfg_lsb[hist]);
       }
+      if (bad) return -2;
       // unpack_signed
       int64_t sv = (value & 1) ? -(int64_t)((value >> 1) + 1)
                                : (int64_t)(value >> 1);
@@ -1393,5 +1457,10 @@ EXPORT int64_t jxlt_modular_generic_decode(
   }
   if (src.bitpos > nbytes * 8) return -2;
   *state_io = state;
+  if (lz_enabled) {
+    lz_state_io[0] = num_decoded;
+    lz_state_io[1] = copy_pos;
+    lz_state_io[2] = copy_remaining;
+  }
   return src.bitpos;
 }
