@@ -560,9 +560,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         fh.passes.shift = (2, 1, 0)
         fh.passes.num_downsample = 0
     fh.loop_filter.gab = use_gab
-    # EPF iterations from distance (enc_frame.cc:333-342); EPF0 (the
-    # third pass) is not implemented decoder-side yet, so cap at 2.
-    fh.loop_filter.epf_iters = min(2, sum(d >= t for t in (0.7, 1.5, 4.0)))
+    # EPF iterations from distance (enc_frame.cc:333-342): 3 passes
+    # (incl. EPF0's 5x5 diamond) from d >= 4
+    fh.loop_filter.epf_iters = sum(d >= t for t in (0.7, 1.5, 4.0))
     meta.nonserialized_xsize = w
     meta.nonserialized_ysize = h
     fh.visit(FieldWriter(bw), meta)

@@ -381,3 +381,28 @@ def test_progressive_dc_lf_frame():
     if oracle_available():
         ref = oracle_decode(data).pixels
         assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+
+
+def test_epf0_three_iterations_high_distance(rng):
+    """d >= 4 signals three EPF passes including EPF0's 5x5 diamond
+    (enc_frame.cc:333-342, stage_epf.cc EPF0Stage); streams decode +-1
+    vs the oracle and the banded decoder matches whole-frame."""
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    yy, xx = np.mgrid[0:300, 0:340]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 14, (300, 340, 3))
+           ).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=5.0, effort=3))
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.api.container import extract_codestream
+    _, frames = parse_codestream(extract_codestream(data))
+    assert frames[0].header.loop_filter.epf_iters == 3
+    dec = decode(data)
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        ref = oracle_decode(data).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+    got = np.concatenate([b for _, b in decode_rows(data)], axis=0)
+    assert np.array_equal(got, dec)
