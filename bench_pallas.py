@@ -1,3 +1,7 @@
+"""Pallas-vs-XLA filter benchmark (run on a real TPU: `bash
+_tpu_run.sh bench_pallas.py`); measures the gab+EPF chain both ways
+and validates the Pallas output against XLA."""
+
 import time
 import numpy as np, jax, jax.numpy as jnp
 from libjxl_tpu.core.frame_header import LoopFilter

@@ -382,6 +382,9 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
                     np.float32) / maxval)
             else:
                 ec.append(np.ones(out.shape[1:], np.float32))
+        if ec:
+            from libjxl_tpu.render.pipeline import apply_spot_colors
+            out = apply_spot_colors(out, ec, meta.m.extra_channel_info)
         img = np.concatenate([out] + [e[None] for e in ec]) if ec else out
         return img, pre_ct
     if fh.color_transform == ColorTransform.XYB:
@@ -404,6 +407,11 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     if len(planes) < 3 + nec:
         raise FormatError(
             "grayscale multi-frame compositing not yet supported")
+    if nec:
+        from libjxl_tpu.render.pipeline import apply_spot_colors
+        color = apply_spot_colors(np.stack(planes[:3]), planes[3:],
+                                  meta.m.extra_channel_info)
+        planes = [color[0], color[1], color[2]] + planes[3:]
     img = np.stack(planes)
     feats = getattr(fi, "features", {})
     if feats.get("patches") is not None:

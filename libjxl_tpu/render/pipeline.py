@@ -168,3 +168,20 @@ def run_render_pipeline(stages, img, ctx: dict):
     for st in stages:
         img = st.process(img, ctx)
     return img
+
+
+def apply_spot_colors(color: np.ndarray, ec_planes, ec_infos
+                      ) -> np.ndarray:
+    """stage_spot.cc SpotColorStage: for each SPOT_COLOR extra channel,
+    mix = scale * spot_plane; rgb = mix * spot_rgb + (1 - mix) * rgb.
+    ``color``: (3, h, w) output-range floats; ``ec_planes``: list of
+    (h, w) float planes in [0, 1]."""
+    from libjxl_tpu.core.headers import ExtraChannelType
+    for plane, eci in zip(ec_planes, ec_infos):
+        if eci.type != ExtraChannelType.SPOT_COLOR:
+            continue
+        r, g, b, scale = eci.spot_color
+        mix = scale * plane[None, :color.shape[1], :color.shape[2]]
+        spot = np.array([r, g, b], color.dtype).reshape(3, 1, 1)
+        color = mix * spot + (1.0 - mix) * color
+    return color

@@ -471,3 +471,24 @@ def test_render_pipeline_stage_graph(rng):
     assert dec_img.shape == img.shape
     assert seen and seen[0][-1] == "spy"
     assert "epf" in seen[0]          # gaborish is an e>=5 encoder flag
+
+
+def test_spot_color_stage(rng):
+    """stage_spot.cc SpotColorStage semantics: SPOT_COLOR extra
+    channels tint the color planes by mix = scale * plane; other EC
+    types pass through untouched."""
+    from libjxl_tpu.core.headers import ExtraChannelInfo, ExtraChannelType
+    from libjxl_tpu.render.pipeline import apply_spot_colors
+
+    color = rng.random((3, 8, 9)).astype(np.float32)
+    spot = rng.random((8, 9)).astype(np.float32)
+    eci = ExtraChannelInfo(type=ExtraChannelType.SPOT_COLOR)
+    eci.spot_color = (0.9, 0.1, 0.2, 0.5)
+    out = apply_spot_colors(color.copy(), [spot], [eci])
+    mix = 0.5 * spot[None]
+    want = mix * np.array([0.9, 0.1, 0.2]).reshape(3, 1, 1) + \
+        (1 - mix) * color
+    assert np.allclose(out, want)
+    alpha = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
+    assert np.allclose(
+        apply_spot_colors(color.copy(), [spot], [alpha]), color)
