@@ -1251,25 +1251,25 @@ inline int64_t PredictOneC(int p, int64_t left, int64_t top,
                            int64_t topright, int64_t leftleft,
                            int64_t trr, int64_t wp_pred) {
   switch (p) {
-    case 0: return 0;
+    case 0: return 0;                       // Zero
     case 1: return left;
     case 2: return top;
-    case 3: {  // select
+    case 3: return TDiv(left + top, 2);     // Average0
+    case 4: {                               // Select
       int64_t g = left + top - topleft;
       return std::llabs(g - left) < std::llabs(g - top) ? left : top;
     }
-    case 6: return wp_pred;
-    case 5: {  // clamped gradient
+    case 5: {                               // clamped gradient
       int64_t m = std::min(top, left), M = std::max(top, left);
       int64_t grad = top + left - topleft;
       if (topleft < m) return M;
       if (topleft > M) return m;
       return grad;
     }
-    case 7: return topleft;
-    case 8: return topright;
+    case 6: return wp_pred;                 // Weighted
+    case 7: return topright;
+    case 8: return topleft;
     case 9: return leftleft;
-    case 4: return TDiv(left + top, 2);    // avg0
     case 10: return TDiv(left + topleft, 2);
     case 11: return TDiv(topleft + top, 2);
     case 12: return TDiv(top + topright, 2);

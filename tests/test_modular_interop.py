@@ -77,3 +77,21 @@ def test_decode_reference_rgba(rng):
     img = rng.integers(0, 256, (40, 48, 4), dtype=np.uint8)
     data = oracle_encode(img, lossless=True, effort=3)
     assert np.array_equal(decode(data), img)
+
+
+@pytest.mark.skipif(not oracle_available(), reason="no system libjxl")
+def test_decode_libjxl_all_efforts(rng):
+    """Conformance sweep: libjxl-encoded lossless streams at every
+    effort (e9 exercises WP modes, select/average predictors and deep
+    trees through the NATIVE decode path — a predictor-id swap there
+    once only showed up on these streams)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.utils.oracle import oracle_encode
+
+    yy, xx = np.mgrid[0:96, 0:144]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 10, (96, 144, 3))
+           ).clip(0, 255).astype(np.uint8)
+    for e in range(1, 10):
+        ref = oracle_encode(img, lossless=True, effort=e)
+        assert np.array_equal(decode(ref), img), f"effort {e}"
