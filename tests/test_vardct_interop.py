@@ -66,3 +66,21 @@ def test_vardct_flat_dc_exact():
 def test_vardct_odd_size(rng):
     img = _photo(rng, 33, 49)
     _check(img, 3)
+
+
+@pytest.mark.skipif(not oracle_available(), reason="no system libjxl")
+def test_decode_libjxl_lossy_all_efforts(rng):
+    """Conformance sweep: libjxl VarDCT streams at every effort decode
+    within +-1 of the reference decoder's own output."""
+    from libjxl_tpu.utils.oracle import oracle_decode, oracle_encode
+
+    yy, xx = np.mgrid[0:96, 0:144]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 10, (96, 144, 3))
+           ).clip(0, 255).astype(np.uint8)
+    for e in range(1, 10):
+        ref = oracle_encode(img, lossless=False, distance=1.0, effort=e)
+        theirs = oracle_decode(ref).pixels
+        ours = decode(ref)
+        assert np.abs(theirs.astype(int) -
+                      ours.astype(int)).max() <= 1, f"effort {e}"
