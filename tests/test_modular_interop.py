@@ -95,3 +95,38 @@ def test_decode_libjxl_all_efforts(rng):
     for e in range(1, 10):
         ref = oracle_encode(img, lossless=True, effort=e)
         assert np.array_equal(decode(ref), img), f"effort {e}"
+
+
+@pytest.mark.skipif(not oracle_available(), reason="no system libjxl")
+def test_conformance_matrix_gray_alpha_16bit(rng):
+    """Both-direction conformance over channel/depth variants at
+    low/mid/high effort: libjxl streams decode exactly in ours, and our
+    streams decode exactly in libjxl."""
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils.oracle import oracle_decode
+
+    yy, xx = np.mgrid[0:64, 0:80]
+    base = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+            + rng.integers(0, 10, (64, 80, 3))
+            ).clip(0, 255).astype(np.uint8)
+    cases = {
+        "gray": base[:, :, 0],
+        "rgba": np.concatenate(
+            [base, rng.integers(200, 256, (64, 80, 1)).astype(np.uint8)],
+            -1),
+        "rgb16": base.astype(np.uint16) * 257,
+    }
+    for name, im in cases.items():
+        nch = 1 if im.ndim == 2 else im.shape[2]
+        bits = 16 if im.dtype == np.uint16 else 8
+        dt = np.uint16 if bits == 16 else np.uint8
+        for e in (3, 6, 9):
+            ref = oracle_encode(
+                im if im.ndim == 3 else im[:, :, None],
+                lossless=True, effort=e, bits_per_sample=bits)
+            assert np.array_equal(np.squeeze(decode(ref)),
+                                  np.squeeze(im)), (name, e, "dec")
+            mine = encode_lossless(im, EncodeOptions(effort=e))
+            got = oracle_decode(mine, dtype=dt, num_channels=nch).pixels
+            assert np.array_equal(np.squeeze(got),
+                                  np.squeeze(im)), (name, e, "enc")
