@@ -294,3 +294,21 @@ def test_prev_channel_reference_properties(rng):
         assert np.array_equal(oracle_decode(with_refs).pixels, img)
         ref = oracle_encode(img, lossless=True, effort=5)
         assert len(with_refs) < len(ref)
+
+
+def test_unified_compress_params(rng):
+    """CompressParams (enc_params.h model) resolves to both pipelines:
+    distance 0 -> modular lossless roundtrip, distance 1 -> VarDCT."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.params import CompressParams, compress
+
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    data = compress(img, CompressParams(distance=0.0, effort=3))
+    assert np.array_equal(decode(data), img)
+    data = compress(img, CompressParams(distance=1.5, effort=3))
+    dec = decode(data)
+    assert dec.shape == img.shape
+    p = CompressParams(distance=2.0, effort=5, progressive_dc=1)
+    assert p.to_lossy_options().progressive_dc == 1
+    assert CompressParams(distance=0).is_lossless()
+    assert not CompressParams(distance=1).is_lossless()
