@@ -371,12 +371,13 @@ def _modular_frame_bytes(pixels, options, meta,
                  range(len(sub.channel))], tree, sid,
                 wp_header=wp_header
                 if not wp_header.is_all_default() else None)
-        toks = []
-        for ci in range(len(sub.channel)):
-            toks.extend(map(tuple, np.asarray(tokens_to_array(
-                encode_modular_channel_tokens(sub, ci, sid, tree,
-                                              wp_header)))))
-        return tokens_to_array(toks)
+        arrs = [tokens_to_array(encode_modular_channel_tokens(
+            sub, ci, sid, tree, wp_header))
+            for ci in range(len(sub.channel))]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return np.zeros((0, 2), dtype=np.int64)
+        return np.concatenate(arrs)
 
     def dc_group_sub(gidx: int):
         gx = gidx % fd.xsize_dc_groups
@@ -665,12 +666,12 @@ def encode_lossless_streaming(pixels: np.ndarray,
                 tree, sid)
         else:
             tree = tree_fixed
-            toks = []
-            for ci in range(nch):
-                toks.extend(map(tuple, np.asarray(tokens_to_array(
-                    encode_modular_channel_tokens(
-                        sub, ci, sid, tree, GroupHeader().wp_header)))))
-            arr = tokens_to_array(toks)
+            arrs = [tokens_to_array(encode_modular_channel_tokens(
+                sub, ci, sid, tree, GroupHeader().wp_header))
+                for ci in range(nch)]
+            arrs = [a for a in arrs if len(a)]
+            arr = np.concatenate(arrs) if arrs else \
+                np.zeros((0, 2), dtype=np.int64)
         num_ctx = (len(tree) + 1) // 2
         codes = build_entropy_codes([arr], num_ctx)
         ssw = BitWriter()

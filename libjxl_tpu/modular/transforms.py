@@ -562,12 +562,40 @@ def fwd_palette(image: ModularImage, begin_c: int, end_c: int,
     nb = end_c - begin_c + 1
     planes = [image.channel[begin_c + i].plane for i in range(nb)]
     h, w = planes[0].shape
-    stacked = np.stack([p.reshape(-1) for p in planes], axis=1)
-    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
-    if len(colors) > max_colors:
-        return None
+    flat = [p.reshape(-1).astype(np.int64) for p in planes]
+    lo = min(int(p.min()) for p in flat) if flat[0].size else 0
+    if lo >= 0:
+        # pack the color into one int64 key: unique on a 1-D key is
+        # ~10x cheaper than np.unique(axis=0)'s lexsort, with the same
+        # (lexicographic) palette order. A sparse sample bails early on
+        # colorful images before the full pass.
+        K = max(int(p.max()) for p in flat) + 1
+        key = flat[0]
+        for p in flat[1:]:
+            key = key * K + p
+        n = key.size
+        if n > (1 << 16):
+            samp = key[::max(1, n >> 14)]
+            if len(np.unique(samp)) > max_colors:
+                return None
+        colors_key, inverse = np.unique(key, return_inverse=True)
+        if len(colors_key) > max_colors:
+            return None
+        cols = np.empty((nb, len(colors_key)), np.int64)
+        rem = colors_key
+        for i in range(nb - 1, -1, -1):
+            cols[i] = rem % K
+            rem = rem // K
+        colors = cols.T
+    else:
+        stacked = np.stack([p.reshape(-1) for p in planes], axis=1)
+        colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+        if len(colors) > max_colors:
+            return None
+        colors = np.asarray(colors)
     idx = inverse.reshape(h, w).astype(np.int32)
-    pch = Channel(np.ascontiguousarray(colors.T).astype(np.int32), -1, -1)
+    pch = Channel(np.ascontiguousarray(
+        np.asarray(colors).T).astype(np.int32), -1, -1)
     image.channel[begin_c].plane = idx
     del image.channel[begin_c + 1:end_c + 1]
     image.channel.insert(0, pch)
