@@ -516,12 +516,13 @@ def lz77_rle_transform(arr: np.ndarray, num_contexts: int,
         starts = np.concatenate([[0], starts])
     if eq[-1]:
         ends = np.concatenate([ends, [n]])
+    min_run = max(min_emit, lz77.min_length)
+    keep = ((ends - starts) >= min_run) & (starts > 0)
+    starts, ends = starts[keep], ends[keep]
     rows = []
     pos = 0
     for a, b in zip(starts, ends):
         run = b - a
-        if run < max(min_emit, lz77.min_length) or a == 0:
-            continue
         if a > pos:
             lit = np.zeros((a - pos, 3), dtype=np.int64)
             lit[:, :2] = arr[pos:a]
