@@ -119,12 +119,21 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
     anchors[:] = True
     rq = raw_quant.copy()
 
+    # At low distances merged blocks take the MAX of the field; at high
+    # distances the MEAN works better (AdjustQuantField,
+    # enc_adaptive_quantization.cc:1198-1246 mean_max_mixer)
+    mixer = max(0.0, 1.0 - max(0.0, distance - 1.54138) * 0.56391)
+
     def place(strategy, by, bx):
         nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
         acs[by:by + nby, bx:bx + nbx] = strategy
         anchors[by:by + nby, bx:bx + nbx] = False
         anchors[by, bx] = True
-        rq[by:by + nby, bx:bx + nbx] = rq[by:by + nby, bx:bx + nbx].max()
+        region = rq[by:by + nby, bx:bx + nbx]
+        val = region.max()
+        if nby * nbx >= 4:
+            val = mixer * val + (1.0 - mixer) * region.mean()
+        rq[by:by + nby, bx:bx + nbx] = max(1, int(round(val)))
 
     def quad_layouts(y0, x0):
         """Candidate tilings of a 16x16 region (enc_ac_strategy.cc

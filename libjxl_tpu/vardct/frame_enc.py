@@ -111,7 +111,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         raise ValueError("lossy encoder expects uint8/uint16/float input")
 
     from libjxl_tpu.vardct.adaptive_quant import (
-        adaptive_quant_field, compute_scale_from_quant, initial_quant_dc,
+        adaptive_quant_field, compute_global_scale_and_quant,
+        compute_scale_from_quant, initial_quant_dc,
     )
     from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
 
@@ -234,11 +235,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             quant_dc_f, 0.70 / d, qf_field)
     else:
         # Hare-class and slower: adaptive field (enc_heuristics.cc:1118-
-        # 1126; without gaborish the distance gets a 0.62x correction)
+        # 1126; without gaborish the distance gets a 0.62x correction).
+        # The global scale targets the FIELD's median (quantizer.cc:45
+        # kQuantFieldTarget=5) so the integer raw-quant keeps resolution
+        # when masking pulls the field away from the nominal 0.39/d.
         qf_field, _ = adaptive_quant_field(
             xyb_pre_gab, d if use_gab else d * 0.62)
-        global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
-            quant_dc_f, 0.39 / d, qf_field)
+        global_scale, quant_dc_int, raw_quant = \
+            compute_global_scale_and_quant(quant_dc_f, qf_field)
     quantizer = Quantizer(global_scale, quant_dc_int)
     matrices = DequantMatrices()
     bctx = BlockCtxMap()
