@@ -473,6 +473,10 @@ def decode_rows(data: bytes):
         fh.chroma_subsampling.max_vshift == 0 and
         len(fs.sections) > 1)
     if not banded_ok:
+        mod = _modular_banded_plan(meta, fs)
+        if mod is not None:
+            yield from _decode_rows_modular(meta, fs, *mod)
+            return
         full = decode(data)
         gd = 256
         for y0 in range(0, full.shape[0], gd):
@@ -563,6 +567,100 @@ def decode_rows(data: bytes):
     y0 = (n_gy - 1) * gd
     if y0 < fd.ysize:
         yield y0, to_output(done)
+
+
+def _modular_banded_plan(meta, fs):
+    """Gate + global-stream parse for the banded modular decode:
+    returns (tree, code, header, nb) when every group row can be
+    decoded and inverse-transformed independently (full-size integer
+    channels, global transforms all per-pixel RCTs), else None."""
+    fh = fs.header
+    fd = fs.dims
+    if not (fh.encoding == FrameEncoding.MODULAR and
+            fh.color_transform == ColorTransform.NONE and
+            not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
+                             FrameFlags.NOISE)) and
+            fh.upsampling == 1 and meta.m.num_extra_channels == 0 and
+            getattr(meta.m, "orientation", 1) == 1 and
+            fh.passes.num_passes == 1 and len(fs.sections) > 1 and
+            not meta.m.bit_depth.floating_point_sample and
+            fs.sections[0] is not None and
+            all(s is not None for s in fs.sections)):
+        return None
+    from libjxl_tpu.entropy.ans import decode_histograms
+    from libjxl_tpu.modular.codec import ModularOptions, modular_decode
+    from libjxl_tpu.modular.image import ModularImage
+    from libjxl_tpu.modular.transforms import TransformId
+    from libjxl_tpu.modular.tree import decode_tree
+    nb = 1 if meta.m.color_encoding.channels == 1 else 3
+    r0 = BitReader(fs.sections[0])
+    _decode_dequant_dc(r0)
+    has_tree = r0.read(1) == 1
+    tree = code = None
+    if has_tree:
+        tree = decode_tree(r0)
+        code = decode_histograms(r0, (len(tree) + 1) // 2)
+    gi = ModularImage.create(fd.xsize, fd.ysize,
+                             meta.m.bit_depth.bits_per_sample, nb)
+    if any(c.w <= fd.group_dim and c.h <= fd.group_dim
+           for c in gi.channel):
+        return None              # channels ride the global stream
+    header = modular_decode(
+        r0, gi, group_id=0,
+        options=ModularOptions(max_chan_size=fd.group_dim),
+        global_tree=tree, global_code=code, undo_transforms=False)
+    if any(int(t.id) != int(TransformId.RCT) or t.begin_c != 0
+           for t in header.transforms):
+        return None              # palette/squeeze need whole-image state
+    return tree, code, header, nb
+
+
+def _decode_rows_modular(meta, fs, tree, code, header, nb: int):
+    """Banded modular decode: each group row decodes its (independent)
+    sections into a band, the global RCTs invert per band (they are
+    per-pixel), and the band converts straight to integers."""
+    from libjxl_tpu.modular.codec import modular_decode
+    from libjxl_tpu.modular.image import Channel, ModularImage
+    from libjxl_tpu.parallel.runner import default_runner
+
+    fh = fs.header
+    fd = fs.dims
+    bits = meta.m.bit_depth.bits_per_sample
+    gd = fd.group_dim
+    for gy in range(fd.ysize_groups):
+        rows = min(gd, fd.ysize - gy * gd)
+        band = np.zeros((nb, rows, fd.xsize), np.int32)
+
+        def _group(gx: int, gy=gy, rows=rows, band=band):
+            g = gy * fd.xsize_groups + gx
+            sec = fs.sections[ac_group_index(
+                0, g, fd.num_groups, fd.num_dc_groups)]
+            x0 = gx * gd
+            cw = min(gd, fd.xsize - x0)
+            sub = ModularImage(cw, rows, bits)
+            for _ in range(nb):
+                sub.channel.append(Channel.create(cw, rows))
+            modular_decode(BitReader(sec), sub,
+                           group_id=stream_id_modular_ac(fd, g, 0),
+                           global_tree=tree, global_code=code,
+                           undo_transforms=True)
+            for c in range(nb):
+                band[c, :, x0:x0 + cw] = sub.channel[c].plane
+
+        if fd.xsize_groups > 2:
+            list(default_runner().map(_group, range(fd.xsize_groups)))
+        else:
+            for gx in range(fd.xsize_groups):
+                _group(gx)
+        bimg = ModularImage(fd.xsize, rows, bits)
+        for c in range(nb):
+            bimg.channel.append(Channel(band[c]))
+        for t in reversed(header.transforms):
+            t.inverse(bimg, header.wp_header)
+        out = np.stack([c.plane for c in bimg.channel], axis=-1)
+        maxv = (1 << min(bits, 16)) - 1
+        out = np.clip(out, 0, maxv)
+        yield gy * gd, out.astype(np.uint8 if bits <= 8 else np.uint16)
 
 
 def _decode_prefilter(data: bytes):

@@ -151,3 +151,22 @@ def test_banded_low_memory_decode(rng):
     assert np.array_equal(got, full)
     assert bands[0][0] == 0 and len(bands) == 3
     assert max(max_rows) <= 256          # never the full 700-row frame
+
+
+def test_banded_modular_decode(rng):
+    """Banded low-memory decode covers modular lossless streams too:
+    group rows decode independently, global RCTs invert per band, and
+    the result is bit-exact vs the whole-frame decode."""
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+
+    yy, xx = np.mgrid[0:700, 0:420]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 12, (700, 420, 3))
+           ).clip(0, 255).astype(np.uint8)
+    d = encode_lossless(img, EncodeOptions(effort=5, palette=0))
+    bands = list(decode_rows(d))
+    assert len(bands) == 3 and bands[1][0] == 256
+    got = np.concatenate([b for _, b in bands], axis=0)
+    assert np.array_equal(got, img)
+    assert np.array_equal(got, decode(d))
