@@ -176,3 +176,22 @@ def test_quality_gate_equal_distance():
             ratio = len(ours) / len(ref)
             assert ratio <= 1.06, (effort, seed, ratio)
             assert ba_ours <= ba_ref + 0.12, (effort, seed, ba_ours, ba_ref)
+
+
+def test_large_image_low_memory_roundtrip(rng):
+    """Memory-bounded end to end: the spec streaming encoder (one
+    frame, DC-group-major permuted TOC, per-band pixel state) feeds the
+    banded decoder (one 256-row band) — bit-exact on a 2.5 MP image
+    spanning two DC-group rows."""
+    from libjxl_tpu.api.decoder import decode_rows
+    from libjxl_tpu.api.encoder import EncodeOptions, \
+        encode_lossless_streaming
+
+    yy, xx = np.mgrid[0:2304, 0:320]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 8, (2304, 320, 3))
+           ).clip(0, 255).astype(np.uint8)
+    data = b"".join(encode_lossless_streaming(img,
+                                              EncodeOptions(effort=2)))
+    got = np.concatenate([b for _, b in decode_rows(data)], axis=0)
+    assert np.array_equal(got, img)
