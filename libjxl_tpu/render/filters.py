@@ -110,11 +110,16 @@ def _epf_pass(xyb, inv_sigma_block, lf, neighbors, sigma_scale: float,
     acc = x64
     for dx, dy in neighbors:
         if plus_sad:
+            # |x(p+n+o) - x(p+o)| == AD(n) evaluated at p+o, so the
+            # plus-SAD is a 5-tap box over ONE per-neighbor abs-diff
+            # plane (3 abs-diffs instead of 15)
+            y0, x0 = pad - 2, pad - 2
+            a = p[:, y0 + dy:y0 + dy + h + 4, x0 + dx:x0 + dx + w + 4]
+            b = p[:, y0:y0 + h + 4, x0:x0 + w + 4]
+            ad = (scales * xp.abs(a - b)).sum(axis=0)
             sad = xp.zeros((h, w), dtype=ft)
             for ox, oy in _PLUS:
-                a = _shift(p, dx + ox, dy + oy, pad)
-                b = _shift(p, ox, oy, pad)
-                sad = sad + (scales * xp.abs(a - b)).sum(axis=0)
+                sad = sad + ad[2 + oy:2 + oy + h, 2 + ox:2 + ox + w]
         else:
             sad = (scales * xp.abs(_shift(p, dx, dy, pad) - x64)).sum(axis=0)
         weight = xp.maximum(1.0 + sad * isig, 0.0)
