@@ -94,6 +94,18 @@ def encode_lossless(pixels: np.ndarray,
             cands.append(dataclasses.replace(options, palette=0))
             cands.append(dataclasses.replace(options, palette=0,
                                              _zero_tree=True))
+        from libjxl_tpu.api import stats as _stats
+        if _stats.active() is not None:
+            # only the EMITTED stream's bits may land in the stats
+            # accounting: probe candidates silently, re-encode the
+            # winner with recording on
+            with _stats.suppress():
+                outs = [encode_lossless(pixels, c,
+                                        _try_both_palette=False)
+                        for c in cands]
+            best = min(range(len(outs)), key=lambda i: len(outs[i]))
+            return encode_lossless(pixels, cands[best],
+                                   _try_both_palette=False)
         outs = [encode_lossless(pixels, c, _try_both_palette=False)
                 for c in cands]
         return min(outs, key=len)
