@@ -73,16 +73,25 @@ def read_codec_metadata(r: BitReader) -> CodecMetadata:
 
 
 def read_frame_sections(r: BitReader, meta: CodecMetadata,
-                        allow_partial: bool = False) -> FrameSections:
+                        allow_partial: bool = False,
+                        is_preview: bool = False) -> FrameSections:
     """Parse one frame's header + TOC and slice its sections (byte level).
 
     With ``allow_partial`` a truncated stream yields ``None`` for the
-    missing sections instead of raising (dec_frame.cc kSkipped)."""
+    missing sections instead of raising (dec_frame.cc kSkipped).
+    ``is_preview``: this is the preview frame that precedes the first
+    regular frame when ImageMetadata.have_preview — its dimensions come
+    from the preview header (dec_frame.cc nonserialized_is_preview)."""
     fh = FrameHeader()
     fh.visit(FieldReader(r), meta.m)
+    fh.nonserialized_is_preview = is_preview
     cs = fh.chroma_subsampling
     maxhs, maxvs = cs.max_hshift, cs.max_vshift
-    if fh.custom_size_or_origin:
+    if is_preview:
+        dims = FrameDimensions(meta.m.preview_size.xsize,
+                               meta.m.preview_size.ysize,
+                               fh.group_dim, maxhs, maxvs)
+    elif fh.custom_size_or_origin:
         dims = FrameDimensions(fh.frame_xsize, fh.frame_ysize, fh.group_dim,
                                maxhs, maxvs)
     else:
@@ -121,6 +130,10 @@ def parse_codestream(data: bytes):
     r = BitReader(data)
     meta = read_codec_metadata(r)
     frames = []
+    if getattr(meta.m, "have_preview", False):
+        # the preview frame precedes the first regular frame; parse and
+        # keep it (marked) so composition can skip it
+        frames.append(read_frame_sections(r, meta, is_preview=True))
     while True:
         fs = read_frame_sections(r, meta)
         frames.append(fs)

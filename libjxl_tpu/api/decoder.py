@@ -674,6 +674,8 @@ def _decode_prefilter(data: bytes):
     dc_store = {}
     for fs in frames:
         fh = fs.header
+        if getattr(fh, "nonserialized_is_preview", False):
+            continue
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             img, pre_ct = _frame_to_float(meta, fs, refs, dc_store)
             refs[fh.save_as_reference] = \
@@ -704,6 +706,8 @@ def decode_frames(data: bytes):
     displayed = []
     for fs in frames:
         fh = fs.header
+        if getattr(fh, "nonserialized_is_preview", False):
+            continue             # preview frame: not part of the image
         img, pre_ct = _frame_to_float(meta, fs, refs, dc_store)
         if fh.frame_type == FrameType.REFERENCE_ONLY:
             slot = fh.save_as_reference
@@ -949,6 +953,9 @@ def decode(data: bytes) -> np.ndarray:
 def _decode_unoriented(data: bytes) -> np.ndarray:
     from libjxl_tpu.api.container import extract_codestream
     meta, frames = parse_codestream(extract_codestream(data))
+    if frames and getattr(frames[0].header, "nonserialized_is_preview",
+                          False) and len(frames) > 1:
+        frames = frames[1:]      # preview precedes the real image
     multi = len(frames) > 1 or frames[0].header.custom_size_or_origin
     if frames[0].header.encoding == FrameEncoding.MODULAR and \
             (frames[0].header.flags & (FrameFlags.PATCHES |

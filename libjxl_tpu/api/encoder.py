@@ -53,6 +53,8 @@ class EncodeOptions:
                                    # metadata (decoder re-orients)
     _zero_tree: bool = False       # internal: fixed Zero-predictor tree
                                    # (pure-LZ77 mode, enc_ans.cc:1377)
+    preview: object = None         # (h, w, c) uint8: embed a preview
+                                   # frame (ImageMetadata.have_preview)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -112,7 +114,17 @@ def encode_lossless(pixels: np.ndarray,
     meta, header_bytes = _modular_headers(pixels, options)
     from libjxl_tpu.api import stats as _stats
     _stats.record("header", len(header_bytes) * 8)
-    return header_bytes + _modular_frame_bytes(pixels, options, meta)
+    out = bytearray(header_bytes)
+    if options.preview is not None:
+        # the preview frame precedes the first regular frame
+        # (dec_frame.cc nonserialized_is_preview); its dimensions come
+        # from the preview header, not the frame header
+        import dataclasses
+        popt = dataclasses.replace(options, preview=None, effort=2)
+        out.extend(_modular_frame_bytes(np.asarray(options.preview),
+                                        popt, meta, is_last=False))
+    out.extend(_modular_frame_bytes(pixels, options, meta))
+    return bytes(out)
 
 
 def _modular_headers(pixels: np.ndarray, options,
@@ -145,6 +157,12 @@ def _modular_headers(pixels: np.ndarray, options,
         meta.animation = animation
     if getattr(options, "orientation", 1) != 1:
         meta.orientation = options.orientation
+    pv = getattr(options, "preview", None)
+    if pv is not None:
+        from libjxl_tpu.core.headers import PreviewHeader
+        meta.have_preview = True
+        meta.preview_size = PreviewHeader(xsize=pv.shape[1],
+                                          ysize=pv.shape[0])
     write_bundle(bw, meta)
     ctd = CustomTransformData()
     ctd.xyb_encoded = False

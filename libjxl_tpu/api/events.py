@@ -25,6 +25,7 @@ class DecoderEvent(enum.IntFlag):
 
     BASIC_INFO = 0x40
     COLOR_ENCODING = 0x100
+    PREVIEW_IMAGE = 0x200
     FRAME = 0x400
     FULL_IMAGE = 0x1000
     BOX = 0x4000
@@ -32,8 +33,9 @@ class DecoderEvent(enum.IntFlag):
 
 
 ALL_EVENTS = (DecoderEvent.BASIC_INFO | DecoderEvent.COLOR_ENCODING |
-              DecoderEvent.FRAME | DecoderEvent.FULL_IMAGE |
-              DecoderEvent.BOX | DecoderEvent.SUCCESS)
+              DecoderEvent.PREVIEW_IMAGE | DecoderEvent.FRAME |
+              DecoderEvent.FULL_IMAGE | DecoderEvent.BOX |
+              DecoderEvent.SUCCESS)
 
 _CONTAINER_SIG = bytes((0, 0, 0, 0x0C, 0x4A, 0x58, 0x4C, 0x20,
                         0x0D, 0x0A, 0x87, 0x0A))
@@ -231,9 +233,11 @@ class StreamingDecoder:
                 (3 + meta.m.num_extra_channels, meta.ysize, meta.xsize),
                 np.float32)
         while not self._done:
+            is_preview = (getattr(meta.m, "have_preview", False) and
+                          not self._frames)
             r = BitReader(bytes(self._cs[self._hdr_bytes:]))
             try:
-                fs = read_frame_sections(r, meta)
+                fs = read_frame_sections(r, meta, is_preview=is_preview)
             except (FormatError, ValueError, IndexError, MemoryError):
                 return
             if r.overflow:
@@ -241,6 +245,13 @@ class StreamingDecoder:
             self._hdr_bytes += r.bits_consumed // 8
             self._frames.append(fs)
             fh = fs.header
+            if is_preview:
+                # decode.h JXL_DEC_PREVIEW_IMAGE: emit, don't composite
+                img, _ = _frame_to_float(meta, fs, self._refs,
+                                         self._dc_store)
+                events.append((DecoderEvent.PREVIEW_IMAGE,
+                               np.moveaxis(img, 0, -1)))
+                continue
             events.append((DecoderEvent.FRAME, fh))
             img, pre_ct = _frame_to_float(meta, fs, self._refs,
                                           self._dc_store)

@@ -263,3 +263,27 @@ def test_parallel_runner_seam(rng):
     finally:
         set_default_runner(prev)
     assert Counting.calls >= 1
+
+
+def test_preview_frame(rng):
+    """ImageMetadata.have_preview + a preview frame before the first
+    regular frame (dec_frame.cc nonserialized_is_preview): decode()
+    returns the MAIN image, the events API emits PREVIEW_IMAGE
+    (decode.h JXL_DEC_PREVIEW_IMAGE), and libjxl accepts the stream."""
+    img = rng.integers(0, 256, (120, 160, 3)).astype(np.uint8)
+    o = EncodeOptions(effort=3)
+    o.preview = img[::8, ::8].copy()
+    data = encode_lossless(img, o)
+    assert np.array_equal(decode(data), img)
+    dec = StreamingDecoder()
+    dec.feed(data)
+    evs = dec.process()
+    kinds = [e for e, _ in evs]
+    assert DecoderEvent.PREVIEW_IMAGE in kinds
+    pv = [p for e, p in evs if e == DecoderEvent.PREVIEW_IMAGE][0]
+    assert pv.shape[:2] == (15, 20)
+    assert np.array_equal(_u8([p for e, p in evs
+                               if e == DecoderEvent.FULL_IMAGE][0]), img)
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        assert np.array_equal(oracle_decode(data).pixels, img)
