@@ -132,6 +132,8 @@ def _to_linear(img_u8: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser(
         prog="benchmark_xl",
         description="Multi-config codec benchmark (benchmark_xl model)")

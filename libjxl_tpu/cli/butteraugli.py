@@ -8,6 +8,8 @@ import sys
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="butteraugli_tpu")
     p.add_argument("image1")
     p.add_argument("image2")

@@ -12,6 +12,8 @@ import time
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="cjxl_tpu",
                                 description="TPU-native JPEG XL encoder")
     p.add_argument("input")

@@ -8,6 +8,8 @@ import time
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="djxl_tpu",
                                 description="TPU-native JPEG XL decoder")
     p.add_argument("input")

@@ -104,6 +104,8 @@ def run_fuzz(iters: int, seed: int, timeout_s: int = 10,
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser(prog="jxl_fuzz")
     ap.add_argument("-n", "--iters", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)

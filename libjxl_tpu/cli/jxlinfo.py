@@ -7,6 +7,8 @@ import argparse
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="jxlinfo_tpu")
     p.add_argument("input")
     p.add_argument("-v", "--verbose", action="store_true")

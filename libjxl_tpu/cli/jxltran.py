@@ -16,6 +16,8 @@ import sys
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="jxltran_tpu", description=__doc__)
     p.add_argument("input", help="JPEG XL input file")
     p.add_argument("output", help="JPEG XL output file")

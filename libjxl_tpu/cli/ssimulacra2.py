@@ -8,6 +8,8 @@ import sys
 
 
 def main(argv=None) -> int:
+    from libjxl_tpu.cli import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(
         prog="ssimulacra2_tpu",
         description="Perceptual quality score: 100 = identical; "

@@ -78,6 +78,24 @@ class LossyOptions:
     _emit_headers = True         # False: emit only the frame sections
 
 
+def _dc_stream_tree(img: ModularImage, group_id: int, fallback_pred: int,
+                    effort: int):
+    """MA tree for a DC-group modular sub-stream (DC channels or AC
+    metadata). The reference's modular encoder learns one global tree
+    over all these streams (enc_modular.cc ComputeEncodingData); we
+    learn a compact local tree per stream at effort >= 5, falling back
+    to the single-context predictor of the fast tiers."""
+    if effort >= 5:
+        try:
+            from libjxl_tpu.modular.enc_ma import learn_tree
+            return learn_tree(
+                [(i, ch.plane) for i, ch in enumerate(img.channel)],
+                max_leaves=32, group_id=group_id)
+        except Exception:  # noqa: BLE001  (degenerate channels)
+            pass
+    return [TreeNode(-1, 0, 0, 0, fallback_pred, 0, 1)]
+
+
 def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                  ) -> bytes:
     """Encode (h, w, 3) uint8 sRGB to a VarDCT JXL codestream.
@@ -628,9 +646,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             for src_c in (1, 0, 2):          # stream order [Y, X, B]
                 img.channel.append(Channel(
                     q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
+            # e>=5: learn an MA tree over the DC channels — the reference
+            # includes the VarDCT-DC streams in its modular tree learning
+            # (enc_modular.cc AddVarDCTDC + ComputeEncodingData), which
+            # beats a single gradient context substantially on noisy DC
             modular_encode(sw, img, group_id=1 + g,
-                           tree=[TreeNode(-1, 0, 0, 0,
-                                          PREDICTOR_GRADIENT, 0, 1)])
+                           tree=_dc_stream_tree(
+                               img, 1 + g, PREDICTOR_GRADIENT,
+                               options.effort))
         # Modular DC group: no channels -> nothing.
         # AC metadata: acs + qf entries per anchor in raster order
         upper = bwd * bhd
@@ -660,8 +683,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             sharp = 4 if fh.loop_filter.epf_iters > 0 else 0
             am.channel.append(Channel(
                 np.full((bhd, bwd), sharp, np.int32)))
+        # e>=5: learned tree over the AC metadata channels too — the
+        # raw-quant channel especially (butteraugli-iterated fields are
+        # noisy; a zero predictor codes them raw)
         modular_encode(sw, am, group_id=1 + 2 * fd.num_dc_groups + g,
-                       tree=[TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)])
+                       tree=_dc_stream_tree(
+                           am, 1 + 2 * fd.num_dc_groups + g,
+                           PREDICTOR_ZERO, options.effort))
 
     def ac_global(sw: BitWriter) -> None:
         sw.write(1, 1)                       # dequant matrices all default
