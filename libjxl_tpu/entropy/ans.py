@@ -191,9 +191,25 @@ def _inverse_mtf(values: np.ndarray) -> None:
             mtf.insert(0, v)
 
 
+def _mtf_transform(values: np.ndarray) -> np.ndarray:
+    """Move-to-front (enc_context_map.cc MoveToFrontTransform)."""
+    mtf = list(range(int(values.max()) + 1))
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values.tolist()):
+        idx = mtf.index(v)
+        out[i] = idx
+        if idx:
+            mtf.insert(0, mtf.pop(idx))
+    return out
+
+
 def encode_context_map(w: BitWriter, context_map, num_histograms: int
                        ) -> None:
-    """Simple (raw bits) context map encoding (enc_context_map.cc)."""
+    """Context map encoding (enc_context_map.cc EncodeContextMap):
+    candidates are raw bits, plain-ANS, MTF-ANS, and (for long maps)
+    RLE-LZ77 variants of both; the smallest serialization wins. AC
+    coefficient context maps have thousands of entries in long runs, so
+    the MTF/RLE paths are ~2-4x smaller than raw ANS there."""
     context_map = np.asarray(context_map)
     if len(context_map) <= 1:
         return
@@ -201,21 +217,45 @@ def encode_context_map(w: BitWriter, context_map, num_histograms: int
         w.write(1, 1)   # simple
         w.write(2, 0)   # 0 bits per entry
         return
+    candidates = []
     bits_per_entry = _ceil_log2(num_histograms)
-    if bits_per_entry <= 3 and len(context_map) * bits_per_entry <= 512:
-        w.write(1, 1)
-        w.write(2, bits_per_entry)
+    if bits_per_entry <= 3:
+        ww = BitWriter()
+        ww.write(1, 1)
+        ww.write(2, bits_per_entry)
         for v in context_map:
-            w.write(bits_per_entry, int(v))
-        return
-    # Entropy-coded path: no MTF, single ANS stream of the map values.
-    w.write(1, 0)
-    w.write(1, 0)  # no MTF
-    tokens = [(0, int(v)) for v in context_map]
-    codes = build_entropy_codes([tokens_to_array(tokens)], num_contexts=1,
-                                allow_clustering=False)
-    write_entropy_codes(w, codes)
-    write_tokens(w, tokens_to_array(tokens), codes)
+            ww.write(bits_per_entry, int(v))
+        candidates.append(ww)
+    arr_raw = np.zeros((len(context_map), 2), dtype=np.int64)
+    arr_raw[:, 1] = context_map
+    arr_mtf = arr_raw.copy()
+    arr_mtf[:, 1] = _mtf_transform(context_map)
+    # the ctx-map entropy stream may itself use LZ77 only when the outer
+    # map is longer than 2 entries (dec_context_map.cc:61 mirror)
+    allow_lz = len(context_map) > 2 and len(context_map) >= 16
+    for use_mtf, arr in ((False, arr_raw), (True, arr_mtf)):
+        for use_lz in (False, True):
+            if use_lz and not allow_lz:
+                continue
+            ww = BitWriter()
+            ww.write(1, 0)
+            ww.write(1, 1 if use_mtf else 0)
+            if use_lz:
+                lz = LZ77Params(enabled=True)
+                t = lz77_rle_transform(arr, 1, lz)
+                if len(t) >= len(arr):          # no runs worth emitting
+                    continue
+                codes = build_entropy_codes([t], 1, lz77=lz,
+                                            allow_clustering=False)
+                write_entropy_codes(ww, codes)
+                write_tokens(ww, t, codes)
+            else:
+                codes = build_entropy_codes([arr], 1,
+                                            allow_clustering=False)
+                write_entropy_codes(ww, codes)
+                write_tokens(ww, arr, codes)
+            candidates.append(ww)
+    w.append_writer(min(candidates, key=lambda b: b.bits_written))
 
 
 def decode_histograms(r: BitReader, num_contexts: int,
