@@ -40,11 +40,12 @@ def _regions(arr: np.ndarray, by0, bx0, nblk_y, nblk_x):
 
 
 def _batched_dct(regions: np.ndarray) -> np.ndarray:
-    """(n, R, C) pixels -> (n, R, C) coefficients."""
+    """(n, R, C) pixels -> (n, R, C) coefficients (two BLAS matmuls; a
+    3-operand einsum without optimize= is a naive O(R^2 C^2) loop)."""
     r, c = regions.shape[1:]
     mr = dct_matrix(r)
     mc = dct_matrix(c)
-    return np.einsum("ur,nrc,vc->nuv", mr, regions, mc)
+    return (mr @ regions) @ mc.T
 
 
 def _rate_estimate(q: np.ndarray, covered: int) -> np.ndarray:
@@ -94,25 +95,42 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
     inv_gs = quantizer.inv_global_scale
     lam = 5.5 / (distance * distance)     # distortion weight
 
-    def region_cost(strategy, by, bx):
+    def _grid_costs(strategy):
+        """Costs for ALL aligned anchor positions of one strategy in a
+        single batched pass (one einsum DCT over every region instead
+        of one tiny einsum per region_cost call)."""
+        from numpy.lib.stride_tricks import sliding_window_view
         nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
-        pix = y_plane[by * 8:(by + nby) * 8, bx * 8:(bx + nbx) * 8]
-        coef = _batched_dct(pix[None])[0]
-        qf = int(raw_quant[by:by + nby, bx:bx + nbx].max())
+        rows, cols = nby * 8, nbx * 8
+        if y_plane.shape[0] < rows or y_plane.shape[1] < cols:
+            return np.zeros((0, 0))
+        win = sliding_window_view(y_plane, (rows, cols))[::rows, ::cols]
+        gy, gx = win.shape[:2]
+        coef = _batched_dct(win.reshape(gy * gx, rows, cols))
+        qf = sliding_window_view(raw_quant, (nby, nbx))[
+            ::nby, ::nbx].reshape(gy * gx, -1).max(1).astype(np.float64)
         table = matrices.table_for_strategy(strategy)[1].reshape(-1)
-        stored = coeffs_rc_to_stored(coef).reshape(-1)
-        inv_table = 1.0 / table
-        qac = quantizer.scale * qf
+        stored = (np.swapaxes(coef, 1, 2) if rows >= cols else
+                  coef).reshape(gy * gx, -1)
         th = _thresholds(nby, nbx, True)
-        val = stored * (inv_table * qac)
-        q = np.where(np.abs(val) >= th, np.rint(val), 0.0)
+        val = stored * (quantizer.scale / table)[None, :] * qf[:, None]
+        q = np.where(np.abs(val) >= th[None, :], np.rint(val), 0.0)
         covered = nby * nbx
-        rate = float(_rate_estimate(q[None], covered)[0])
-        dq = adjust_quant_bias(q, 1) * table * (inv_gs / qf)
+        rate = _rate_estimate(q, covered)
+        dq = adjust_quant_bias(q, 1) * table[None, :] * \
+            (inv_gs / qf)[:, None]
         err = dq - stored
-        err[:covered] = 0.0                # LLF handled via DC
-        dist = float((err * err).sum())
-        return rate + lam * dist
+        err[:, :covered] = 0.0             # LLF handled via DC
+        return (rate + lam * (err * err).sum(axis=1)).reshape(gy, gx)
+
+    grid_cache = {}
+
+    def region_cost(strategy, by, bx):
+        g = grid_cache.get(strategy)
+        if g is None:
+            g = grid_cache[strategy] = _grid_costs(strategy)
+        nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
+        return float(g[by // nby, bx // nbx])
 
     acs = np.zeros((yb8, xb8), np.int32)
     anchors = np.zeros((yb8, xb8), bool)

@@ -325,7 +325,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
         from libjxl_tpu.vardct.dct import dct_matrix
         m8 = dct_matrix(8)
-        coef = np.einsum("ux,ybcxz,vz->ybcuv", m8, blocks, m8)
+        coef = (m8 @ blocks) @ m8.T        # batched BLAS, not naive einsum
         stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
 
         thres_y = quadrant_thresholds(0.56, 0.62)
@@ -649,11 +649,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             # e>=5: learn an MA tree over the DC channels — the reference
             # includes the VarDCT-DC streams in its modular tree learning
             # (enc_modular.cc AddVarDCTDC + ComputeEncodingData), which
-            # beats a single gradient context substantially on noisy DC
-            modular_encode(sw, img, group_id=1 + g,
-                           tree=_dc_stream_tree(
-                               img, 1 + g, PREDICTOR_GRADIENT,
-                               options.effort))
+            # beats a single gradient context substantially on noisy DC.
+            # The DC payload is identical across butteraugli iterations,
+            # so the learned tree is cached in the loop's aux dict.
+            cache = options._aux.setdefault("dc_trees", {}) \
+                if options._aux is not None else {}
+            tree_dc = cache.get(g)
+            if tree_dc is None:
+                tree_dc = cache[g] = _dc_stream_tree(
+                    img, 1 + g, PREDICTOR_GRADIENT, options.effort)
+            modular_encode(sw, img, group_id=1 + g, tree=tree_dc)
         # Modular DC group: no channels -> nothing.
         # AC metadata: acs + qf entries per anchor in raster order
         upper = bwd * bhd
