@@ -55,6 +55,10 @@ class EncodeOptions:
                                    # (pure-LZ77 mode, enc_ans.cc:1377)
     preview: object = None         # (h, w, c) uint8: embed a preview
                                    # frame (ImageMetadata.have_preview)
+    color_encoding: object = None  # ColorEncoding to signal (None =
+                                   # sRGB); want_icc profiles are
+                                   # embedded entropy-coded (the cjxl
+                                   # keep-input-profile behavior)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -148,7 +152,8 @@ def _modular_headers(pixels: np.ndarray, options,
     meta = ImageMetadata(
         xyb_encoded=False,
         bit_depth=BitDepth(bits_per_sample=bits),
-        color_encoding=ColorEncoding.srgb(gray=gray),
+        color_encoding=(getattr(options, "color_encoding", None) or
+                        ColorEncoding.srgb(gray=gray)),
         modular_16_bit_buffer_sufficient=bits <= 12,
         extra_channel_info=eci,
     )
@@ -167,6 +172,9 @@ def _modular_headers(pixels: np.ndarray, options,
     ctd = CustomTransformData()
     ctd.xyb_encoded = False
     write_bundle(bw, ctd)
+    if meta.color_encoding.want_icc:
+        from libjxl_tpu.color.icc import write_encoded_icc
+        write_encoded_icc(bw, meta.color_encoding.icc)
     bw.zero_pad_to_byte()
     meta.nonserialized_xsize = w
     meta.nonserialized_ysize = h

@@ -519,6 +519,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         ctd = CustomTransformData()
         ctd.xyb_encoded = True
         write_bundle(bw, ctd)
+        if meta.color_encoding.want_icc:
+            from libjxl_tpu.color.icc import write_encoded_icc
+            write_encoded_icc(bw, meta.color_encoding.icc)
         bw.zero_pad_to_byte()
 
     meta.nonserialized_xsize = w

@@ -230,3 +230,89 @@ def test_icc_input_to_encoder():
     naive = sig ** 2.4
     assert not np.allclose(out, naive, atol=1e-3)
     assert out.shape == sig.shape
+
+
+def test_icc_lut_profiles_vs_littlecms():
+    """LUT-class ICC profiles (mft2 lut16 + v4 mAB/mBA pipelines with
+    tetrahedral CLUT interpolation; jxl_cms.cc through skcms/lcms):
+    A2B agrees with littleCMS's v2 16-bit path within 1.5/255; the v4
+    layout parses to the numerically identical pipeline; B2A agrees
+    with littleCMS except where the coarse-grid CLUT's near-black
+    curvature amplifies lcms's internal 16-bit stage quantization."""
+    import io
+
+    pytest.importorskip("PIL.ImageCms")
+    from PIL import Image, ImageCms
+
+    from libjxl_tpu.color.icc_profile import (
+        icc_to_linear_srgb, linear_srgb_to_icc,
+    )
+    from tests._icc_lut_helper import (
+        _linear_to_srgb, _srgb_to_linear, build_lut_profile,
+        build_mab_profile,
+    )
+
+    icc2 = build_lut_profile(17)
+    icc4 = build_mab_profile(17)
+    sr = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB"))
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    sig = np.moveaxis(img, -1, 0) / 255.0
+
+    # device->PCS->sRGB vs lcms (v2 layout; 16-bit tetrahedral path)
+    pf = ImageCms.ImageCmsProfile(io.BytesIO(icc2))
+    xf = ImageCms.buildTransformFromOpenProfiles(
+        pf, sr, "RGB", "RGB", renderingIntent=0)
+    ref = np.asarray(ImageCms.applyTransform(
+        Image.fromarray(img), xf)).astype(float)
+    ours = np.moveaxis(_linear_to_srgb(
+        icc_to_linear_srgb(sig, icc2)), 0, -1) * 255.0
+    assert np.abs(ours - ref).max() <= 1.5
+
+    # v4 mAB layout -> identical pipeline as the v2 layout
+    ours4 = np.moveaxis(_linear_to_srgb(
+        icc_to_linear_srgb(sig, icc4)), 0, -1) * 255.0
+    assert np.abs(ours4 - ours).max() < 1e-9
+
+    # sRGB->PCS->device (B2A/mBA): layouts agree exactly; vs lcms the
+    # bulk agrees (the max sits in the near-black high-slope cells)
+    lin = _srgb_to_linear(sig)
+    dev2 = linear_srgb_to_icc(lin, icc2)
+    dev4 = linear_srgb_to_icc(lin, icc4)
+    assert np.abs(dev4 - dev2).max() < 1e-9
+    xf2 = ImageCms.buildTransformFromOpenProfiles(
+        sr, pf, "RGB", "RGB", renderingIntent=0)
+    ref2 = np.asarray(ImageCms.applyTransform(
+        Image.fromarray(img), xf2)).astype(float)
+    d = np.abs(np.moveaxis(dev2, 0, -1) * 255.0 - ref2)
+    assert d.mean() < 1.0 and np.percentile(d, 99) < 5.0
+
+
+def test_icc_lut_decode_output():
+    """decode(..., icc_out=LUT profile) routes through the B2A
+    pipeline end to end: a lossy stream whose signaled color encoding
+    is the synthetic LUT profile (which wraps sRGB device encoding)
+    roundtrips encoder CMS -> XYB -> decoder CMS back to approximately
+    the original device signal, with no fallback warning."""
+    import warnings
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.core.headers import ColorEncoding
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+    from tests._icc_lut_helper import build_lut_profile
+
+    ce = ColorEncoding()
+    ce.want_icc = True
+    ce.icc = build_lut_profile(33)
+    rng = np.random.default_rng(3)
+    base = np.linspace(40, 215, 56)[None, :, None]
+    img = np.clip(base + rng.integers(-6, 6, (40, 56, 3)), 0,
+                  255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(
+        distance=1.0, effort=2, color_encoding=ce))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # fallback would warn
+        out = decode(data)
+    assert out.shape == img.shape
+    assert np.abs(out[3:-3, 3:-3].astype(int) -
+                  img[3:-3, 3:-3].astype(int)).mean() < 6.0
