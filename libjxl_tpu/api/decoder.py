@@ -602,23 +602,30 @@ def _modular_banded_plan(meta, fs):
         code = decode_histograms(r0, (len(tree) + 1) // 2)
     gi = ModularImage.create(fd.xsize, fd.ysize,
                              meta.m.bit_depth.bits_per_sample, nb)
-    if any(c.w <= fd.group_dim and c.h <= fd.group_dim
-           for c in gi.channel):
-        return None              # channels ride the global stream
     header = modular_decode(
         r0, gi, group_id=0,
         options=ModularOptions(max_chan_size=fd.group_dim),
         global_tree=tree, global_code=code, undo_transforms=False)
-    if any(int(t.id) != int(TransformId.RCT) or t.begin_c != 0
-           for t in header.transforms):
-        return None              # palette/squeeze need whole-image state
-    return tree, code, header, nb
+    for t in header.transforms:
+        if int(t.id) == int(TransformId.RCT):
+            continue             # per-pixel: invertible band-locally
+        if int(t.id) == int(TransformId.PALETTE) and \
+                t.nb_deltas == 0 and t.predictor == 0:
+            continue             # pure index->color lookup, per-pixel
+        return None              # squeeze / delta palette need
+        #                          whole-image sequential state
+    if any(c.w <= fd.group_dim and c.h <= fd.group_dim
+           for c in gi.channel[gi.nb_meta_channels:]):
+        return None              # pixel channels ride the global stream
+    return tree, code, header, nb, gi
 
 
-def _decode_rows_modular(meta, fs, tree, code, header, nb: int):
+def _decode_rows_modular(meta, fs, tree, code, header, nb: int, gi):
     """Banded modular decode: each group row decodes its (independent)
-    sections into a band, the global RCTs invert per band (they are
-    per-pixel), and the band converts straight to integers."""
+    sections into a band, the global transforms invert per band (RCTs
+    and zero-predictor palettes are per-pixel; the palette meta channel
+    comes from the already-parsed global stream), and the band converts
+    straight to integers."""
     from libjxl_tpu.modular.codec import modular_decode
     from libjxl_tpu.modular.image import Channel, ModularImage
     from libjxl_tpu.parallel.runner import default_runner
@@ -627,9 +634,11 @@ def _decode_rows_modular(meta, fs, tree, code, header, nb: int):
     fd = fs.dims
     bits = meta.m.bit_depth.bits_per_sample
     gd = fd.group_dim
+    n_meta = gi.nb_meta_channels
+    n_enc = len(gi.channel) - n_meta       # channels per AC group
     for gy in range(fd.ysize_groups):
         rows = min(gd, fd.ysize - gy * gd)
-        band = np.zeros((nb, rows, fd.xsize), np.int32)
+        band = np.zeros((n_enc, rows, fd.xsize), np.int32)
 
         def _group(gx: int, gy=gy, rows=rows, band=band):
             g = gy * fd.xsize_groups + gx
@@ -638,13 +647,13 @@ def _decode_rows_modular(meta, fs, tree, code, header, nb: int):
             x0 = gx * gd
             cw = min(gd, fd.xsize - x0)
             sub = ModularImage(cw, rows, bits)
-            for _ in range(nb):
+            for _ in range(n_enc):
                 sub.channel.append(Channel.create(cw, rows))
             modular_decode(BitReader(sec), sub,
                            group_id=stream_id_modular_ac(fd, g, 0),
                            global_tree=tree, global_code=code,
                            undo_transforms=True)
-            for c in range(nb):
+            for c in range(n_enc):
                 band[c, :, x0:x0 + cw] = sub.channel[c].plane
 
         if fd.xsize_groups > 2:
@@ -653,7 +662,11 @@ def _decode_rows_modular(meta, fs, tree, code, header, nb: int):
             for gx in range(fd.xsize_groups):
                 _group(gx)
         bimg = ModularImage(fd.xsize, rows, bits)
-        for c in range(nb):
+        bimg.nb_meta_channels = n_meta
+        for c in range(n_meta):            # shared palette channel(s)
+            src = gi.channel[c]
+            bimg.channel.append(Channel(src.plane, src.hshift, src.vshift))
+        for c in range(n_enc):
             bimg.channel.append(Channel(band[c]))
         for t in reversed(header.transforms):
             t.inverse(bimg, header.wp_header)

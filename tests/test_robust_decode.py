@@ -170,3 +170,35 @@ def test_banded_modular_decode(rng):
     got = np.concatenate([b for _, b in bands], axis=0)
     assert np.array_equal(got, img)
     assert np.array_equal(got, decode(d))
+
+
+def test_banded_modular_palette_decode(rng):
+    """Banded decode extends to palette streams: the zero-predictor
+    palette (nb_deltas == 0) is a per-pixel lookup, so the index
+    channel decodes band-locally and the palette meta channel comes
+    from the global stream (dec_modular.cc global channel split)."""
+    import libjxl_tpu.api.decoder as D
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+
+    pal = rng.integers(0, 256, (23, 3)).astype(np.uint8)
+    idx = rng.integers(0, 23, (600, 300))
+    img = pal[idx]
+    d = encode_lossless(img, EncodeOptions(effort=7))
+
+    plan = []
+    orig = D._modular_banded_plan
+
+    def spy(meta, fs):
+        plan.append(orig(meta, fs))
+        return plan[-1]
+
+    D._modular_banded_plan = spy
+    try:
+        bands = list(decode_rows(d))
+    finally:
+        D._modular_banded_plan = orig
+    assert plan and plan[-1] is not None     # banded path, not fallback
+    got = np.concatenate([b for _, b in bands], axis=0)
+    assert np.array_equal(got, img)
+    assert np.array_equal(got, decode(d))
