@@ -393,9 +393,27 @@ class ANSSymbolReader:
 # ---------------------------------------------------------------------------
 
 def tokens_to_array(tokens) -> np.ndarray:
-    """tokens: iterable of (context, value) -> (N,2) int64 array."""
+    """tokens: iterable of (context, value) pairs — or a mixed list of
+    pairs and (n, 2) array chunks (vectorized tokenizers append whole
+    blocks at once) -> (N, 2) int64 array."""
     if isinstance(tokens, np.ndarray):
         return tokens
+    if isinstance(tokens, list) and \
+            any(isinstance(t, np.ndarray) for t in tokens):
+        parts, buf = [], []
+        for t in tokens:
+            if isinstance(t, np.ndarray):
+                if buf:
+                    parts.append(np.asarray(buf, np.int64).reshape(-1, 2))
+                    buf = []
+                parts.append(t.reshape(-1, 2).astype(np.int64,
+                                                     copy=False))
+            else:
+                buf.append(t)
+        if buf:
+            parts.append(np.asarray(buf, np.int64).reshape(-1, 2))
+        return np.concatenate(parts) if parts else \
+            np.zeros((0, 2), np.int64)
     return np.array(tokens, dtype=np.int64).reshape(-1, 2)
 
 

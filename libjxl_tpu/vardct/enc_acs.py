@@ -18,6 +18,12 @@ from libjxl_tpu.vardct.dct import (
     coeffs_rc_to_stored, dct_matrix, dc_from_llf,
 )
 from libjxl_tpu.vardct.frame_dec import adjust_quant_bias
+from libjxl_tpu.vardct.ac_context import (
+    K_COEFF_FREQ_CONTEXT, K_COEFF_NUM_NONZERO_CONTEXT,
+)
+
+_KNZ_ARR = np.asarray(K_COEFF_NUM_NONZERO_CONTEXT, dtype=np.int64)
+_KFR_ARR = np.asarray(K_COEFF_FREQ_CONTEXT, dtype=np.int64)
 
 ACS_DCT8 = 0
 ACS_DCT16 = 4
@@ -351,9 +357,6 @@ def finish_chroma(blocks, dc_float, fx_full, fb_full, x_qm_mul, quantizer):
 
 def tokenize_varblock(toks, blk, orders, nz, bx, by, bctx, qf, y, x):
     """Generalized per-block tokenizer (mirror of DecodeACVarBlock)."""
-    from libjxl_tpu.core.headers import pack_signed
-    from libjxl_tpu.vardct.ac_context import zero_density_context
-
     raw = blk["strategy"]
     covered = blk["covered"]
     size = covered * 64
@@ -379,16 +382,20 @@ def tokenize_varblock(toks, blk, orders, nz, bx, by, bctx, qf, y, x):
         if nzeros == 0:
             continue
         histo_offset = bctx.zero_density_offset(block_ctx)
-        prev = 0 if nzeros > size // 16 else 1
-        left = nzeros
-        k = covered
-        for v in vals:
-            v = int(v)
-            ctx = histo_offset + zero_density_context(left, k, covered,
-                                                      log2_cov, prev)
-            toks.append((ctx, pack_signed(v)))
-            prev = 1 if v else 0
-            left -= prev
-            k += 1
-            if left == 0:
-                break
+        # vectorized zero-density coefficient loop: running (left, prev)
+        # are pure prefix functions of the nonzero mask
+        nzm = vals != 0
+        cum = np.cumsum(nzm)
+        last = int(np.argmax(cum == nzeros))     # final nonzero index
+        vv = vals[:last + 1].astype(np.int64)
+        nzm = nzm[:last + 1]
+        left = nzeros - (cum[:last + 1] - nzm)
+        prev = np.empty(last + 1, np.int64)
+        prev[0] = 0 if nzeros > size // 16 else 1
+        prev[1:] = nzm[:-1]
+        k = covered + np.arange(last + 1)
+        nzl = (left + covered - 1) >> log2_cov
+        ctx = histo_offset + (_KNZ_ARR[nzl] +
+                              _KFR_ARR[k >> log2_cov]) * 2 + prev
+        val = np.where(vv >= 0, vv << 1, ((-vv) << 1) - 1)
+        toks.append(np.stack([ctx, val], axis=1))
