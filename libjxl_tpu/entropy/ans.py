@@ -529,9 +529,14 @@ def cluster_histograms(hists: np.ndarray, max_clusters: int = 64):
             best_cost = float(dcost[best])
         else:
             best, best_cost, merged_costs = -1, None, None
-        # threshold: prefer a new cluster while under the cap and the merge
-        # would cost noticeably more than separate coding
-        if k and (best_cost <= max(60.0, 0.01 * own_cost)
+        # break-even: a new cluster pays only when the token bits saved
+        # by separate coding exceed the cost of SERIALIZING one more
+        # histogram (measured on geometric-decay shapes: ~10 bits for
+        # 1 symbol, ~33 for 2, then ~40 + 5.5/symbol of ANS counts)
+        nnz_h = int((h > 0).sum())
+        ser_est = 12.0 if nnz_h <= 1 else 33.0 if nnz_h == 2 \
+            else 40.0 + 5.5 * nnz_h
+        if k and (best_cost <= max(ser_est, 0.01 * own_cost)
                   or k >= max_clusters):
             C[best] += h
             costs[best] = float(merged_costs[best])
