@@ -119,3 +119,101 @@ class BlockCtxMap:
             non_zeros = 64
         ctx = non_zeros if non_zeros < 8 else 4 + non_zeros // 2
         return ctx * self.num_ctxs + block_ctx
+
+
+def write_block_ctx_map(w, b: BlockCtxMap) -> None:
+    """Serialize (entropy_coder.cc EncodeBlockCtxMap mirror of read)."""
+    from libjxl_tpu.core.fields import write_u32
+    from libjxl_tpu.core.headers import pack_signed
+    from libjxl_tpu.entropy.ans import encode_context_map
+    if (not b.qf_thresholds and not any(b.dc_thresholds) and
+            list(b.ctx_map) == list(_DEFAULT_CTX_MAP)):
+        w.write(1, 1)
+        return
+    w.write(1, 0)
+    for th in b.dc_thresholds:
+        w.write(4, len(th))
+        for t in th:
+            write_u32(w, _DC_THRESHOLD_DIST, pack_signed(int(t)))
+    w.write(4, len(b.qf_thresholds))
+    for t in b.qf_thresholds:
+        write_u32(w, _QF_THRESHOLD_DIST, int(t) - 1)
+    encode_context_map(w, np.asarray(b.ctx_map, np.int64), b.num_ctxs)
+
+
+def build_block_ctx_map(distance: float, raw_quant: np.ndarray,
+                        acs_map: np.ndarray) -> BlockCtxMap | None:
+    """Content-adaptive block context model (enc_heuristics.cc:69-203
+    FindBestBlockEntropyModel): bucket blocks by (coeff order, quant
+    segment), greedy-merge the lowest-count buckets into 2-9 luma
+    contexts (1-5 for chroma). Collapsing the default 15 contexts
+    shrinks both the AC context map and the histogram set — the big
+    header win on small/flat images. Returns None when the image is
+    too small for a custom model to pay."""
+    from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
+    tot = raw_quant.size
+    size_for_ctx_model = (1 << 10) * distance
+    if tot < size_for_ctx_model:
+        return None
+    ords = np.asarray(STRATEGY_ORDER)[acs_map]
+    qf = raw_quant.astype(np.int64).ravel() - 1
+    qf_counts = np.bincount(qf, minlength=256)
+    qf_ord = np.zeros((NUM_ORDERS, 256), np.int64)
+    np.add.at(qf_ord, (ords.ravel(), qf), 1)
+
+    num_qf_segments = 1 if tot < (1 << 13) * distance else 2
+    qft: list[int] = []
+    cumsum, nxt, last_cut = 0, 1, 256
+    cut = tot * nxt // num_qf_segments
+    for j in range(256):
+        cumsum += int(qf_counts[j])
+        if cumsum > cut:
+            if j != 0:
+                qft.append(j)
+            last_cut = j
+            while cumsum > cut:
+                nxt += 1
+                cut = tot * nxt // num_qf_segments
+        elif nxt > len(qft) + 1:
+            if j - 1 == last_cut and j != 0:
+                qft.append(j)
+    nseg = len(qft) + 1
+    counts = [0] * (NUM_ORDERS * nseg)
+    qft_pos = 0
+    for j in range(256):
+        if qft_pos < len(qft) and j == qft[qft_pos]:
+            qft_pos += 1
+        for i in range(NUM_ORDERS):
+            counts[qft_pos + i * nseg] += int(qf_ord[i, j])
+
+    remap = list(range(nseg * NUM_ORDERS))
+    clusters = list(remap)
+    nb = min(max(int(tot / size_for_ctx_model / 2), 2), 9)
+    nb_chroma = min(max(int(tot / size_for_ctx_model / 3), 1), 5)
+    while len(clusters) > nb:
+        clusters.sort(key=lambda a: -counts[a])
+        counts[clusters[-2]] += counts[clusters[-1]]
+        counts[clusters[-1]] = 0
+        remap[clusters[-1]] = clusters[-2]
+        clusters.pop()
+    for i in range(len(remap)):
+        while remap[remap[i]] != remap[i]:
+            remap[i] = remap[remap[i]]
+    remap_remap = [len(remap)] * len(remap)
+    num = 0
+    for i in range(len(remap)):
+        if remap_remap[remap[i]] == len(remap):
+            remap_remap[remap[i]] = num
+            num += 1
+        remap[i] = remap_remap[remap[i]]
+    ctx_map = list(remap)
+    for i in range(len(remap), 3 * len(remap)):
+        ctx_map.append(num + min(max(remap[i % len(remap)], 0),
+                                 nb_chroma - 1))
+    b = BlockCtxMap()
+    b.dc_thresholds = [[], [], []]
+    b.num_dc_ctxs = 1
+    b.qf_thresholds = qft
+    b.ctx_map = ctx_map
+    b.num_ctxs = max(ctx_map) + 1
+    return b

@@ -355,6 +355,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             options._aux.update(qf_field=np.asarray(qf_field, np.float64),
                                 acs=acs_map, anchors=acs_anchors)
 
+        if options.effort >= 5:
+            # content-adaptive block context model (enc_heuristics.cc
+            # FindBestBlockEntropyModel): fewer block contexts = smaller
+            # AC context map + denser histograms
+            from libjxl_tpu.vardct.ac_context import build_block_ctx_map
+            custom_bctx = build_block_ctx_map(d, raw_quant, acs_map)
+            if custom_bctx is not None:
+                bctx = custom_bctx
+
         q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
         # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
         inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
@@ -620,7 +629,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         sw.write(1, 1)                       # DequantMatrices::DecodeDC def.
         write_u32(sw, _GLOBAL_SCALE_DIST, global_scale)
         write_u32(sw, _QUANT_DC_DIST, quant_dc_int)
-        sw.write(1, 1)                       # BlockCtxMap default
+        from libjxl_tpu.vardct.ac_context import write_block_ctx_map
+        write_block_ctx_map(sw, bctx)        # default = 1 bit
         sw.write(1, 1)                       # CfL DC default
         # modular global: no global tree. With extra channels present the
         # global image is non-empty, so a GroupHeader follows; channels
