@@ -406,3 +406,44 @@ def test_epf0_three_iterations_high_distance(rng):
         assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
     got = np.concatenate([b for _, b in decode_rows(data)], axis=0)
     assert np.array_equal(got, dec)
+
+
+def test_custom_block_ctx_map_qf_split():
+    """Large images engage the content-adaptive block context model
+    with a quant-field segment split (enc_heuristics.cc
+    FindBestBlockEntropyModel size_for_qf_split); the serialized
+    custom BlockCtxMap roundtrips through our own decoder."""
+    import libjxl_tpu.vardct.ac_context as AC
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(4)
+    h, w = 768, 768
+    yy, xx = np.mgrid[0:h, 0:w]
+    noise = np.where(xx[:, :, None] < w // 2,
+                     rng.normal(0, 14, (h, w, 3)),
+                     rng.normal(0, 2, (h, w, 3)))
+    img = np.clip(np.stack([128 + 70 * np.sin(xx / 31.0),
+                            128 + 50 * np.cos((xx + yy) / 37.0),
+                            128 + 60 * np.sin(yy / 23.0)], -1) + noise,
+                  0, 255).astype(np.uint8)
+
+    seen = {}
+    orig = AC.build_block_ctx_map
+
+    def spy(d, rq, am):
+        b = orig(d, rq, am)
+        seen["bctx"] = b
+        return b
+
+    AC.build_block_ctx_map = spy
+    try:
+        data = encode_lossy(img, LossyOptions(distance=1.0, effort=5))
+    finally:
+        AC.build_block_ctx_map = orig
+    b = seen["bctx"]
+    assert b is not None and b.num_ctxs < 15     # model collapsed
+    assert b.qf_thresholds                       # qf split engaged
+    out = decode(data)
+    mse = np.mean((out[:, :, :3].astype(float) - img) ** 2)
+    assert out.shape == img.shape and mse < 200.0
