@@ -399,3 +399,27 @@ def tokenize_varblock(toks, blk, orders, nz, bx, by, bctx, qf, y, x):
                               _KFR_ARR[k >> log2_cov]) * 2 + prev
         val = np.where(vv >= 0, vv << 1, ((-vv) << 1) - 1)
         toks.append(np.stack([ctx, val], axis=1))
+
+
+def adjust_field_for_acs(acs: np.ndarray, anchors: np.ndarray,
+                         raw_quant: np.ndarray, distance: float
+                         ) -> np.ndarray:
+    """Re-apply the merged-region quant adjustment (the ``place`` math:
+    AdjustQuantField mean/max mixer) to a fresh field while keeping a
+    previously chosen ACS map — the butteraugli iteration loop holds
+    ACS fixed and only moves the quant field, like the reference's
+    FindBestQuantization."""
+    rq = raw_quant.copy()
+    mixer = max(0.0, 1.0 - max(0.0, distance - 1.54138) * 0.56391)
+    by0, bx0 = np.nonzero(anchors)
+    for by, bx in zip(by0.tolist(), bx0.tolist()):
+        s = int(acs[by, bx])
+        nby, nbx = COVERED_Y[s], COVERED_X[s]
+        if nby * nbx == 1:
+            continue
+        region = rq[by:by + nby, bx:bx + nbx]
+        val = region.max()
+        if nby * nbx >= 4:
+            val = mixer * val + (1.0 - mixer) * region.mean()
+        rq[by:by + nby, bx:bx + nbx] = max(1, int(round(val)))
+    return rq

@@ -208,24 +208,31 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     # gaborish is on at hare-class efforts: sharpen now, decoder smooths
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
     use_gab = options.effort >= 5 and d > 0.5
+    aux = options._aux
     if use_dev:
         xyb_pre_gab = xyb_p = None
+    elif aux is not None and options._in_iteration and "xyb_cache" in aux:
+        # butteraugli loop: the opsin/gaborish-inverse/pad products are
+        # pure functions of the pixels — reuse across iterations
+        xyb_p, xyb_pre_gab = aux["xyb_cache"]
     else:
         # the adaptive quant field uses PRE-gaborish values
         # (enc_heuristics.cc:1117 comment); sharpen after computing it
         xyb_pre_gab = np.pad(xyb,
                              ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
                              mode="edge")
-        if options._aux is not None:
+        if aux is not None:
             # pre-gaborish, post-feature-subtraction opsin: the AR
             # search compares decoded candidates against this
-            options._aux["opsin"] = np.asarray(xyb, np.float64).copy()
+            aux["opsin"] = np.asarray(xyb, np.float64).copy()
         if use_gab:
             from libjxl_tpu.render.filters import gaborish_inverse
             xyb = gaborish_inverse(xyb)
         # pad to block grid (edge replicate)
         xyb_p = np.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
                        mode="edge")
+        if aux is not None:
+            aux["xyb_cache"] = (xyb_p, xyb_pre_gab)
 
     # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
     quant_dc_f = initial_quant_dc(d)
@@ -322,11 +329,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         stored = None
     else:
         # ---- DCT ------------------------------------------------------------
-        blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
-        from libjxl_tpu.vardct.dct import dct_matrix
-        m8 = dct_matrix(8)
-        coef = (m8 @ blocks) @ m8.T        # batched BLAS, not naive einsum
-        stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
+        if aux is not None and options._in_iteration and \
+                "stored_dct" in aux:
+            stored = aux["stored_dct"]
+        else:
+            blocks = xyb_p.reshape(3, yb, 8, xb, 8).transpose(1, 3, 0, 2, 4)
+            from libjxl_tpu.vardct.dct import dct_matrix
+            m8 = dct_matrix(8)
+            coef = (m8 @ blocks) @ m8.T    # batched BLAS, not naive einsum
+            stored = coef.transpose(0, 1, 2, 4, 3).reshape(yb, xb, 3, 64)
+            if aux is not None:
+                aux["stored_dct"] = stored
 
         thres_y = quadrant_thresholds(0.56, 0.62)
         thres_xb = quadrant_thresholds(0.58, 0.62)
@@ -342,11 +355,21 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
         use_acs = options.effort >= 5
         if use_acs:
-            from libjxl_tpu.vardct.enc_acs import choose_acs
-            acs_map, acs_anchors, raw_quant = choose_acs(
-                xyb_p[1], raw_quant, matrices, quantizer, d,
-                try_small=options.effort >= 7,
-                try_64=options.effort >= 7)
+            if aux is not None and options._in_iteration and \
+                    "acs" in aux:
+                # FindBestQuantization holds ACS fixed across quant
+                # iterations; only the merged-region field adjustment
+                # re-applies to the new field
+                from libjxl_tpu.vardct.enc_acs import adjust_field_for_acs
+                acs_map, acs_anchors = aux["acs"], aux["anchors"]
+                raw_quant = adjust_field_for_acs(
+                    acs_map, acs_anchors, raw_quant, d)
+            else:
+                from libjxl_tpu.vardct.enc_acs import choose_acs
+                acs_map, acs_anchors, raw_quant = choose_acs(
+                    xyb_p[1], raw_quant, matrices, quantizer, d,
+                    try_small=options.effort >= 7,
+                    try_64=options.effort >= 7)
             qac = quantizer.scale * raw_quant.astype(np.float64)
         else:
             acs_map = np.zeros((yb, xb), np.int32)
