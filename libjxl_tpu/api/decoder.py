@@ -312,11 +312,13 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
     from libjxl_tpu.render.pipeline import (
         build_render_pipeline, run_render_pipeline,
     )
-    device = _cfg.device_filters and (lf.gab or lf.epf_iters > 0)
+    from libjxl_tpu.config import device_filters_enabled
+    device = device_filters_enabled(fd.ysize * fd.xsize) and \
+        (lf.gab or lf.epf_iters > 0)
     # keep the result ON DEVICE when nothing downstream needs host
     # pixels: decode() then fuses color conversion + quantization
     # into the device program and fetches only the uint8 image
-    keep = (device and
+    keep = (device and _cfg.device_filters is True and
             not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
                              FrameFlags.NOISE)) and
             fh.upsampling == 1 and
@@ -528,6 +530,15 @@ def decode_rows(data: bytes):
             # block-row slice of the per-block fields covering ext
             br0 = (gy * gd - top) // 8
             br1 = br0 + -(-ext.shape[1] // 8)
+            from libjxl_tpu.config import device_filters_enabled
+            if device_filters_enabled(fd.ysize * fd.xsize):
+                # same fused f32 XLA program as the whole-frame path, so
+                # banded output stays bit-identical to decode()
+                from libjxl_tpu.render.filters_jax import restore_device
+                ext = np.asarray(restore_device(
+                    ext, lf, dec.raw_quant[br0:br1],
+                    dec.epf_sharpness[br0:br1], dec.quantizer.scale))
+                return ext[:, top:top + band.shape[1]]
             if lf.epf_iters > 0:
                 inv_sigma = compute_sigma(
                     lf, dec.acs_raw[br0:br1], dec.acs_anchor[br0:br1],

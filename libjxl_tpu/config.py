@@ -14,7 +14,11 @@ class RuntimeConfig:
     # Run decode-side restoration filters (gaborish/EPF) as one XLA
     # program instead of host numpy. Pays a per-shape compile on first
     # use; wins on repeated shapes and on the TPU render path.
-    device_filters: bool = False
+    # None = auto: on when the default jax backend is the host CPU
+    # (the fused XLA stencil is ~25x the numpy filters and there is no
+    # device link to cross), off when pixels would have to travel to a
+    # remote accelerator just to be filtered.
+    device_filters: bool | None = None
     # Shard the group axis of device encode passes over all visible
     # devices (jax.sharding mesh; groups are THE parallel axis of JPEG
     # XL, SURVEY.md 2.2). Histograms become cross-shard reductions; the
@@ -27,3 +31,25 @@ class RuntimeConfig:
 
 
 config = RuntimeConfig()
+
+
+def device_filters_enabled(num_pixels: int | None = None) -> bool:
+    """Resolve the device_filters auto default (see RuntimeConfig).
+
+    In auto mode the XLA path engages on the CPU backend for frames
+    >= 4 MP: below that a cold process spends more on the one-time
+    stencil compiles than the numpy filters cost outright, and the
+    decision must be a pure function of the frame (not of what is
+    already compiled) so whole-frame and banded decode of the same
+    stream always take the same path. Serving/bench loops that decode
+    repeatedly should set config.device_filters = True explicitly."""
+    v = config.device_filters
+    if v is not None:
+        return v
+    try:
+        import jax
+        if jax.default_backend() != "cpu":
+            return False
+    except Exception:  # noqa: BLE001  (jax unavailable)
+        return False
+    return num_pixels is None or num_pixels >= (4 << 20)

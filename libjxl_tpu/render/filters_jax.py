@@ -148,3 +148,29 @@ def output_srgb_int_device(xyb_dev, intensity: float,
 
     return np.asarray(_output_int(xyb_dev, jnp.float32(intensity),
                                   int(maxval)))
+
+
+def restore_banded(xyb: np.ndarray, lf, raw_quant, epf_sharpness,
+                   quant_scale: float, gd: int = 256,
+                   margin: int = 8) -> np.ndarray:
+    """Whole-frame filters applied in the SAME group-row windows the
+    low-memory path uses (decoder.py filter_band: 8-row halos from the
+    neighboring bands). Window shapes — and therefore the compiled XLA
+    programs and their f32 rounding — match decode_rows exactly, so
+    banded and whole-frame decode stay bit-identical."""
+    h = xyb.shape[1]
+    n_gy = -(-h // gd)
+    parts = []
+    for gy in range(n_gy):
+        y0 = gy * gd
+        rows = min(gd, h - y0)
+        top = margin if gy > 0 else 0
+        bot = margin if y0 + rows < h else 0
+        ext = xyb[:, y0 - top:y0 + rows + bot]
+        br0 = (y0 - top) // 8
+        br1 = br0 + -(-ext.shape[1] // 8)
+        f = np.asarray(restore_device(
+            ext, lf, np.asarray(raw_quant)[br0:br1],
+            np.asarray(epf_sharpness)[br0:br1], quant_scale))
+        parts.append(f[:, top:top + rows])
+    return np.concatenate(parts, axis=1)

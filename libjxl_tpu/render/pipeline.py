@@ -82,6 +82,21 @@ class DeviceRestoreStage(Stage):
                               fetch=not self.keep)
 
 
+class BandedDeviceRestoreStage(Stage):
+    """Fused gaborish+EPF via XLA in decode_rows' band windows
+    (filters_jax.restore_banded) — the fetch-to-host counterpart of
+    DeviceRestoreStage that keeps whole-frame output bit-identical to
+    the low-memory path."""
+
+    name = "device-restore-banded"
+
+    def process(self, img, ctx):
+        from libjxl_tpu.render.filters_jax import restore_banded
+        dec, lf = ctx["dec"], ctx["lf"]
+        return restore_banded(np.asarray(img), lf, dec.raw_quant,
+                              dec.epf_sharpness, dec.quantizer.scale)
+
+
 class PatchesStage(Stage):
     """stage_patches.cc: draw the patch dictionary."""
 
@@ -146,7 +161,12 @@ def build_render_pipeline(fh, meta, dec, device: bool = False,
     lf = fh.loop_filter
     stages: list = []
     if device and (lf.gab or lf.epf_iters > 0):
-        stages.append(DeviceRestoreStage(keep=device_keep))
+        if device_keep:
+            stages.append(DeviceRestoreStage(keep=True))
+        else:
+            # fetchy path: filter in the decode_rows band windows so
+            # whole-frame and low-memory decode stay bit-identical
+            stages.append(BandedDeviceRestoreStage())
     else:
         if lf.gab:
             stages.append(GaborishStage())

@@ -470,7 +470,9 @@ def test_render_pipeline_stage_graph(rng):
         RP.run_render_pipeline = orig_run
     assert dec_img.shape == img.shape
     assert seen and seen[0][-1] == "spy"
-    assert "epf" in seen[0]          # gaborish is an e>=5 encoder flag
+    # the EPF runs either as the numpy stage or the banded XLA stage
+    # (device_filters auto-on for the CPU backend)
+    assert "epf" in seen[0] or "device-restore-banded" in seen[0]
 
 
 def test_spot_color_stage(rng):

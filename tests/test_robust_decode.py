@@ -202,3 +202,29 @@ def test_banded_modular_palette_decode(rng):
     got = np.concatenate([b for _, b in bands], axis=0)
     assert np.array_equal(got, img)
     assert np.array_equal(got, decode(d))
+
+
+def test_banded_matches_whole_frame_with_xla_filters(rng):
+    """With the XLA filter path forced on, whole-frame decode applies
+    the filters in the same band windows as decode_rows
+    (filters_jax.restore_banded), keeping both modes bit-identical."""
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.config import config
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    yy, xx = np.mgrid[0:700, 0:420]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 12, (700, 420, 3))
+           ).clip(0, 255).astype(np.uint8)
+    import libjxl_tpu.config as C
+
+    data = encode_lossy(img, LossyOptions(distance=1.2, effort=3))
+    assert config.device_filters is None     # auto mode
+    orig = C.device_filters_enabled
+    C.device_filters_enabled = lambda n=None: True   # as if >= 4 MP
+    try:
+        full = decode(data)
+        got = np.concatenate([b for _, b in decode_rows(data)], axis=0)
+    finally:
+        C.device_filters_enabled = orig
+    assert np.array_equal(got, full)
