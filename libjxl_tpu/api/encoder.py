@@ -360,9 +360,16 @@ def _modular_frame_bytes(pixels, options, meta,
         # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
         # predictors chosen by entropy on the actual image
         from libjxl_tpu.modular.enc_ma import learn_tree
+        # sample budget by tier (enc_modular.cc options.nb_repeats
+        # spirit): e5/e6 learn on a subsample — measured <0.2% density
+        # cost for ~2x tree-learning time on 1 MP inputs
         tree = learn_tree([(i, img.channel[i].plane)
                            for i in range(len(img.channel))],
                           max_leaves=48 if options.effort < 8 else 96,
+                          sample_limit=(1 << 16 if options.effort <= 6
+                                        else 1 << 17
+                                        if options.effort <= 8
+                                        else 1 << 18),
                           wp_header=wp_header
                           if not wp_header.is_all_default() else None)
     else:

@@ -464,6 +464,20 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
     return tokens
 
 
+def _tree_vector_friendly(tree) -> bool:
+    """True when every leaf is expressible by the vectorized tokenizer
+    (enc_ma.tokenize_with_tree): multiplier 1, no predictor offset, and
+    a predictor from the learn-tree candidate set."""
+    from libjxl_tpu.modular.predict import (
+        PREDICTOR_LEFT, PREDICTOR_TOP,
+    )
+    ok_preds = {PREDICTOR_ZERO, PREDICTOR_LEFT, PREDICTOR_TOP,
+                PREDICTOR_GRADIENT, PREDICTOR_WEIGHTED}
+    return all((not n.is_leaf) or
+               (n.multiplier == 1 and n.predictor_offset == 0 and
+                n.predictor in ok_preds) for n in tree)
+
+
 def modular_encode(w: BitWriter, image: ModularImage, group_id: int = 0,
                    header: GroupHeader | None = None,
                    tree=None, options: ModularOptions | None = None,
@@ -482,12 +496,24 @@ def modular_encode(w: BitWriter, image: ModularImage, group_id: int = 0,
     # caller via fwd_* helpers; meta_apply only reshapes channel list)
     token_arrays = []
     nctx = (len(tree) + 1) // 2
+    chans = []
     for i, ch in enumerate(image.channel):
         if i >= image.nb_meta_channels and (ch.w > options.max_chan_size or
                                             ch.h > options.max_chan_size):
             break
         if ch.w == 0 or ch.h == 0:
             continue
+        chans.append(i)
+    if len(tree) > 1 and _tree_vector_friendly(tree) and chans:
+        # learned trees (multiplier 1, candidate predictors only) go
+        # through the vectorized tokenizer in one all-channels call —
+        # the scalar per-pixel walk below is ~50x slower
+        from libjxl_tpu.modular.enc_ma import tokenize_with_tree
+        token_arrays.append(tokenize_with_tree(
+            [(i, image.channel[i].plane) for i in chans], tree,
+            group_id, header.wp_header))
+        chans = []
+    for i in chans:
         toks = encode_modular_channel_tokens(image, i, group_id, tree,
                                              header.wp_header)
         token_arrays.append(tokens_to_array(toks))

@@ -122,39 +122,69 @@ def neighbor_planes(plane: np.ndarray):
 
 
 def property_planes(plane: np.ndarray, chan_idx: int, group_id: int,
-                    wp_header=None):
-    """-> dict prop_id -> int64 plane (properties 0..15)."""
+                    wp_header=None, only=None, need_wp: bool = True):
+    """-> dict prop_id -> int64 plane (properties 0..15).
+
+    ``only``: optional set of property ids to materialize (tokenizers
+    pass the tree's split properties — most trees use a handful, and
+    skipping the rest saves full-plane array builds). ``need_wp``
+    False additionally skips the native weighted-predictor pass when
+    neither property 15 nor the WP predictor is referenced."""
     p = plane.astype(np.int64)
     h, w = p.shape
     left, top, topleft, topright, leftleft, toptop = neighbor_planes(p)
     wp_pred = wp_prop = None
-    if _have_wp():
+    if _have_wp() and (need_wp or only is None or 15 in only):
         from libjxl_tpu.utils import native
         res = native.wp_plane(plane.astype(np.int32), wp_header)
         if res is not None:
             wp_pred, wp_prop = (r.astype(np.int64) for r in res)
-    grad = left + top - topleft
-    prev_grad = np.zeros_like(grad)
-    prev_grad[:, 1:] = grad[:, :-1]   # reset to 0 at row starts
-    yy = np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
-    xx = np.broadcast_to(np.arange(w, dtype=np.int64)[None, :], (h, w))
-    return {
-        0: np.full((h, w), chan_idx, np.int64),
-        1: np.full((h, w), group_id, np.int64),
-        2: yy, 3: xx,
-        4: np.abs(top), 5: np.abs(left),
-        6: top, 7: left,
-        8: left - prev_grad,
-        9: grad,
-        10: left - topleft,
-        11: topleft - top,
-        12: top - topright,
-        13: top - toptop,
-        14: left - leftleft,
-        **({15: wp_prop} if wp_prop is not None else {}),
-    }, {"left": left, "top": top, "topleft": topleft,
-        "topright": topright, "leftleft": leftleft, "toptop": toptop,
-        "wp_pred": wp_pred}
+
+    def want(i):
+        return only is None or i in only
+
+    props = {}
+    if want(0):
+        props[0] = np.full((h, w), chan_idx, np.int64)
+    if want(1):
+        props[1] = np.full((h, w), group_id, np.int64)
+    if want(2):
+        props[2] = np.broadcast_to(
+            np.arange(h, dtype=np.int64)[:, None], (h, w))
+    if want(3):
+        props[3] = np.broadcast_to(
+            np.arange(w, dtype=np.int64)[None, :], (h, w))
+    if want(4):
+        props[4] = np.abs(top)
+    if want(5):
+        props[5] = np.abs(left)
+    if want(6):
+        props[6] = top
+    if want(7):
+        props[7] = left
+    if want(8) or want(9):
+        grad = left + top - topleft
+        if want(9):
+            props[9] = grad
+        if want(8):
+            prev_grad = np.zeros_like(grad)
+            prev_grad[:, 1:] = grad[:, :-1]   # reset 0 at row starts
+            props[8] = left - prev_grad
+    if want(10):
+        props[10] = left - topleft
+    if want(11):
+        props[11] = topleft - top
+    if want(12):
+        props[12] = top - topright
+    if want(13):
+        props[13] = top - toptop
+    if want(14):
+        props[14] = left - leftleft
+    if wp_prop is not None and want(15):
+        props[15] = wp_prop
+    return props, {"left": left, "top": top, "topleft": topleft,
+                   "topright": topright, "leftleft": leftleft,
+                   "toptop": toptop, "wp_pred": wp_pred}
 
 
 def predictions(nb, predictor: int):
@@ -210,19 +240,67 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     leaf predictor list) in the decode tree layout."""
     cand = _candidate_predictors()
     split_props = _split_props()
+
+    # Row-block subsampling BEFORE property/residual computation: with
+    # a sample budget far below the pixel count, computing full-plane
+    # properties just to discard 90% of them dominated tree learning.
+    # Blocks of 16 rows (plus a 2-row causal halo whose samples are
+    # dropped) are taken at an even stride per plane shape, so
+    # same-size channels stay row-aligned for the reference
+    # properties; the y property is rewritten with the true rows.
+    total = sum(p.size for _, p in channels)
+    sels: dict = {}
+
+    def _row_sel(h: int, w: int):
+        key = (h, w)
+        if key in sels:
+            return sels[key]
+        blk = 16
+        nblk = -(-h // blk)
+        want = max(1, int(nblk * min(1.0, 1.5 * sample_limit / total)))
+        stride = max(1, nblk // want)
+        starts = list(range(0, h, blk * stride))
+        sels[key] = starts
+        return starts
+
     props_all = []
     resid_by_pred = {}
     for pred in cand:
         resid_by_pred[pred] = []
-    chan_planes = [p for _, p in channels]
-    for pos, (chan_idx, plane) in enumerate(channels):
+    full = total <= sample_limit * 2
+    if full:
+        chan_planes = [p for _, p in channels]
+        subs = [(ci, p, None, None) for ci, p in channels]
+    else:
+        blk = 16
+        subs = []
+        for ci, p in channels:
+            h, w = p.shape
+            starts = _row_sel(h, w)
+            segs, keep, ytrue = [], [], []
+            for y0 in starts:
+                halo = min(2, y0)
+                rows = min(blk, h - y0)
+                segs.append(p[y0 - halo:y0 + rows])
+                keep.extend([False] * halo + [True] * rows)
+                ytrue.extend(range(y0 - halo, y0 + rows))
+            subs.append((ci, np.concatenate(segs, axis=0),
+                         np.asarray(keep), np.asarray(ytrue, np.int64)))
+        chan_planes = [s[1] for s in subs]
+    for pos, (chan_idx, plane, keep, ytrue) in enumerate(subs):
         props, nb = property_planes(plane, chan_idx, group_id, wp_header)
         props.update(ref_property_planes(chan_planes, pos))
-        flat = {k: v.ravel() for k, v in props.items()}
+        if ytrue is not None:
+            props[2] = np.broadcast_to(ytrue[:, None], plane.shape)
+        if keep is None:
+            flat = {k: v.ravel() for k, v in props.items()}
+        else:
+            flat = {k: v[keep].ravel() for k, v in props.items()}
         props_all.append(flat)
         for pred in cand:
+            r = plane.astype(np.int64) - predictions(nb, pred)
             resid_by_pred[pred].append(
-                (plane.astype(np.int64) - predictions(nb, pred)).ravel())
+                r.ravel() if keep is None else r[keep].ravel())
     props = {k: np.concatenate([f[k] for f in props_all])
              for k in props_all[0]}
     resid = {p: np.concatenate(v) for p, v in resid_by_pred.items()}
@@ -377,10 +455,16 @@ def tokenize_with_tree(channels, tree, group_id: int,
     sequential, row-major). ``channels``: list of (chan_idx, plane)."""
     out = []
     chan_planes = [p for _, p in channels]
+    used_props = {n.property for n in tree if not n.is_leaf}
+    used_preds = {n.predictor for n in tree if n.is_leaf}
+    need_wp = PREDICTOR_WEIGHTED in used_preds or 15 in used_props
+    need_refs = any(p >= 16 for p in used_props)
     for pos, (chan_idx, plane) in enumerate(channels):
-        props, nb = property_planes(plane, chan_idx, group_id, wp_header)
-        props.update(ref_property_planes(chan_planes, pos))
-        preds = {p: predictions(nb, p) for p in _candidate_predictors()}
+        props, nb = property_planes(plane, chan_idx, group_id, wp_header,
+                                    only=used_props, need_wp=need_wp)
+        if need_refs:
+            props.update(ref_property_planes(chan_planes, pos))
+        preds = {p: predictions(nb, p) for p in used_preds}
         h, w = plane.shape
         ctx = np.zeros((h, w), np.int32)
         pred_id = np.zeros((h, w), np.int32)
