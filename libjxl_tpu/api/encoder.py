@@ -59,6 +59,9 @@ class EncodeOptions:
                                    # sRGB); want_icc profiles are
                                    # embedded entropy-coded (the cjxl
                                    # keep-input-profile behavior)
+    distance: float = 0.0          # >0: LOSSY modular — squeeze-residual
+                                   # quantization (cjxl -m -d N;
+                                   # enc_modular.cc QuantizeChannel)
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -73,7 +76,8 @@ def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
         raise ValueError("lossless encode expects uint8/uint16")
     img = ModularImage(w, h, bits)
     for c in range(nch):
-        img.channel.append(Channel(pixels[:, :, c].astype(np.int32)))
+        img.channel.append(Channel(pixels[:, :, c].astype(np.int32),
+                                   component=c))
     return img, bits, nch
 
 
@@ -336,10 +340,20 @@ def _modular_frame_bytes(pixels, options, meta,
             fwd_rct(img, 0, rct_type)
             transforms.append(Transform(id=TransformId.RCT, begin_c=0,
                                         rct_type=rct_type))
-    if options.squeeze:
+    lossy_mod = getattr(options, "distance", 0.0) > 0
+    if options.squeeze or lossy_mod:
         from libjxl_tpu.modular.transforms import fwd_squeeze
         fwd_squeeze(img, [])    # default parameters, signalled empty
         transforms.append(Transform(id=TransformId.SQUEEZE, squeezes=[]))
+    if lossy_mod:
+        # modular lossy (cjxl -m with -d > 0): quantize the squeeze
+        # residuals; the emitted stream is still plain modular
+        from libjxl_tpu.modular.transforms import quantize_squeeze
+        quantize_squeeze(img, options.distance, (1 << bits) - 1,
+                         chroma_rct=any(
+                             int(t.id) == int(TransformId.RCT)
+                             for t in transforms),
+                         responsive=True)
     # WP mode search (enc_modular.cc:1525-1541: 2 presets at kitten e8,
     # 5 at tortoise e9+), signaled through the stream's WPHeader
     wp_header = GroupHeader().wp_header

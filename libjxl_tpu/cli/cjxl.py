@@ -22,6 +22,9 @@ def main(argv=None) -> int:
                    help="Butteraugli distance target; 0 = lossless")
     p.add_argument("-e", "--effort", type=int, default=3)
     p.add_argument("--lossless", action="store_true")
+    p.add_argument("-m", "--modular", action="store_true",
+                   help="modular mode; with -d > 0: lossy modular "
+                        "(squeeze-residual quantization)")
     p.add_argument("--device", action="store_true",
                    help="run pixel compute on the TPU (JAX) path")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -83,10 +86,12 @@ def main(argv=None) -> int:
 
     img = load_image(args.input)
     t0 = time.perf_counter()
-    if args.lossless or args.distance == 0:
+    if args.lossless or args.distance == 0 or args.modular:
         from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
         data = encode_lossless(img, EncodeOptions(
-            effort=args.effort, use_device=args.device))
+            effort=args.effort, use_device=args.device,
+            distance=0.0 if (args.lossless or args.distance == 0)
+            else args.distance))
     else:
         from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
         data = encode_lossy(img, LossyOptions(

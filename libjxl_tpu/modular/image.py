@@ -13,6 +13,8 @@ class Channel:
     plane: np.ndarray            # (h, w) int32
     hshift: int = 0
     vshift: int = 0
+    component: int = -1          # source color component (modular lossy
+    #                              squeeze quantization; -1 = unknown/luma)
 
     @property
     def w(self) -> int:

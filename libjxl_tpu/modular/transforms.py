@@ -263,6 +263,7 @@ def meta_squeeze(image: ModularImage, transform: Transform) -> None:
                 resw, resh = ch.w, h - (h + 1) // 2
             # Residual placeholder gets the post-squeeze shifts.
             placeholder = Channel.create(resw, resh, ch.hshift, ch.vshift)
+            placeholder.component = ch.component
             image.channel.insert(offset + (c - beginc), placeholder)
 
 
@@ -675,3 +676,49 @@ def fwd_squeeze(image: ModularImage, parameters: list[SqueezeParams]):
                 residual = _fwd_vsqueeze(image, c)
             image.channel.insert(offset + (c - beginc), residual)
     return parameters
+
+
+# ---------------------------------------------------------------------------
+# Modular lossy: squeeze-residual quantization (enc_modular.cc:81-107,
+# 140-152, 979-1035). Encoder-side only — values are rounded to
+# multiples of a per-channel q, the stream stays a plain modular one.
+# ---------------------------------------------------------------------------
+
+_SQUEEZE_QUALITY_FACTOR = 0.35
+_SQUEEZE_LUMA_FACTOR = 1.1
+_SQUEEZE_LUMA_QTABLE = (163.84, 81.92, 40.96, 20.48, 10.24, 5.12, 2.56,
+                        1.28, 0.64, 0.32, 0.16, 0.08, 0.04, 0.02, 0.01,
+                        0.005)
+_SQUEEZE_CHROMA_QTABLE = (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1,
+                          0.5, 0.5, 0.5, 0.5, 0.5)
+
+
+def quantize_squeeze(image: ModularImage, distance: float, maxval: int,
+                     chroma_rct: bool, responsive: bool = True) -> None:
+    """Round each non-meta channel to multiples of its squeeze-level q
+    (QuantizeChannel): the amount of loss scales with the channel's
+    resolution level, mimicking a wavelet quantizer. Channels from
+    extra components (component >= 3 or unknown in a >3-channel image)
+    stay lossless (ec_distance default 0)."""
+    quantizer = 0.25 * (0.1 if not responsive else 1.0)
+    qbase = quantizer * distance ** 1.2 * (maxval / 255.0)
+    for i in range(image.nb_meta_channels, len(image.channel)):
+        ch = image.channel[i]
+        comp = ch.component
+        if comp >= 3:
+            continue                      # extra channel: lossless
+        shift = min(ch.hshift + ch.vshift, 16)
+        if shift > 0:
+            shift -= 1
+        if chroma_rct and 0 < comp < 3:
+            q = int(qbase * _SQUEEZE_QUALITY_FACTOR *
+                    _SQUEEZE_CHROMA_QTABLE[shift])
+        else:
+            q = int(qbase * _SQUEEZE_QUALITY_FACTOR *
+                    _SQUEEZE_LUMA_FACTOR * _SQUEEZE_LUMA_QTABLE[shift])
+        if q <= 1:
+            continue
+        p = ch.plane.astype(np.int64)
+        ch.plane = np.where(
+            p < 0, -((-p + q // 2) // q) * q,
+            ((p + q // 2) // q) * q).astype(np.int32)

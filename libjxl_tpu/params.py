@@ -50,6 +50,9 @@ class CompressParams:
         """Resolve to the modular-lossless pipeline's options."""
         from libjxl_tpu.api.encoder import EncodeOptions
         return EncodeOptions(
+            distance=(self.distance
+                      if self.modular_mode and self.distance > 0
+                      else 0.0),
             effort=min(self.effort, 9),
             use_rct=self.use_rct,
             group_size_shift=self.group_size_shift,

@@ -312,3 +312,31 @@ def test_unified_compress_params(rng):
     assert p.to_lossy_options().progressive_dc == 1
     assert CompressParams(distance=0).is_lossless()
     assert not CompressParams(distance=1).is_lossless()
+
+
+def test_modular_lossy_squeeze_quantization(rng):
+    """Modular lossy (cjxl -m with -d > 0; enc_modular.cc
+    QuantizeChannel): squeeze residuals are rounded to per-level
+    multiples — smaller streams with bounded error, still decoding
+    bit-identically on any conformant decoder."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+
+    yy, xx = np.mgrid[0:160, 0:200]
+    img = np.clip(np.stack([120 + 90 * np.sin(xx / 23.0),
+                            128 + 60 * np.cos(yy / 31.0),
+                            100 + 50 * np.sin((xx + yy) / 17.0)], -1)
+                  + rng.normal(0, 5, (160, 200, 3)), 0,
+                  255).astype(np.uint8)
+    base = encode_lossless(img, EncodeOptions(effort=5))
+    sizes = [len(base)]
+    prev_err = 0.0
+    for d in (1.0, 3.0):
+        data = encode_lossless(img, EncodeOptions(effort=5, distance=d))
+        out = decode(data)
+        err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+        assert err > prev_err           # loss grows with distance
+        assert err < 2.0 + 4.0 * d      # but stays bounded
+        sizes.append(len(data))
+        prev_err = err
+    assert sizes[2] < sizes[1] < sizes[0]
