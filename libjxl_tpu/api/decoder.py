@@ -1049,12 +1049,60 @@ def _decode_unoriented(data: bytes) -> np.ndarray:
         out = np.stack([p * maxval for p in planes], axis=-1)
         out = np.clip(np.round(out), 0, maxval)
         return out.astype(np.uint8 if bits <= 8 else np.uint16)
+    if meta.m.bit_depth.floating_point_sample:
+        # custom-float samples ride as integer bit patterns
+        # (dec_modular.cc int_to_float)
+        exp_bits = meta.m.bit_depth.exponent_bits_per_sample
+        planes = [_int_plane_to_float(p, bits, exp_bits) for p in planes]
+        return np.stack(planes, axis=-1)
     out = np.stack(planes, axis=-1)
     if bits <= 8:
         out = np.clip(out, 0, 255).astype(np.uint8)
     elif bits <= 16:
         out = np.clip(out, 0, 65535).astype(np.uint16)
     return out
+
+
+def _int_plane_to_float(plane: np.ndarray, bits: int,
+                        exp_bits: int) -> np.ndarray:
+    """dec_modular.cc:128-187 int_to_float: the modular integers are a
+    [bits]-bit custom float's bit pattern; rebuild binary32."""
+    if bits == 32:
+        if exp_bits != 8:
+            raise FormatError("32-bit float must have 8 exponent bits")
+        return plane.astype(np.int32).view(np.float32)
+    exp_bias = (1 << (exp_bits - 1)) - 1
+    sign_shift = bits - 1
+    mant_bits = bits - exp_bits - 1
+    mant_shift = 23 - mant_bits
+    f = plane.astype(np.int64) & ((1 << bits) - 1)
+    signbit = (f >> sign_shift).astype(np.uint32)
+    f = f & ((1 << sign_shift) - 1)
+    exp = (f >> mant_bits).astype(np.int64)
+    mant = (f & ((1 << mant_bits) - 1)).astype(np.int64)
+    naninf = exp == (1 << exp_bits) - 1
+    mant32 = mant << mant_shift
+    # subnormals: normalize while the implicit bit is absent
+    if exp_bits < 8:
+        sub = (exp == 0) & (f != 0)
+        m = mant32.copy()
+        e = exp.copy()
+        for _ in range(24):
+            go = sub & ((m & 0x800000) == 0)
+            if not go.any():
+                break
+            m = np.where(go, m << 1, m)
+            e = np.where(go, e - 1, e)
+        m = np.where(sub, m & 0x7FFFFF, mant32)
+        e = np.where(sub, e + 1, exp)
+    else:
+        m, e = mant32, exp
+    e32 = np.clip(e - exp_bias + 127, 0, 255).astype(np.uint32)
+    out = (signbit << 31) | (e32 << 23) | m.astype(np.uint32)
+    out = np.where(f == 0, signbit << 31, out)
+    out = np.where(naninf, (signbit << 31) | (np.uint32(0xFF) << 23) |
+                   (mant << mant_shift).astype(np.uint32), out)
+    return out.astype(np.uint32).view(np.float32)
 
 
 def _ycbcr_planes_to_rgb(planes, fh):

@@ -72,12 +72,18 @@ def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
         bits = 8
     elif pixels.dtype == np.uint16:
         bits = 16
+    elif pixels.dtype == np.float32:
+        # float samples ride as their binary32 bit patterns
+        # (enc_modular.cc float_to_int, bits == 32 fast path)
+        bits = 32
     else:
-        raise ValueError("lossless encode expects uint8/uint16")
+        raise ValueError("lossless encode expects uint8/uint16/float32")
     img = ModularImage(w, h, bits)
     for c in range(nch):
-        img.channel.append(Channel(pixels[:, :, c].astype(np.int32),
-                                   component=c))
+        plane = pixels[:, :, c]
+        if pixels.dtype == np.float32:
+            plane = plane.view(np.int32)
+        img.channel.append(Channel(plane.astype(np.int32), component=c))
     return img, bits, nch
 
 
@@ -142,7 +148,8 @@ def _modular_headers(pixels: np.ndarray, options,
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nch = pixels.shape
-    bits = 16 if pixels.dtype == np.uint16 else 8
+    is_float = pixels.dtype == np.float32
+    bits = 32 if is_float else 16 if pixels.dtype == np.uint16 else 8
     gray = nch <= 2
     has_alpha = nch in (2, 4)
     bw = BitWriter()
@@ -151,11 +158,15 @@ def _modular_headers(pixels: np.ndarray, options,
     size.set(w, h)
     write_bundle(bw, size)
     from libjxl_tpu.core.headers import ExtraChannelInfo
-    eci = [ExtraChannelInfo(bit_depth=BitDepth(bits_per_sample=bits))] \
+    depth = BitDepth(bits_per_sample=bits)
+    if is_float:
+        depth.floating_point_sample = True
+        depth.exponent_bits_per_sample = 8
+    eci = [ExtraChannelInfo(bit_depth=depth)] \
         if has_alpha else []
     meta = ImageMetadata(
         xyb_encoded=False,
-        bit_depth=BitDepth(bits_per_sample=bits),
+        bit_depth=depth,
         color_encoding=(getattr(options, "color_encoding", None) or
                         ColorEncoding.srgb(gray=gray)),
         modular_16_bit_buffer_sufficient=bits <= 12,
@@ -324,7 +335,11 @@ def _modular_frame_bytes(pixels, options, meta,
     # ---- modular planning ------------------------------------------------
     transforms = []
     palettized = False
-    if options.palette and nch >= 1 and not options.use_device:
+    # 32-bit (float-bit-pattern) samples: RCT/palette would need 33+
+    # bits (the reference's max_bitdepth gate also skips them there)
+    wide32 = bits >= 32
+    if options.palette and nch >= 1 and not options.use_device and \
+            not wide32:
         # global palette when few distinct colors (enc_heuristics.cc /
         # enc_palette.cc): replaces RCT entirely
         from libjxl_tpu.modular.transforms import fwd_palette
@@ -332,7 +347,7 @@ def _modular_frame_bytes(pixels, options, meta,
         if t is not None:
             transforms.append(t)
             palettized = True
-    if options.use_rct and nch >= 3 and not palettized:
+    if options.use_rct and nch >= 3 and not palettized and not wide32:
         rct_type = 6                 # global YCoCg at fast tiers
         if options.effort >= 5:
             rct_type = _search_rct(img, options.effort)

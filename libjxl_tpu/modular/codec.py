@@ -20,7 +20,7 @@ from libjxl_tpu.modular.image import Channel, ModularImage
 from libjxl_tpu.modular.predict import (
     EXTRA_PROPS_PER_CHANNEL, NUM_NONREF_PROPERTIES, PREDICTOR_GRADIENT,
     PREDICTOR_WEIGHTED, PREDICTOR_ZERO, WPHeader, WPState, clamped_gradient,
-    compute_properties_scalar, predict_one, _neighbors,
+    compute_properties_scalar, predict_one, wrap32, _neighbors,
 )
 from libjxl_tpu.modular.transforms import Transform
 from libjxl_tpu.modular.tree import TreeNode, decode_tree, write_tree, \
@@ -86,10 +86,11 @@ def _compute_references(image: ModularImage, chan_idx: int, y: int,
         M = np.maximum(vleft, vtop)
         grad = vleft + vtop - vtopleft
         vpred = np.where(vtopleft < m, M, np.where(vtopleft > M, m, grad))
-        refs[:, offset] = np.abs(v)
-        refs[:, offset + 1] = v
-        refs[:, offset + 2] = np.abs(v - vpred)
-        refs[:, offset + 3] = v - vpred
+        # PropertyVal (int32) wrap for 32-bit content
+        refs[:, offset] = np.abs(v).astype(np.int32)
+        refs[:, offset + 1] = v.astype(np.int32)
+        refs[:, offset + 2] = np.abs(v - vpred).astype(np.int32)
+        refs[:, offset + 3] = (v - vpred).astype(np.int32)
         offset += EXTRA_PROPS_PER_CHANNEL
     return refs
 
@@ -238,7 +239,7 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
             for y in range(h):
                 for x in range(w):
                     v = reader.read_hybrid_uint_clustered(ctx, r)
-                    plane[y, x] = unpack_signed(v)
+                    plane[y, x] = wrap32(unpack_signed(v))
             ch.plane = plane.astype(np.int32)
             return
         if node.predictor == PREDICTOR_GRADIENT and \
@@ -252,7 +253,7 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
                     guess = clamped_gradient(int(top), int(left),
                                              int(topleft))
                     v = reader.read_hybrid_uint_clustered(ctx, r)
-                    plane[y, x] = unpack_signed(v) + guess
+                    plane[y, x] = wrap32(unpack_signed(v) + guess)
             ch.plane = plane.astype(np.int32)
             return
         # single leaf, general predictor
@@ -266,8 +267,8 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
                 guess = predict_one(node.predictor, left, top, toptop,
                                     topleft, topright, leftleft, trr, wp_pred)
                 v = reader.read_hybrid_uint_clustered(ctx, r)
-                val = unpack_signed(v) * node.multiplier + guess + \
-                    node.predictor_offset
+                val = wrap32(unpack_signed(v) * node.multiplier + guess +
+                             node.predictor_offset)
                 plane[y, x] = val
                 if wp:
                     wp.update_errors(int(val), x, y, w)
@@ -304,8 +305,8 @@ def decode_modular_channel(r: BitReader, reader: ANSSymbolReader,
             guess = predict_one(node.predictor, int(left), int(top),
                                 int(toptop), int(topleft), int(topright),
                                 int(leftleft), int(trr), wp_pred)
-            val = unpack_signed(v) * node.multiplier + guess + \
-                node.predictor_offset
+            val = wrap32(unpack_signed(v) * node.multiplier + guess +
+                         node.predictor_offset)
             plane[y, x] = val
             if wp is not None:
                 wp.update_errors(int(val), x, y, w)
@@ -399,7 +400,7 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
         ctx = node.context
         if node.predictor == PREDICTOR_ZERO and node.predictor_offset == 0 \
                 and node.multiplier == 1:
-            vals = plane.reshape(-1)
+            vals = plane.reshape(-1).astype(np.int32).astype(np.int64)
             packed = np.where(vals >= 0, vals * 2, -vals * 2 - 1)
             return np.stack([np.full(len(packed), ctx, dtype=np.int64),
                              packed], axis=1)
@@ -421,7 +422,8 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
             grad = top + left - topleft
             guess = np.where(topleft < m, M,
                              np.where(topleft > M, m, grad))
-            res = (plane - guess).reshape(-1)
+            res = (plane - guess).reshape(-1).astype(
+                np.int32).astype(np.int64)
             packed = np.where(res >= 0, res * 2, -res * 2 - 1)
             return np.stack([np.full(len(packed), ctx, dtype=np.int64),
                              packed], axis=1)
@@ -454,7 +456,7 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
                                 int(toptop), int(topleft), int(topright),
                                 int(leftleft), int(trr), wp_pred)
             val = int(plane[y, x])
-            residual = val - guess - node.predictor_offset
+            residual = wrap32(val - guess - node.predictor_offset)
             assert residual % node.multiplier == 0, \
                 "value not representable with leaf multiplier"
             tokens.append((node.context, pack_signed(residual //

@@ -64,10 +64,11 @@ def ref_property_planes(planes, chan_idx: int) -> dict:
         M = np.maximum(vleft, vtop)
         grad = vleft + vtop - vtopleft
         vpred = np.where(vtopleft < m, M, np.where(vtopleft > M, m, grad))
-        out[16 + offset] = np.abs(v)
-        out[16 + offset + 1] = v
-        out[16 + offset + 2] = np.abs(v - vpred)
-        out[16 + offset + 3] = v - vpred
+        # PropertyVal (int32) wrap for 32-bit content
+        out[16 + offset] = np.abs(v).astype(np.int32)
+        out[16 + offset + 1] = v.astype(np.int32)
+        out[16 + offset + 2] = np.abs(v - vpred).astype(np.int32)
+        out[16 + offset + 3] = (v - vpred).astype(np.int32)
         offset += 4
     return out
 
@@ -154,32 +155,36 @@ def property_planes(plane: np.ndarray, chan_idx: int, group_id: int,
     if want(3):
         props[3] = np.broadcast_to(
             np.arange(w, dtype=np.int64)[None, :], (h, w))
+    def w32(a):
+        # PropertyVal = int32_t (options.h:18): wrap for 32-bit content
+        return a.astype(np.int32).astype(np.int64)
+
     if want(4):
-        props[4] = np.abs(top)
+        props[4] = w32(np.abs(top))
     if want(5):
-        props[5] = np.abs(left)
+        props[5] = w32(np.abs(left))
     if want(6):
-        props[6] = top
+        props[6] = w32(top)
     if want(7):
-        props[7] = left
+        props[7] = w32(left)
     if want(8) or want(9):
-        grad = left + top - topleft
+        grad = w32(left + top - topleft)
         if want(9):
             props[9] = grad
         if want(8):
             prev_grad = np.zeros_like(grad)
             prev_grad[:, 1:] = grad[:, :-1]   # reset 0 at row starts
-            props[8] = left - prev_grad
+            props[8] = w32(left - prev_grad)
     if want(10):
-        props[10] = left - topleft
+        props[10] = w32(left - topleft)
     if want(11):
-        props[11] = topleft - top
+        props[11] = w32(topleft - top)
     if want(12):
-        props[12] = top - topright
+        props[12] = w32(top - topright)
     if want(13):
-        props[13] = top - toptop
+        props[13] = w32(top - toptop)
     if want(14):
-        props[14] = left - leftleft
+        props[14] = w32(left - leftleft)
     if wp_prop is not None and want(15):
         props[15] = wp_prop
     return props, {"left": left, "top": top, "topleft": topleft,
@@ -298,7 +303,8 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
             flat = {k: v[keep].ravel() for k, v in props.items()}
         props_all.append(flat)
         for pred in cand:
-            r = plane.astype(np.int64) - predictions(nb, pred)
+            r = (plane.astype(np.int64) -
+                 predictions(nb, pred)).astype(np.int32).astype(np.int64)
             resid_by_pred[pred].append(
                 r.ravel() if keep is None else r[keep].ravel())
     props = {k: np.concatenate([f[k] for f in props_all])
@@ -484,6 +490,8 @@ def tokenize_with_tree(channels, tree, group_id: int,
         for p, pp in preds.items():
             m = pred_id == p
             resid[m] -= pp[m]
+        # residuals wrap to int32 (PackSigned takes pixel_type)
+        resid = resid.astype(np.int32).astype(np.int64)
         packed = np.where(resid >= 0, 2 * resid,
                           -2 * resid - 1).astype(np.int64)
         out.append(np.stack([ctx.ravel().astype(np.int64),

@@ -51,6 +51,13 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def wrap32(v: int) -> int:
+    """int32 two's-complement wrap (PropertyVal = int32_t and the WP
+    error stores, reference options.h:18 / context_predict.h:72-73;
+    only observable on 32-bit-sample content)."""
+    return ((int(v) + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
 def predict_one(p: int, left: int, top: int, toptop: int, topleft: int,
                 topright: int, leftleft: int, toprightright: int,
                 wp_pred: int) -> int:
@@ -196,7 +203,7 @@ class WPState:
         for i in range(4):
             werr = (int(self.pred_errors[i][pos_n]) +
                     int(self.pred_errors[i][pos_ne]) +
-                    int(self.pred_errors[i][pos_nw]))
+                    int(self.pred_errors[i][pos_nw])) & 0xFFFFFFFF
             weights.append(self._error_weight(werr, hdr.w[i]))
         N = top << K_PRED_EXTRA_BITS
         W = left << K_PRED_EXTRA_BITS
@@ -216,7 +223,7 @@ class WPState:
                 p = teNW
             if abs(teNE) > abs(p):
                 p = teNE
-            properties[prop_offset] = p
+            properties[prop_offset] = wrap32(p)
         self.prediction[0] = W + NE - N
         self.prediction[1] = N - (((sumWN + teNE) * hdr.p1C) >> 5)
         self.prediction[2] = W - (((sumWN + teNW) * hdr.p2C) >> 5)
@@ -235,12 +242,15 @@ class WPState:
         cur_row = 0 if (y & 1) else (xsize + 2)
         prev_row = (xsize + 2) if (y & 1) else 0
         val <<= K_PRED_EXTRA_BITS
-        self.error[cur_row + x] = self.pred - val
+        self.error[cur_row + x] = wrap32(self.pred - val)
         for i in range(4):
             err = (abs(self.prediction[i] - val) +
                    K_PREDICTION_ROUND) >> K_PRED_EXTRA_BITS
-            self.pred_errors[i][cur_row + x] = err
-            self.pred_errors[i][prev_row + x + 1] += err
+            # uint32 stores (context_predict.h:72)
+            self.pred_errors[i][cur_row + x] = err & 0xFFFFFFFF
+            self.pred_errors[i][prev_row + x + 1] = \
+                (int(self.pred_errors[i][prev_row + x + 1]) + err) \
+                & 0xFFFFFFFF
 
 
 def predictor_has_wp(predictor: int) -> bool:
@@ -257,18 +267,17 @@ def compute_properties_scalar(props, plane: np.ndarray, x: int, y: int,
     left, top, topleft, topright, leftleft, toptop, trr = \
         _neighbors(plane, x, y, w)
     props[3] = x
-    props[4] = abs(top)
-    props[5] = abs(left)
-    props[6] = top
-    props[7] = left
-    props[8] = left - prev_grad
-    new_grad = left + top - topleft
-    props[9] = new_grad
-    props[10] = left - topleft
-    props[11] = topleft - top
-    props[12] = top - topright
-    props[13] = top - toptop
-    props[14] = left - leftleft
+    props[4] = wrap32(abs(top))
+    props[5] = wrap32(abs(left))
+    props[6] = wrap32(top)
+    props[7] = wrap32(left)
+    props[8] = wrap32(left - prev_grad)
+    props[9] = wrap32(left + top - topleft)
+    props[10] = wrap32(left - topleft)
+    props[11] = wrap32(topleft - top)
+    props[12] = wrap32(top - topright)
+    props[13] = wrap32(top - toptop)
+    props[14] = wrap32(left - leftleft)
     return left, top, topleft, topright, leftleft, toptop, trr
 
 

@@ -801,8 +801,9 @@ EXPORT void jxlt_wp_plane(const int32_t* plane, int64_t w, int64_t h,
       int64_t pos_nw = x > 0 ? pos_n - 1 : pos_n;
       int64_t weights[4];
       for (int i = 0; i < 4; i++) {
-        int64_t werr = pred_errors[i][pos_n] + pred_errors[i][pos_ne] +
-                       pred_errors[i][pos_nw];
+        int64_t werr = (uint32_t)(pred_errors[i][pos_n] +
+                                  pred_errors[i][pos_ne] +
+                                  pred_errors[i][pos_nw]);
         int shift = FloorLog2(werr + 1) - 5;
         if (shift < 0) shift = 0;
         weights[i] = 4 + ((c.w[i] * divlookup[werr >> shift]) >> shift);
@@ -841,11 +842,12 @@ EXPORT void jxlt_wp_plane(const int32_t* plane, int64_t w, int64_t h,
       out_pred[y * w + x] = (int32_t)((pred + kRound) >> kBits);
       // update errors with the true value
       int64_t val = ((int64_t)plane[y * w + x]) << kBits;
-      error[cur_row + x] = pred - val;
+      error[cur_row + x] = (int32_t)(pred - val);
       for (int i = 0; i < 4; i++) {
         int64_t err = (std::llabs(prediction[i] - val) + kRound) >> kBits;
-        pred_errors[i][cur_row + x] = err;
-        pred_errors[i][prev_row + x + 1] += err;
+        pred_errors[i][cur_row + x] = (uint32_t)err;
+        pred_errors[i][prev_row + x + 1] =
+            (uint32_t)(pred_errors[i][prev_row + x + 1] + err);
       }
     }
   }
@@ -1190,8 +1192,11 @@ struct WpDec {
     int64_t pos_nw = x > 0 ? pos_n - 1 : pos_n;
     int64_t weights[4];
     for (int i = 0; i < 4; i++) {
-      int64_t werr = pred_errors[i][pos_n] + pred_errors[i][pos_ne] +
-                     pred_errors[i][pos_nw];
+      // pred_errors is std::vector<uint32_t> in the reference: the
+      // 3-term sum wraps mod 2^32 (context_predict.h:72,148)
+      int64_t werr = (uint32_t)(pred_errors[i][pos_n] +
+                                pred_errors[i][pos_ne] +
+                                pred_errors[i][pos_nw]);
       int shift = FloorLog2(werr + 1) - 5;
       if (shift < 0) shift = 0;
       weights[i] = 4 + ((c.w[i] * divlookup[werr >> shift]) >> shift);
@@ -1207,7 +1212,7 @@ struct WpDec {
     if (std::llabs(teN) > std::llabs(p)) p = teN;
     if (std::llabs(teNW) > std::llabs(p)) p = teNW;
     if (std::llabs(teNE) > std::llabs(p)) p = teNE;
-    *p15 = p;
+    *p15 = (int32_t)p;
     prediction[0] = W + NE - N;
     prediction[1] = N - (((sumWN + teNE) * c.p1C) >> 5);
     prediction[2] = W - (((sumWN + teNW) * c.p2C) >> 5);
@@ -1232,11 +1237,14 @@ struct WpDec {
     int64_t cur_row = (y & 1) ? 0 : (w + 2);
     int64_t prev_row = (y & 1) ? (w + 2) : 0;
     val <<= kBits;
-    error[cur_row + x] = pred - val;
+    // error is std::vector<int32_t>, pred_errors std::vector<uint32_t>
+    // in the reference: stores wrap (context_predict.h:72-73)
+    error[cur_row + x] = (int32_t)(pred - val);
     for (int i = 0; i < 4; i++) {
       int64_t err = (std::llabs(prediction[i] - val) + kRound) >> kBits;
-      pred_errors[i][cur_row + x] = err;
-      pred_errors[i][prev_row + x + 1] += err;
+      pred_errors[i][cur_row + x] = (uint32_t)err;
+      pred_errors[i][prev_row + x + 1] =
+          (uint32_t)(pred_errors[i][prev_row + x + 1] + err);
     }
   }
 };
@@ -1334,20 +1342,21 @@ EXPORT int64_t jxlt_modular_generic_decode(
       int64_t toptop = y > 1 ? plane[(y - 2) * w + x] : top;
       int64_t trr = (x + 2 < w && y) ? plane[(y - 1) * w + x + 2]
                                      : topright;
+      // PropertyVal is int32_t in the reference (options.h:18):
+      // assignments wrap; required for 32-bit (float-sample) content
       props[3] = x;
-      props[4] = std::llabs(top);
-      props[5] = std::llabs(left);
-      props[6] = top;
-      props[7] = left;
-      props[8] = left - prev_grad;
-      int64_t new_grad = left + top - topleft;
-      props[9] = new_grad;
-      prev_grad = new_grad;
-      props[10] = left - topleft;
-      props[11] = topleft - top;
-      props[12] = top - topright;
-      props[13] = top - toptop;
-      props[14] = left - leftleft;
+      props[4] = (int32_t)std::llabs(top);
+      props[5] = (int32_t)std::llabs(left);
+      props[6] = (int32_t)top;
+      props[7] = (int32_t)left;
+      props[8] = (int32_t)(left - prev_grad);
+      props[9] = (int32_t)(left + top - topleft);
+      prev_grad = props[9];
+      props[10] = (int32_t)(left - topleft);
+      props[11] = (int32_t)(topleft - top);
+      props[12] = (int32_t)(top - topright);
+      props[13] = (int32_t)(top - toptop);
+      props[14] = (int32_t)(left - leftleft);
       int64_t wp_pred = 0;
       if (use_wp) {
         wp_pred = wp.Predict(x, y, top, left, topright, topleft, toptop,

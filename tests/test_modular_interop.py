@@ -130,3 +130,25 @@ def test_conformance_matrix_gray_alpha_16bit(rng):
             got = oracle_decode(mine, dtype=dt, num_channels=nch).pixels
             assert np.array_equal(np.squeeze(got),
                                   np.squeeze(im)), (name, e, "enc")
+
+
+def test_float32_lossless_roundtrip_and_interop():
+    """32-bit float samples ride as binary32 bit patterns
+    (enc_modular.cc float_to_int / dec_modular.cc int_to_float); the
+    int32 PropertyVal / residual wrap semantics make huge bit-pattern
+    values decode exactly. Both directions: our roundtrip is
+    bit-exact and libjxl's own float streams decode bit-exactly."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 80, 3)) * 4 - 1).astype(np.float32)
+    for e in (2, 5):
+        data = encode_lossless(img, EncodeOptions(effort=e))
+        out = decode(data)
+        assert out.dtype == np.float32
+        assert np.array_equal(out, img)
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_encode
+        theirs = oracle_encode(img, lossless=True, effort=5)
+        assert np.array_equal(decode(theirs), img)
