@@ -76,13 +76,17 @@ def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
         # float samples ride as their binary32 bit patterns
         # (enc_modular.cc float_to_int, bits == 32 fast path)
         bits = 32
+    elif pixels.dtype == np.float16:
+        bits = 16                # IEEE half bit patterns (exp_bits 5)
     else:
-        raise ValueError("lossless encode expects uint8/uint16/float32")
+        raise ValueError("lossless encode expects uint8/uint16/float")
     img = ModularImage(w, h, bits)
     for c in range(nch):
         plane = pixels[:, :, c]
         if pixels.dtype == np.float32:
             plane = plane.view(np.int32)
+        elif pixels.dtype == np.float16:
+            plane = plane.view(np.uint16)
         img.channel.append(Channel(plane.astype(np.int32), component=c))
     return img, bits, nch
 
@@ -148,8 +152,9 @@ def _modular_headers(pixels: np.ndarray, options,
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nch = pixels.shape
-    is_float = pixels.dtype == np.float32
-    bits = 32 if is_float else 16 if pixels.dtype == np.uint16 else 8
+    is_float = pixels.dtype in (np.float32, np.float16)
+    bits = (32 if pixels.dtype == np.float32 else
+            16 if pixels.dtype in (np.uint16, np.float16) else 8)
     gray = nch <= 2
     has_alpha = nch in (2, 4)
     bw = BitWriter()
@@ -161,7 +166,7 @@ def _modular_headers(pixels: np.ndarray, options,
     depth = BitDepth(bits_per_sample=bits)
     if is_float:
         depth.floating_point_sample = True
-        depth.exponent_bits_per_sample = 8
+        depth.exponent_bits_per_sample = 8 if bits == 32 else 5
     eci = [ExtraChannelInfo(bit_depth=depth)] \
         if has_alpha else []
     meta = ImageMetadata(
@@ -337,7 +342,8 @@ def _modular_frame_bytes(pixels, options, meta,
     palettized = False
     # 32-bit (float-bit-pattern) samples: RCT/palette would need 33+
     # bits (the reference's max_bitdepth gate also skips them there)
-    wide32 = bits >= 32
+    wide32 = bits >= 32 or getattr(
+        pixels, "dtype", None) == np.float16
     if options.palette and nch >= 1 and not options.use_device and \
             not wide32:
         # global palette when few distinct colors (enc_heuristics.cc /

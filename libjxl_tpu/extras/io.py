@@ -90,8 +90,10 @@ def save_image(path: str, img: np.ndarray) -> None:
             f32 /= 255.0
         elif img.dtype == np.uint16:
             f32 /= 65535.0
+        # float input keeps full precision; integer input fits in half
+        ptype = "float" if img.dtype == np.float32 else "half"
         with open(path, "wb") as f:
-            f.write(write_exr(f32))
+            f.write(write_exr(f32, pixel_type=ptype))
         return
     from PIL import Image
     Image.fromarray(img2d).save(path)
