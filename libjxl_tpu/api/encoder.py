@@ -126,8 +126,17 @@ def encode_lossless(pixels: np.ndarray,
             best = min(range(len(outs)), key=lambda i: len(outs[i]))
             return encode_lossless(pixels, cands[best],
                                    _try_both_palette=False)
-        outs = [encode_lossless(pixels, c, _try_both_palette=False)
-                for c in cands]
+        if len(cands) > 1:
+            # candidates are independent full encodes — thread them
+            # (numpy + native release the GIL for most of the work)
+            from libjxl_tpu.parallel.runner import default_runner
+            outs = list(default_runner().map(
+                lambda c: encode_lossless(pixels, c,
+                                          _try_both_palette=False),
+                cands))
+        else:
+            outs = [encode_lossless(pixels, c, _try_both_palette=False)
+                    for c in cands]
         return min(outs, key=len)
     meta, header_bytes = _modular_headers(pixels, options)
     from libjxl_tpu.api import stats as _stats
@@ -493,11 +502,27 @@ def _modular_frame_bytes(pixels, options, meta,
         if group_chans else []
     ac_subs = [ac_group_sub(g) for g in range(fd.num_groups)] \
         if group_chans else []
-    dc_arrs = [stream_tokens(sub, stream_id_modular_dc(fd, g))
-               if sub.channel else empty for g, sub in enumerate(dc_subs)]
-    group_arrs = [stream_tokens(sub, stream_id_modular_ac(fd, g, 0))
-                  if sub.channel else empty
-                  for g, sub in enumerate(ac_subs)]
+    def _dc_tok(g):
+        sub = dc_subs[g]
+        return stream_tokens(sub, stream_id_modular_dc(fd, g)) \
+            if sub.channel else empty
+
+    def _ac_tok(g):
+        sub = ac_subs[g]
+        return stream_tokens(sub, stream_id_modular_ac(fd, g, 0)) \
+            if sub.channel else empty
+
+    if len(ac_subs) > 2:
+        # groups are the reference's parallel axis (enc_frame.cc
+        # RunOnPool over groups); numpy/native tokenization releases
+        # the GIL enough for threads to pay
+        from libjxl_tpu.parallel.runner import default_runner
+        runner = default_runner()
+        dc_arrs = list(runner.map(_dc_tok, range(len(dc_subs))))
+        group_arrs = list(runner.map(_ac_tok, range(len(ac_subs))))
+    else:
+        dc_arrs = [_dc_tok(g) for g in range(len(dc_subs))]
+        group_arrs = [_ac_tok(g) for g in range(len(ac_subs))]
 
     all_arrs = [global_arr] + dc_arrs + group_arrs
     codes = build_entropy_codes(all_arrs, num_ctx)
