@@ -1,15 +1,33 @@
 #!/bin/bash
-# Poll the axon relay; when healthy, immediately capture the TPU
-# measurements (pallas-vs-XLA filters + the full bench).
-for i in $(seq 1 90); do
-  if timeout 60 python -c "import jax, numpy as np; jax.device_put(np.zeros(64,np.uint8)).block_until_ready(); print('HEALTHY')" 2>/dev/null | grep -q HEALTHY; then
-    echo "tunnel healthy at attempt $i ($(date))"
-    timeout 580 python -u bench_pallas.py 2>&1 | grep -v WARNING
-    echo "--- bench.py ---"
-    timeout 900 python bench.py 2>&1 | tail -1
-    exit 0
+# Long-running tunnel watcher (round-3): poll the axon relay all round;
+# whenever it is healthy, capture the full bench (bench.py persists to
+# BENCH_CACHE.json with timestamp+commit) and the pallas-vs-XLA filter
+# measurement. Re-measures every REFRESH_S so the cache tracks the
+# latest code. Touch _watch_pause to make it stand off (e.g. while
+# interactive TPU work is running).
+cd "$(dirname "$0")"
+REFRESH_S=${REFRESH_S:-3600}
+last_measure=0
+echo "watcher start $(date)" >> _watch_log.txt
+while true; do
+  if [ -f _watch_pause ]; then
+    sleep 60
+    continue
   fi
-  sleep 110
+  now=$(date +%s)
+  if [ $((now - last_measure)) -lt "$REFRESH_S" ]; then
+    sleep 60
+    continue
+  fi
+  if timeout 60 python -c "import jax, numpy as np; jax.device_put(np.zeros(64,np.uint8)).block_until_ready(); print('HEALTHY')" 2>/dev/null | grep -q HEALTHY; then
+    echo "tunnel healthy $(date); measuring" >> _watch_log.txt
+    BENCH_PROBE_BUDGET_S=60 timeout 1200 python bench.py >> _watch_log.txt 2>&1
+    timeout 600 python -u bench_pallas.py > _pallas_out.txt 2>&1 \
+      && cp _pallas_out.txt PALLAS_CACHE.txt
+    last_measure=$(date +%s)
+    echo "measure done $(date)" >> _watch_log.txt
+  else
+    echo "tunnel down $(date)" >> _watch_log.txt
+    sleep 110
+  fi
 done
-echo "tunnel never recovered"
-exit 1
