@@ -274,15 +274,25 @@ def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam):
 
 def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
                   raw_quant: np.ndarray, matrices, quantizer,
-                  x_qm_mul: float):
+                  x_qm_mul: float, coef_cache: dict | None = None):
     """Quantize every anchor region with its strategy.
 
     Returns dict keyed by (by, bx) anchor -> dict with q (3, size) int32,
     y_rt (size,) roundtripped Y, stored residual arrays for X/B pending
-    CfL, plus the (3, yb, xb) DC float grid."""
+    CfL, plus the (3, yb, xb) DC float grid.
+
+    ``coef_cache``: optional dict reused across butteraugli iterations —
+    the forward transforms depend only on the pixels and the (pinned)
+    ACS layout, so per-strategy coefficient batches and the DC grid are
+    computed once and requantized per iteration."""
     yb8, xb8 = acs.shape
     inv_gs = quantizer.inv_global_scale
-    dc_float = np.zeros((3, yb8, xb8), np.float64)
+    if coef_cache is not None and "dc_float" in coef_cache:
+        dc_float = coef_cache["dc_float"]
+        dc_done = True
+    else:
+        dc_float = np.zeros((3, yb8, xb8), np.float64)
+        dc_done = False
     blocks = {}
     for strategy in np.unique(acs[anchors]):
         sel = anchors & (acs == strategy)
@@ -300,15 +310,22 @@ def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
             from libjxl_tpu.vardct.enc_transforms_small import \
                 forward_matrix
             F = forward_matrix(int(strategy))
-        coefs = {}
-        for c in range(3):
-            reg = _regions(xyb_p[c], by0, bx0, nby, nbx)
-            if special:
-                coefs[c] = reg.reshape(len(by0), 64) @ F.T
-                continue
-            rc = _batched_dct(reg)
-            stored = np.stack([coeffs_rc_to_stored(r) for r in rc])
-            coefs[c] = stored.reshape(len(by0), -1)
+        cached = None if coef_cache is None else \
+            coef_cache.get(int(strategy))
+        if cached is not None:
+            coefs = cached
+        else:
+            coefs = {}
+            for c in range(3):
+                reg = _regions(xyb_p[c], by0, bx0, nby, nbx)
+                if special:
+                    coefs[c] = reg.reshape(len(by0), 64) @ F.T
+                    continue
+                rc = _batched_dct(reg)
+                stored = np.stack([coeffs_rc_to_stored(r) for r in rc])
+                coefs[c] = stored.reshape(len(by0), -1)
+            if coef_cache is not None:
+                coef_cache[int(strategy)] = coefs
         # quantize Y + roundtrip
         qy = _quantize_y(coefs[1], inv_table[1], qac, th_y)
         y_rt = adjust_quant_bias(qy.reshape(-1, qy.shape[-1]), 1).reshape(
@@ -324,6 +341,8 @@ def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
         # chroma-from-luma uses the global DC factors (0 for X, 1.0 for
         # B with the dequantized Y DC), which the DC quantization step
         # accounts for — not the per-tile AC factors.
+        if dc_done:
+            continue
         mn, mx = min(nby, nbx), max(nby, nbx)
         for c in range(3):
             if special:
@@ -334,6 +353,8 @@ def transform_all(xyb_p: np.ndarray, acs: np.ndarray, anchors: np.ndarray,
                 llf_st = rcl[:mn, :mx]
                 llf = llf_st.T if nby >= nbx else llf_st
                 dc_float[c, by:by + nby, bx:bx + nbx] = dc_from_llf(llf)
+    if coef_cache is not None and not dc_done:
+        coef_cache["dc_float"] = dc_float
     return blocks, dc_float
 
 

@@ -72,6 +72,10 @@ class LossyOptions:
     _predispatched = None        # internal: (packed, dense16) handles
     _aux = None                  # dict filled with qf_field/acs when set
     _in_iteration = False        # internal: inside the butteraugli loop
+    _recon_only = False          # internal: stop after quantization and
+                                 # stash the recon state in _aux (the
+                                 # GetBlockFromEncoder analog — no
+                                 # bitstream is emitted)
     _animation = None            # AnimationHeader for multi-frame streams
     _is_last = True              # frame-level: last frame in codestream
     _duration = 0                # frame duration in animation ticks
@@ -423,9 +427,11 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             color_scale
         if use_acs:
             from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
+            cc = aux.setdefault("coef_cache", {}) \
+                if aux is not None and options._in_iteration else None
             blocks, dc_float_acs = transform_all(
                 xyb_p, acs_map, acs_anchors, raw_quant, matrices, quantizer,
-                x_qm_mul)
+                x_qm_mul, coef_cache=cc)
             finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
                           quantizer)
         x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
@@ -471,6 +477,24 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         q_dc_x = np.round(dcx_f / mul_dc[0]).astype(np.int32)
         q_dc_b = np.round((dcb_f - dcy_deq) / mul_dc[2]).astype(np.int32)
         q_dc = np.stack([q_dc_x, q_dc_y, q_dc_b], axis=-1)     # (yb, xb, 3)
+
+    if options._recon_only:
+        # butteraugli-loop fast path: stash everything the roundtrip
+        # reconstruction needs (enc_roundtrip.reconstruct_prefilter) and
+        # stop — no tokens, no entropy codes, no bitstream
+        options._aux["recon_state"] = dict(
+            blocks=blocks if use_acs else None,
+            q_ac=None if use_acs else q_ac,
+            q_dc=q_dc, quantizer=quantizer, matrices=matrices,
+            raw_quant=raw_quant, acs=acs_map, anchors=acs_anchors,
+            ytox=ytox_map, ytob=ytob_map, x_qm_scale=x_qm_scale,
+            gab=use_gab,
+            epf_iters=sum(d >= t for t in (0.7, 1.5, 4.0)),
+            fd=fd, sharpness=options._sharpness_field,
+            has_features=(patches_dict is not None or
+                          options.splines is not None or
+                          noise_lut is not None))
+        return b""
 
     # ---- AC tokens (per pass) -------------------------------------------
     order = natural_order(0)
@@ -819,15 +843,21 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
 
 def _tile_dist_map(diffmap: np.ndarray, acs: np.ndarray,
-                   anchors: np.ndarray) -> np.ndarray:
+                   anchors: np.ndarray, h_w=None,
+                   sums: np.ndarray | None = None) -> np.ndarray:
     """Per-block 16th-norm butteraugli distance, uniform over each ACS
-    region (enc_adaptive_quantization.cc TileDistMap:768-833)."""
+    region (enc_adaptive_quantization.cc TileDistMap:768-833).
+
+    ``sums``: optional precomputed per-8x8 sums of diffmap**16 (the
+    device scorer's output), in which case ``diffmap`` may be None and
+    ``h_w`` carries the image size."""
     yb, xb = acs.shape
-    h, w = diffmap.shape
-    pad = np.zeros((yb * 8, xb * 8))
-    pad[:h, :w] = diffmap
-    v16 = (pad.astype(np.float64) ** 16).reshape(yb, 8, xb, 8)
-    sums = v16.sum(axis=(1, 3))                      # per 8x8 tile
+    h, w = h_w if h_w is not None else diffmap.shape
+    if sums is None:
+        pad = np.zeros((yb * 8, xb * 8))
+        pad[:h, :w] = diffmap
+        v16 = (pad.astype(np.float64) ** 16).reshape(yb, 8, xb, 8)
+        sums = v16.sum(axis=(1, 3))                  # per 8x8 tile
     cnt = np.zeros((yb * 8, xb * 8))
     cnt[:h, :w] = 1.0
     cnts = cnt.reshape(yb, 8, xb, 8).sum(axis=(1, 3))
@@ -846,12 +876,21 @@ def _tile_dist_map(diffmap: np.ndarray, acs: np.ndarray,
 def _encode_lossy_iterated(pixels: np.ndarray,
                            options: LossyOptions) -> bytes:
     """FindBestQuantization (enc_adaptive_quantization.cc:929-1115):
-    refine the quant field with encode/decode roundtrips scored by the
-    butteraugli diffmap (our JAX implementation on device)."""
+    refine the quant field with roundtrips scored by the butteraugli
+    diffmap (our JAX implementation on device).
+
+    Like the reference's RoundtripImage/GetBlockFromEncoder
+    (enc_adaptive_quantization.cc:840, dec_group.cc:662), iterations
+    reconstruct straight from encoder state — the bitstream is emitted
+    exactly once, after the field converges and the EPF sharpness
+    search has run. Frames with image features (patches/splines/noise)
+    take the legacy emit+decode loop, whose scoring includes the
+    feature render stages."""
     import copy
 
-    from libjxl_tpu.api.decoder import decode
-    from libjxl_tpu.metrics.butteraugli import butteraugli_diffmap
+    from libjxl_tpu.vardct.enc_roundtrip import (
+        reconstruct_prefilter, roundtrip_block_sums,
+    )
 
     # our diffmap follows the current butteraugli model whose scale reads
     # higher than the classic scores at matched visual quality; calibrate
@@ -868,8 +907,91 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     base._aux = aux
     base.qf_override = None
     base._in_iteration = True
+    base._recon_only = True
     # first pass computes the field + ACS; qf_override then pins ACS-
     # adjusted values (choose_acs maxing already mirrors AdjustQuantField)
+    with _stats.suppress():
+        encode_lossy(pixels, base)
+    state = aux.pop("recon_state")
+    if state["has_features"]:
+        return _encode_lossy_iterated_legacy(pixels, options, aux)
+    qf = aux["qf_field"].copy()
+    init_qf = qf.copy()
+    qf_ratio = max(init_qf.max() / max(init_qf.min(), 1e-9), 1.0)
+    dev = min(np.sqrt(250.0 / qf_ratio), 2.0)
+    asym = dev
+    qf_lower = init_qf.min() / (asym * np.sqrt(250.0 / qf_ratio))
+    qf_higher = init_qf.max() * (np.sqrt(250.0 / qf_ratio) / asym)
+
+    h, w = pixels.shape[:2]
+    orig_f32 = np.asarray(orig_lin, np.float32)
+    iters = 4 if options.effort >= 9 else 2
+    for i in range(iters):
+        sums = roundtrip_block_sums(state, orig_f32, h, w)
+        tile = _tile_dist_map(None, aux["acs"], aux["anchors"],
+                              h_w=(h, w), sums=sums)
+        diff = tile / target
+        scale = 16.0 / max(init_qf.max(), 1e-9)   # ~ one raw-quant step
+        if i < 2:
+            newqf = np.where(diff > 1.0, qf * diff, qf * diff ** 0.2)
+        else:
+            newqf = np.where(diff > 1.0, qf * diff, qf)
+        # minimum bump where an increase was requested but rounds equal
+        bump = (diff > 1.0) & (np.rint(newqf * scale) ==
+                               np.rint(qf * scale))
+        newqf = np.where(bump, qf + 1.0 / scale, newqf)
+        qf = np.clip(newqf, qf_lower, qf_higher)
+        if i == 1:
+            # don't let the field drop far below the initial guess
+            clamp = 0.4 * qf + 0.6 * init_qf
+            qf = np.where(qf < clamp, np.minimum(
+                np.maximum(clamp, qf_lower), qf_higher), qf)
+        _stats.record_count("num_butteraugli_iters", 1)
+        it = copy.copy(base)
+        it.qf_override = qf
+        with _stats.suppress():
+            encode_lossy(pixels, it)
+        state = aux.pop("recon_state")
+
+    # EPF sharpness search (ComputeARHeuristics, enc_heuristics.cc:
+    # 892-1018) on the converged reconstruction; the field doesn't
+    # change coefficients, so the single emit below carries it
+    field = None
+    if options.distance >= 0.5:
+        xyb_pre, rdec, lf = reconstruct_prefilter(state)
+        field = _epf_sharpness_search_state(
+            xyb_pre, rdec, lf, aux.get("opsin"), options.distance)
+    emit = copy.copy(options)
+    emit.qf_override = qf
+    emit._aux = aux
+    emit._in_iteration = True
+    if field is not None:
+        emit._sharpness_field = field
+    return encode_lossy(pixels, emit)
+
+
+def _encode_lossy_iterated_legacy(pixels: np.ndarray,
+                                  options: LossyOptions,
+                                  aux: dict) -> bytes:
+    """Emit+decode butteraugli loop for feature-bearing frames: the
+    roundtrip goes through the full decoder so patches/splines/noise
+    render stages participate in the scoring."""
+    import copy
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.metrics.butteraugli import butteraugli_diffmap
+
+    target = 1.22 * max(options.distance, 0.01)
+    maxval = 65535.0 if pixels.dtype == np.uint16 else 255.0
+    orig_lin = srgb_to_linear(
+        np.moveaxis(pixels[:, :, :3].astype(np.float64) / maxval, -1, 0))
+
+    from libjxl_tpu.api import stats as _stats
+
+    base = copy.copy(options)
+    base._aux = aux
+    base.qf_override = None
+    base._in_iteration = True
     with _stats.suppress():
         data = encode_lossy(pixels, base)
     qf = aux["qf_field"].copy()
@@ -943,10 +1065,20 @@ def _epf_sharpness_search(data: bytes, orig_xyb, d: float):
     if orig_xyb is None:
         return None
     from libjxl_tpu.api.decoder import _decode_prefilter
+    xyb, dec, lf = _decode_prefilter(data)
+    return _epf_sharpness_search_state(xyb, dec, lf, orig_xyb, d)
+
+
+def _epf_sharpness_search_state(xyb, dec, lf, orig_xyb, d: float):
+    """Sharpness search body operating on a pre-filter reconstruction +
+    decoder state — fed either by a real decode (_decode_prefilter) or
+    by the encoder-side roundtrip (enc_roundtrip.reconstruct_prefilter),
+    mirroring how ComputeARHeuristics runs on encoder state."""
+    if orig_xyb is None:
+        return None
     from libjxl_tpu.render.filters import (
         compute_sigma, epf_step0, epf_step1, epf_step2, gaborish,
     )
-    xyb, dec, lf = _decode_prefilter(data)
     if lf.epf_iters == 0:
         return None
     steps = [0, 4] if d > 4.5 else [0, 2, 7]

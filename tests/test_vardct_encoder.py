@@ -332,19 +332,19 @@ def test_epf_sharpness_search_field():
     img = img.clip(0, 255).astype(np.uint8)
 
     fields = []
-    orig = FE._epf_sharpness_search
+    orig = FE._epf_sharpness_search_state
 
-    def spy(data, opsin, d):
-        f = orig(data, opsin, d)
+    def spy(xyb, dec, lf, opsin, d):
+        f = orig(xyb, dec, lf, opsin, d)
         fields.append(f)
         return f
 
-    FE._epf_sharpness_search = spy
+    FE._epf_sharpness_search_state = spy
     try:
         data = FE.encode_lossy(img, FE.LossyOptions(distance=1.5,
                                                     effort=7))
     finally:
-        FE._epf_sharpness_search = orig
+        FE._epf_sharpness_search_state = orig
     assert fields and fields[0] is not None
     assert len(np.unique(fields[0])) > 1      # actually per-block
     dec = decode(data)
