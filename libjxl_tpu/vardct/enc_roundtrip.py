@@ -169,6 +169,72 @@ def roundtrip_block_sums(state: dict, orig_lin_f32, h: int, w: int
     return np.asarray(sums, np.float64)
 
 
+_EPF_ERR_FN = None
+
+
+def _epf_err_jit():
+    """Fused candidate-sharpness error grids for the EPF search
+    (ComputeARHeuristics, enc_heuristics.cc:892-1018): for each uniform
+    sharpness candidate, run the EPF chain and reduce the weighted L2
+    error to per-8x8-block sums — one XLA program, one small fetch."""
+    global _EPF_ERR_FN
+    if _EPF_ERR_FN is not None:
+        return _EPF_ERR_FN
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from libjxl_tpu.render import filters as F
+
+    @functools.partial(jax.jit, static_argnames=("steps", "gab",
+                                                 "epf_iters", "h", "w"))
+    def errs(xyb, orig, raw_quant, scale, lfp, steps: tuple,
+             gab: bool, epf_iters: int, h: int, w: int):
+        if gab:
+            xyb = F.gaborish(xyb, lfp, xp=jnp)
+        kw = jnp.asarray([12.339445295782363, 1.0, 0.2], jnp.float32)
+        yb8, xb8 = (h + 7) // 8, (w + 7) // 8
+
+        def one(s):
+            sh = jnp.full((yb8, xb8), s, jnp.int32)
+            inv_sigma = F.compute_sigma(lfp, None, None, raw_quant, sh,
+                                        scale, xp=jnp)
+            out = xyb
+            if epf_iters >= 3:
+                out = F.epf_step0(out, inv_sigma, lfp, xp=jnp)
+            out = F.epf_step1(out, inv_sigma, lfp, xp=jnp)
+            if epf_iters >= 2:
+                out = F.epf_step2(out, inv_sigma, lfp, xp=jnp)
+            d2 = ((out - orig) ** 2 * kw[:, None, None]).sum(axis=0)
+            pad = jnp.zeros((yb8 * 8, xb8 * 8), jnp.float32
+                            ).at[:h, :w].set(d2)
+            return pad.reshape(yb8, 8, xb8, 8).sum(axis=(1, 3))
+
+        return jnp.stack([one(s) for s in steps])
+
+    _EPF_ERR_FN = errs
+    return errs
+
+
+def epf_candidate_errs(xyb_pre, dec, lf, orig_xyb, steps: tuple
+                       ) -> np.ndarray:
+    """(len(steps), yb, xb) per-block weighted-L2 error sums for uniform
+    sharpness candidates, computed on device."""
+    import jax.numpy as jnp
+
+    from libjxl_tpu.render.filters_jax import lf_params
+
+    _, h, w = xyb_pre.shape
+    fn = _epf_err_jit()
+    out = fn(jnp.asarray(xyb_pre, jnp.float32),
+             jnp.asarray(orig_xyb[:, :h, :w], jnp.float32),
+             jnp.asarray(dec.raw_quant), float(dec.quantizer.scale),
+             lf_params(lf), tuple(int(s) for s in steps),
+             bool(lf.gab), int(lf.epf_iters), h, w)
+    return np.asarray(out, np.float64)
+
+
 def filtered_linear(xyb: np.ndarray, dec, lf) -> np.ndarray:
     """Apply gaborish + EPF to a pre-filter recon and convert to linear
     RGB clipped to [0, 1] (the range a u8 decode would produce) for

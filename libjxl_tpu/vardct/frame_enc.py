@@ -692,39 +692,28 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                            options=ModularOptions(
                                max_chan_size=fd.group_dim))
 
-    def dc_group(sw: BitWriter, g: int) -> None:
+    def _dc_group_geom(g: int):
         gx = g % fd.xsize_dc_groups
         gy = g // fd.xsize_dc_groups
         x0, y0 = gx * fd.group_dim, gy * fd.group_dim   # in blocks
         bwd = min(fd.group_dim, xb - x0)
         bhd = min(fd.group_dim, yb - y0)
-        if not options.progressive_dc:
-            # (with USE_DC_FRAME the DC-modular payload is absent;
-            # frame_dec.py:161 mirror)
-            sw.write(2, 0)                   # extra_precision = 0
-            img = ModularImage(bwd, bhd, 32)
-            for src_c in (1, 0, 2):          # stream order [Y, X, B]
-                img.channel.append(Channel(
-                    q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
-            # e>=5: learn an MA tree over the DC channels — the reference
-            # includes the VarDCT-DC streams in its modular tree learning
-            # (enc_modular.cc AddVarDCTDC + ComputeEncodingData), which
-            # beats a single gradient context substantially on noisy DC.
-            # The DC payload is identical across butteraugli iterations,
-            # so the learned tree is cached in the loop's aux dict.
-            cache = options._aux.setdefault("dc_trees", {}) \
-                if options._aux is not None else {}
-            tree_dc = cache.get(g)
-            if tree_dc is None:
-                tree_dc = cache[g] = _dc_stream_tree(
-                    img, 1 + g, PREDICTOR_GRADIENT, options.effort)
-            modular_encode(sw, img, group_id=1 + g, tree=tree_dc)
-        # Modular DC group: no channels -> nothing.
-        # AC metadata: acs + qf entries per anchor in raster order
-        upper = bwd * bhd
+        return x0, y0, bwd, bhd
+
+    def _dc_img(g: int) -> ModularImage:
+        x0, y0, bwd, bhd = _dc_group_geom(g)
+        img = ModularImage(bwd, bhd, 32)
+        for src_c in (1, 0, 2):              # stream order [Y, X, B]
+            img.channel.append(Channel(
+                q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
+        return img
+
+    def _am_img(g: int):
+        """AC metadata stream image: ytox/ytob tiles, acs+qf entries per
+        anchor in raster order, EPF sharpness field."""
+        x0, y0, bwd, bhd = _dc_group_geom(g)
         a_sel = acs_anchors[y0:y0 + bhd, x0:x0 + bwd]
         count = int(a_sel.sum())
-        sw.write((upper - 1).bit_length() if upper > 1 else 0, count - 1)
         cw = (bwd + 7) >> 3
         chh = (bhd + 7) >> 3
         tx0, ty0 = x0 >> 3, y0 >> 3
@@ -748,13 +737,59 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             sharp = 4 if fh.loop_filter.epf_iters > 0 else 0
             am.channel.append(Channel(
                 np.full((bhd, bwd), sharp, np.int32)))
-        # e>=5: learned tree over the AC metadata channels too — the
-        # raw-quant channel especially (butteraugli-iterated fields are
-        # noisy; a zero predictor codes them raw)
+        return am, count, bwd * bhd
+
+    # e>=5: learn MA trees over the DC channels and AC metadata — the
+    # reference includes the VarDCT side streams in its modular tree
+    # learning (enc_modular.cc AddVarDCTDC + AddACMetadata). The learns
+    # are per-DC-group independent (numpy releases the GIL in the hot
+    # reductions), so multi-group frames learn them on a thread pool.
+    dc_tree_cache = options._aux.setdefault("dc_trees", {}) \
+        if options._aux is not None else {}
+    am_tree_cache: dict = {}
+
+    def _learn_dc_tree(g: int) -> None:
+        if g not in dc_tree_cache:
+            dc_tree_cache[g] = _dc_stream_tree(
+                _dc_img(g), 1 + g, PREDICTOR_GRADIENT, options.effort)
+
+    def _learn_am_tree(g: int) -> None:
+        am, _, _ = _am_img(g)
+        am_tree_cache[g] = _dc_stream_tree(
+            am, 1 + 2 * fd.num_dc_groups + g, PREDICTOR_ZERO,
+            options.effort)
+
+    if options.effort >= 5:
+        from concurrent.futures import ThreadPoolExecutor
+        tasks = [(_learn_am_tree, g) for g in range(fd.num_dc_groups)]
+        if not options.progressive_dc:
+            tasks += [(_learn_dc_tree, g)
+                      for g in range(fd.num_dc_groups)]
+        if len(tasks) > 1:
+            with ThreadPoolExecutor(min(8, len(tasks))) as ex:
+                list(ex.map(lambda t: t[0](t[1]), tasks))
+
+    def dc_group(sw: BitWriter, g: int) -> None:
+        if not options.progressive_dc:
+            # (with USE_DC_FRAME the DC-modular payload is absent;
+            # frame_dec.py:161 mirror)
+            sw.write(2, 0)                   # extra_precision = 0
+            img = _dc_img(g)
+            tree_dc = dc_tree_cache.get(g)
+            if tree_dc is None:
+                tree_dc = dc_tree_cache[g] = _dc_stream_tree(
+                    img, 1 + g, PREDICTOR_GRADIENT, options.effort)
+            modular_encode(sw, img, group_id=1 + g, tree=tree_dc)
+        # Modular DC group: no channels -> nothing.
+        am, count, upper = _am_img(g)
+        sw.write((upper - 1).bit_length() if upper > 1 else 0, count - 1)
+        tree_am = am_tree_cache.get(g)
+        if tree_am is None:
+            tree_am = _dc_stream_tree(
+                am, 1 + 2 * fd.num_dc_groups + g, PREDICTOR_ZERO,
+                options.effort)
         modular_encode(sw, am, group_id=1 + 2 * fd.num_dc_groups + g,
-                       tree=_dc_stream_tree(
-                           am, 1 + 2 * fd.num_dc_groups + g,
-                           PREDICTOR_ZERO, options.effort))
+                       tree=tree_am)
 
     def ac_global(sw: BitWriter) -> None:
         sw.write(1, 1)                       # dequant matrices all default
@@ -1076,31 +1111,13 @@ def _epf_sharpness_search_state(xyb, dec, lf, orig_xyb, d: float):
     mirroring how ComputeARHeuristics runs on encoder state."""
     if orig_xyb is None:
         return None
-    from libjxl_tpu.render.filters import (
-        compute_sigma, epf_step0, epf_step1, epf_step2, gaborish,
-    )
     if lf.epf_iters == 0:
         return None
+    from libjxl_tpu.vardct.enc_roundtrip import epf_candidate_errs
     steps = [0, 4] if d > 4.5 else [0, 2, 7]
     yb, xb = dec.epf_sharpness.shape
-    _, h, w = xyb.shape
-    base = gaborish(xyb, lf) if lf.gab else xyb
-    kw = np.array([12.339445295782363, 1.0, 0.2])   # :884-888
-    err = {}
-    for s in steps:
-        sh = np.full((yb, xb), s, np.int32)
-        inv_sigma = compute_sigma(lf, dec.acs_raw, dec.acs_anchor,
-                                  dec.raw_quant, sh, dec.quantizer.scale)
-        out = base
-        if lf.epf_iters >= 3:
-            out = epf_step0(out, inv_sigma, lf)
-        out = epf_step1(out, inv_sigma, lf)
-        if lf.epf_iters >= 2:
-            out = epf_step2(out, inv_sigma, lf)
-        d2 = ((np.asarray(out, np.float64) - orig_xyb[:, :h, :w]) ** 2
-              * kw[:, None, None]).sum(axis=0)
-        d2 = np.pad(d2, ((0, yb * 8 - h), (0, xb * 8 - w)))
-        err[s] = d2.reshape(yb, 8, xb, 8).sum(axis=(1, 3))
+    grids = epf_candidate_errs(xyb, dec, lf, orig_xyb, tuple(steps))
+    err = {s: grids[i] for i, s in enumerate(steps)}
     lut = {s: i for i, s in enumerate(steps)}
     favor_none = 0.99                               # kFavorNoSmoothing
     out = np.zeros((yb, xb), np.int32)
