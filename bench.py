@@ -202,8 +202,11 @@ def measure() -> dict:
     except Exception:  # noqa: BLE001
         pass
     try:
-        from bench_vardct import bench_vardct_encode_mpps
+        from bench_vardct import bench_vardct_e7_mpps, \
+            bench_vardct_encode_mpps
         extra["vardct_encode_mpps"] = bench_vardct_encode_mpps()
+        _save_cache(record)
+        extra["vardct_e7_mpps"] = bench_vardct_e7_mpps()
         _save_cache(record)
     except Exception:  # noqa: BLE001
         pass

@@ -37,7 +37,25 @@ def bench_vardct_encode_mpps() -> float:
     return round(len(imgs) * 0.786432 / dt, 2)
 
 
+def bench_vardct_e7_mpps() -> float:
+    """Full-heuristics e7 encode (butteraugli loop with device scoring,
+    device EPF sharpness search): the BASELINE config-4 effort class."""
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    img = _make_images(1)[0]
+    opts = LossyOptions(distance=1.0, effort=7)
+    encode_lossy(img, opts)              # warm: compile
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = encode_lossy(img, opts)
+        dt = min(dt, time.perf_counter() - t0)
+    assert len(out) > 0
+    return round(0.786432 / dt, 3)
+
+
 if __name__ == "__main__":
     import json
 
-    print(json.dumps({"vardct_encode_mpps": bench_vardct_encode_mpps()}))
+    print(json.dumps({"vardct_encode_mpps": bench_vardct_encode_mpps(),
+                      "vardct_e7_mpps": bench_vardct_e7_mpps()}))

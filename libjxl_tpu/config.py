@@ -28,6 +28,10 @@ class RuntimeConfig:
     # restore_device (models/pallas_filters.py): one HBM read+write per
     # pass vs XLA's per-shifted-view temporaries.
     pallas_filters: bool = False
+    # Shard the decode-side restoration filters over all visible devices
+    # (row bands + ppermute halo exchange, parallel/shard_filters.py);
+    # output is bit-identical to the single-device filters.
+    shard_decode: bool = False
 
 
 config = RuntimeConfig()

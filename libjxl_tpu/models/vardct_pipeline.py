@@ -60,26 +60,18 @@ def _adjust_quant_bias(q, c: int):
                      jnp.sign(q) * _K_BIASES[c], out)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
-def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
-                              thres_xb, mul_dc, h: int, w: int, yb: int,
-                              xb: int, x_qm_mul: float):
-    """Full e<=4 VarDCT encode compute as ONE fused XLA program.
+def _frame_body(pixels_u8, qac, inv_qac, table, thres_y, thres_xb,
+                mul_dc, h: int, w: int, yb: int, xb: int,
+                x_qm_mul: float):
+    """Shared per-(row-band) VarDCT encode math: sRGB->XYB, MXU-batched
+    8x8 DCT, dead-zone quantization with Y roundtrip, per-64x64-tile
+    chroma-from-luma least squares, DC quantization (enc_xyb.cc,
+    enc_group.cc:329-520, enc_chroma_from_luma.cc). Everything is
+    block/tile-local, so the same body runs whole-frame (single device)
+    or per row shard under shard_map with NO collectives.
 
-    Mirrors the host math of ``frame_enc.encode_lossy`` (sRGB->XYB,
-    MXU-batched 8x8 DCT, dead-zone quantization with Y roundtrip,
-    per-64x64-tile chroma-from-luma least squares, DC quantization;
-    enc_xyb.cc, enc_group.cc:329-520, enc_chroma_from_luma.cc). The
-    host receives only the small integer outputs (quantized AC/DC and
-    the CfL maps) and runs context modeling + entropy coding.
-
-    pixels_u8: (h, w, 3) uint8 sRGB.  qac/inv_qac: (yb, xb) f32 AC
-    quant/dequant steps. table: (3, 64) dequant weights (stored
-    layout); thres_*: (64,) dead-zone thresholds. mul_dc: (3,) DC
-    steps.  Returns (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32,
-    ytox (ty, tx) i32, ytob (ty, tx) i32).
-    """
+    Returns (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32,
+    ytox (ty, tx) i32, ytob (ty, tx) i32)."""
     hp = jax.lax.Precision.HIGHEST
     srgb = jnp.moveaxis(pixels_u8.astype(jnp.float32), -1, 0) / 255.0
     linear = jnp.where(srgb <= 0.04045, srgb / 12.92,
@@ -148,6 +140,26 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
     q_dc_x = jnp.round(stored[:, :, 0, 0] / mul_dc[0])
     q_dc_b = jnp.round((stored[:, :, 2, 0] - dcy_deq) / mul_dc[2])
     q_dc = jnp.stack([q_dc_x, q_dc_y, q_dc_b], -1).astype(jnp.int32)
+    return q_ac, q_dc, ytox.astype(jnp.int32), ytob.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
+def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
+                              thres_xb, mul_dc, h: int, w: int, yb: int,
+                              xb: int, x_qm_mul: float):
+    """Full e<=4 VarDCT encode compute as ONE fused XLA program
+    (see _frame_body). The host receives only the small integer
+    outputs (quantized AC/DC and the CfL maps) packed into a single
+    sparse payload, and runs context modeling + entropy coding.
+
+    pixels_u8: (h, w, 3) uint8 sRGB.  qac/inv_qac: (yb, xb) f32 AC
+    quant/dequant steps. table: (3, 64) dequant weights (stored
+    layout); thres_*: (64,) dead-zone thresholds. mul_dc: (3,) DC
+    steps."""
+    q_ac, q_dc, ytox, ytob = _frame_body(
+        pixels_u8, qac, inv_qac, table, thres_y, thres_xb, mul_dc,
+        h, w, yb, xb, x_qm_mul)
 
     # single d2h payload: every fetch over the link pays ~25-45 ms
     # fixed latency, so ship ONE uint8 buffer, not seven arrays
@@ -172,6 +184,67 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
         jax.lax.bitcast_convert_type(nz_val, jnp.uint8).reshape(-1)])
     dense16 = jnp.clip(q_ac, -32768, 32767).reshape(-1).astype(jnp.int16)
     return packed, dense16
+
+
+def encode_lossy_frame_device_sharded(pixels: np.ndarray,
+                                      qac: np.ndarray,
+                                      inv_qac: np.ndarray,
+                                      table, thres_y, thres_xb, mul_dc,
+                                      h: int, w: int, yb: int, xb: int,
+                                      x_qm_mul: float, mesh=None):
+    """Multi-chip VarDCT encode: the SAME _frame_body math shard_mapped
+    over row bands of a device mesh (the production analog of the
+    reference's per-group RunOnPool loop, enc_frame.cc:1232).
+
+    Every step is block/tile-local, so bands need zero collectives;
+    bands are 64-pixel (one CfL tile row) aligned, and the outputs are
+    bit-identical to the single-device program. Returns numpy
+    (q_ac (yb, xb, 3, 64) i32, q_dc (yb, xb, 3) i32, ytox, ytob)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+    n = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+
+    # pad: real image -> block grid (edge, same as the fused program),
+    # then BLACK to a whole number of 64px bands per shard — XYB(black)
+    # is exactly 0 (opsin bias construction), so padded blocks add
+    # zeros to the CfL tile dot products, matching the single-device
+    # program's zero-padded partial tiles bit for bit
+    band = 64 * n
+    hp_ = ((yb * 8 + band - 1) // band) * band
+    yb_p = hp_ // 8
+    px = np.pad(pixels[:, :, :3],
+                ((0, yb * 8 - h), (0, xb * 8 - w), (0, 0)), mode="edge")
+    px = np.pad(px, ((0, hp_ - yb * 8), (0, 0), (0, 0)))
+    qac_p = np.ones((yb_p, xb), np.float32)
+    qac_p[:yb, :] = qac
+    iq_p = np.ones((yb_p, xb), np.float32)
+    iq_p[:yb, :] = inv_qac
+    ys = hp_ // n
+    ybs = yb_p // n
+
+    def body(px_s, qac_s, iq_s, table, thres_y, thres_xb, mul_dc):
+        return _frame_body(px_s, qac_s, iq_s, table, thres_y, thres_xb,
+                           mul_dc, ys, xb * 8, ybs, xb, x_qm_mul)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                  P(None, None), P(None), P(None), P(None)),
+        out_specs=(P(axis, None, None, None), P(axis, None, None),
+                   P(axis, None), P(axis, None)))
+    q_ac, q_dc, ytox, ytob = jax.jit(fn)(
+        jnp.asarray(px), jnp.asarray(qac_p), jnp.asarray(iq_p),
+        jnp.asarray(table, jnp.float32), jnp.asarray(thres_y),
+        jnp.asarray(thres_xb), jnp.asarray(mul_dc, jnp.float32))
+    ty_n, tx_n = -(-yb // 8), -(-xb // 8)
+    return (np.asarray(q_ac)[:yb], np.asarray(q_dc)[:yb],
+            np.asarray(ytox)[:ty_n, :tx_n],
+            np.asarray(ytob)[:ty_n, :tx_n])
 
 
 def _nnz_cap(yb: int, xb: int) -> int:

@@ -45,6 +45,45 @@ def _exchange_halo(x, axis_name: str, halo: int = HALO):
     return jnp.concatenate([top, x, bot], axis=-2)
 
 
+def restore_sharded_padded(xyb: np.ndarray, lf, raw_quant: np.ndarray,
+                           epf_sharpness: np.ndarray, quant_scale: float,
+                           mesh=None) -> np.ndarray:
+    """restore_sharded for arbitrary heights: symmetric-pads H to a
+    multiple of 8*n_devices and crops after filtering.
+
+    Bit-exactness: the filters' own boundary rule is a symmetric mirror
+    (render/filters._mirror_pad), so as long as the pad is 0 or >= 4
+    rows (the widest stencil reach), every true row sees exactly the
+    pixel values the unsharded filter would — a 1-3 row pad is bumped
+    by one extra shard row block to stay exact."""
+    import jax
+
+    n = len(jax.devices()) if mesh is None else mesh.devices.size
+    H = xyb.shape[1]
+    step = 8 * n
+    p = (-H) % step
+    if 0 < p < 4:
+        p += step
+    # each shard needs >= HALO rows for the exchange, and np.pad
+    # symmetric cannot mirror more rows than exist: tiny images run
+    # the single-device fused filters instead
+    if H + p < HALO * n or p > H:
+        from libjxl_tpu.render.filters_jax import restore_device
+        return restore_device(xyb, lf, raw_quant, epf_sharpness,
+                              quant_scale, fetch=True)
+    if p:
+        xyb = np.pad(xyb, ((0, 0), (0, p), (0, 0)), mode="symmetric")
+    yb_p = xyb.shape[1] // 8
+    def _pad_blocks(a):
+        rows = yb_p - a.shape[0]
+        return a if rows <= 0 else np.pad(
+            a, ((0, rows), (0, 0)), mode="edge")
+    out = restore_sharded(xyb, lf, _pad_blocks(raw_quant),
+                          _pad_blocks(epf_sharpness), quant_scale,
+                          mesh=mesh)
+    return out[:, :H, :]
+
+
 def restore_sharded(xyb: np.ndarray, lf, raw_quant: np.ndarray,
                     epf_sharpness: np.ndarray, quant_scale: float,
                     mesh=None, axis: str = "rows") -> np.ndarray:
@@ -56,7 +95,7 @@ def restore_sharded(xyb: np.ndarray, lf, raw_quant: np.ndarray,
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from libjxl_tpu.render import filters as F
     from libjxl_tpu.render.filters_jax import LfParams, lf_params

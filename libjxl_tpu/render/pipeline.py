@@ -75,8 +75,17 @@ class DeviceRestoreStage(Stage):
         self.keep = keep
 
     def process(self, img, ctx):
-        from libjxl_tpu.render.filters_jax import restore_device
+        from libjxl_tpu.config import config
         dec, lf = ctx["dec"], ctx["lf"]
+        if config.shard_decode and not self.keep:
+            import jax
+            if len(jax.devices()) > 1:
+                from libjxl_tpu.parallel.shard_filters import \
+                    restore_sharded_padded
+                return restore_sharded_padded(
+                    np.asarray(img), lf, dec.raw_quant,
+                    dec.epf_sharpness, dec.quantizer.scale)
+        from libjxl_tpu.render.filters_jax import restore_device
         return restore_device(img, lf, dec.raw_quant,
                               dec.epf_sharpness, dec.quantizer.scale,
                               fetch=not self.keep)

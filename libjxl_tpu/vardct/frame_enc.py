@@ -307,8 +307,35 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         qac_f = (quantizer.scale *
                  raw_quant.astype(np.float32))
         inv_qac_f = (inv_gs / raw_quant.astype(np.float32))
-        if options._predispatched is not None:
+        from libjxl_tpu.config import config as _cfg
+        import jax as _jax
+        if _cfg.shard_encode and len(_jax.devices()) > 1 and \
+                options._predispatched is None and \
+                not options._dispatch_only:
+            # multi-chip: same math shard_mapped over row bands
+            # (models/vardct_pipeline.encode_lossy_frame_device_sharded)
+            from libjxl_tpu.models.vardct_pipeline import \
+                encode_lossy_frame_device_sharded
+            q_ac, q_dc, ytox_map, ytob_map = \
+                encode_lossy_frame_device_sharded(
+                    pixels, qac_f, inv_qac_f,
+                    np.asarray(table, np.float32),
+                    quadrant_thresholds(0.56, 0.62).astype(np.float32),
+                    quadrant_thresholds(0.58, 0.62).astype(np.float32),
+                    np.asarray(mul_dc, np.float32),
+                    h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
+            use_acs = False
+            acs_map = np.zeros((yb, xb), np.int32)
+            acs_anchors = np.ones((yb, xb), bool)
+            stored = None
+        elif options._predispatched is not None:
             packed, dense16 = options._predispatched
+            q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
+                packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
+            use_acs = False
+            acs_map = np.zeros((yb, xb), np.int32)
+            acs_anchors = np.ones((yb, xb), bool)
+            stored = None
         else:
             packed, dense16 = encode_lossy_frame_device(
                 device_put_fast(pixels[:, :, :3]), device_put_fast(qac_f),
@@ -318,19 +345,19 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 jnp.asarray(quadrant_thresholds(0.58, 0.62), jnp.float32),
                 jnp.asarray(np.asarray(mul_dc), jnp.float32),
                 h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
-        if options._dispatch_only:
-            # serving mode: return the in-flight device handles; the
-            # caller collects later with _predispatched (fetches start
-            # now so the link overlaps other images' host work)
-            packed.copy_to_host_async()
-            dense16.copy_to_host_async()
-            return packed, dense16
-        q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
-            packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
-        use_acs = False
-        acs_map = np.zeros((yb, xb), np.int32)
-        acs_anchors = np.ones((yb, xb), bool)
-        stored = None
+            if options._dispatch_only:
+                # serving mode: return the in-flight device handles; the
+                # caller collects later with _predispatched (fetches start
+                # now so the link overlaps other images' host work)
+                packed.copy_to_host_async()
+                dense16.copy_to_host_async()
+                return packed, dense16
+            q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
+                packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
+            use_acs = False
+            acs_map = np.zeros((yb, xb), np.int32)
+            acs_anchors = np.ones((yb, xb), bool)
+            stored = None
     else:
         # ---- DCT ------------------------------------------------------------
         if aux is not None and options._in_iteration and \
