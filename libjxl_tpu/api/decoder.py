@@ -406,9 +406,13 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     planes = [ch.plane.astype(np.float32) / maxval for ch in fi.channel]
     if fh.color_transform == ColorTransform.YCBCR:
         planes = _ycbcr_planes_to_rgb(planes, fh)
+    if len(planes) == 1 + nec and meta.m.color_encoding.channels == 1:
+        # grayscale frame: the internal compositing representation is
+        # always (3 + nec) channels (blending/patches are per-channel
+        # identical); the output stage re-collapses to one channel
+        planes = [planes[0], planes[0], planes[0]] + planes[1:]
     if len(planes) < 3 + nec:
-        raise FormatError(
-            "grayscale multi-frame compositing not yet supported")
+        raise FormatError("frame is missing channels")
     if nec:
         from libjxl_tpu.render.pipeline import apply_spot_colors
         color = apply_spot_colors(np.stack(planes[:3]), planes[3:],
@@ -992,6 +996,10 @@ def _decode_unoriented(data: bytes) -> np.ndarray:
     if multi:
         _, displayed = decode_frames(data)
         out = displayed[-1].pixels
+        if meta.m.color_encoding.channels == 1 and out.shape[2] >= 3:
+            # the compositing representation is always 3+nec channels;
+            # collapse back to grayscale for output
+            out = np.concatenate([out[:, :, :1], out[:, :, 3:]], axis=2)
         maxv = (1 << min(bits, 16)) - 1
         out = np.clip(np.round(out * maxv), 0, maxv)
         return out.astype(np.uint8 if bits <= 8 else np.uint16)

@@ -636,13 +636,19 @@ def _modular_frame_bytes(pixels, options, meta,
 
 def encode_animation(frames, durations=None,
                      options: EncodeOptions | None = None,
-                     tps: tuple = (10, 1), num_loops: int = 0) -> bytes:
-    """Encode a lossless animation: a list of (h, w, c) frames with
+                     tps: tuple = (10, 1), num_loops: int = 0,
+                     per_frame_options: list | None = None) -> bytes:
+    """Encode a modular animation: a list of (h, w, c) frames with
     per-frame durations in ticks (``tps`` = ticks per second as
     numerator/denominator; frame_header.h duration semantics).
 
     Every frame is a REPLACE-blended regular frame, matching the
-    reference encoder's default animation path."""
+    reference encoder's default animation path. ``per_frame_options``
+    allows MIXED lossless/lossy-modular frames in one stream: the
+    container stays non-XYB (the reference likewise forbids lossless
+    frames in an xyb_encoded codestream, encode.cc:1573-1576), and each
+    frame's distance selects lossless (0) or squeeze-residual lossy
+    modular coding."""
     options = options or EncodeOptions()
     if not frames:
         raise ValueError("animation needs at least one frame")
@@ -658,7 +664,8 @@ def encode_animation(frames, durations=None,
         durations = [1] * len(frames)
     out = bytearray(header_bytes)
     for i, (f, d) in enumerate(zip(frames, durations)):
-        out.extend(_modular_frame_bytes(f, options, meta,
+        o = per_frame_options[i] if per_frame_options else options
+        out.extend(_modular_frame_bytes(f, o, meta,
                                         is_last=(i == len(frames) - 1),
                                         duration=int(d)))
     return bytes(out)

@@ -163,12 +163,24 @@ class Encoder:
         frames = [px for px, _ in self._frames]
         durations = [st.duration or 1 for _, st in self._frames]
         lossless = [st.lossless for _, st in self._frames]
-        if any(lossless) and not all(lossless):
-            raise NotImplementedError(
-                "mixed lossless/lossy animation frames not supported "
-                "(the container is either xyb_encoded or not; encode "
-                "all frames with the same mode)")
         st0 = self._frames[0][1]
+        if any(lossless) and not all(lossless):
+            # mixed lossless/lossy frames: the container must stay
+            # non-XYB (the reference rejects lossless frames in an
+            # xyb_encoded codestream, encode.cc:1573-1576), so lossy
+            # frames are coded as lossy MODULAR (squeeze-residual
+            # quantization) in the original color space
+            from libjxl_tpu.api.encoder import (
+                EncodeOptions, encode_animation,
+            )
+            per = [EncodeOptions(effort=st.effort,
+                                 distance=0.0 if st.lossless
+                                 else max(st.distance, 0.1))
+                   for _, st in self._frames]
+            return encode_animation(frames, durations,
+                                    EncodeOptions(effort=st0.effort),
+                                    tps=self.tps, num_loops=self.num_loops,
+                                    per_frame_options=per)
         if all(lossless):
             from libjxl_tpu.api.encoder import (
                 EncodeOptions, encode_animation,

@@ -20,11 +20,40 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("-d", "--distance", type=float, default=1.0,
                    help="Butteraugli distance target; 0 = lossless")
-    p.add_argument("-e", "--effort", type=int, default=3)
+    p.add_argument("-e", "--effort", type=int, default=3,
+                   help="encoder effort 1 (fastest) .. 11 (most thorough)")
     p.add_argument("--lossless", action="store_true")
     p.add_argument("-m", "--modular", action="store_true",
                    help="modular mode; with -d > 0: lossy modular "
                         "(squeeze-residual quantization)")
+    p.add_argument("-r", "--resampling", type=int, default=0,
+                   choices=(0, 1, 2, 4, 8),
+                   help="encode at 1/r scale, decoder upsamples "
+                        "(0 = auto: 2x at very low quality)")
+    p.add_argument("-p", "--progressive", action="store_true",
+                   help="3-pass qprogressive AC (VarDCT)")
+    p.add_argument("--progressive_dc", type=int, default=0,
+                   help="1: DC rides a separate LF frame")
+    p.add_argument("--intensity_target", type=float, default=0.0,
+                   help="luminance of samples at 1.0, in nits "
+                        "(0 = default; 255 SDR / 10000 PQ)")
+    p.add_argument("--photon_noise_iso", type=float, default=0.0,
+                   help="synthesize the grain a 35mm sensor at this "
+                        "ISO would have")
+    p.add_argument("--noise", type=int, default=-1, choices=(-1, 0, 1),
+                   help="1: estimate and signal synthetic noise; "
+                        "0: off (default: off unless photon_noise_iso)")
+    p.add_argument("--patches", type=int, default=-1, choices=(-1, 0, 1),
+                   help="0: disable patch detection (default: auto at "
+                        "effort >= 7)")
+    p.add_argument("--faster_decoding", type=int, default=0,
+                   choices=range(5),
+                   help="decoding-speed tier 0-4: trade density for "
+                        "faster decode (fewer filter passes, capped "
+                        "histograms)")
+    p.add_argument("--num_threads", type=int, default=0,
+                   help="host worker threads for per-group work "
+                        "(0 = auto)")
     p.add_argument("--device", action="store_true",
                    help="run pixel compute on the TPU (JAX) path")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -32,6 +61,13 @@ def main(argv=None) -> int:
                    help="1 (default): recompress .jpg input losslessly "
                         "(byte-exact reconstruction); 0: re-encode pixels")
     args = p.parse_args(argv)
+    if not 1 <= args.effort <= 11:
+        p.error("effort must be in 1..11")
+    if args.num_threads > 0:
+        from libjxl_tpu.parallel.runner import (
+            ThreadRunner, set_default_runner,
+        )
+        set_default_runner(ThreadRunner(args.num_threads))
 
     # JPEG input defaults to lossless recompression (cjxl_main.cc behavior)
     with open(args.input, "rb") as f:
@@ -94,9 +130,19 @@ def main(argv=None) -> int:
             else args.distance))
     else:
         from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
-        data = encode_lossy(img, LossyOptions(
+        lo = LossyOptions(
             distance=args.distance, effort=args.effort,
-            use_device=args.device))
+            resampling=args.resampling, use_device=args.device,
+            intensity_target=args.intensity_target,
+            photon_noise_iso=args.photon_noise_iso,
+            faster_decoding=args.faster_decoding,
+            progressive=args.progressive,
+            progressive_dc=args.progressive_dc)
+        if args.noise == 1:
+            lo.noise = "auto"
+        if args.patches == 0:
+            lo.patches = False
+        data = encode_lossy(img, lo)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)

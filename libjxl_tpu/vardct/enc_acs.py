@@ -83,7 +83,7 @@ def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
 
 def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                quantizer, distance: float, try_small: bool = False,
-               try_64: bool = False):
+               try_64: bool = False, try_32: bool = True):
     """RD selection on the Y channel. Returns (acs_raw, anchors,
     raw_quant') with merged regions given their anchor's max qf.
 
@@ -186,14 +186,19 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                      for dy in (0, 2) for dx in (0, 2)]
             jq = (sum(c for c, _ in quads),
                   [p for _, ps in quads for p in ps])
-            jv32 = (region_cost(ACS_DCT32X16, sy, sx) +
-                    region_cost(ACS_DCT32X16, sy, sx + 2),
-                    [(ACS_DCT32X16, sy, sx), (ACS_DCT32X16, sy, sx + 2)])
-            jh32 = (region_cost(ACS_DCT16X32, sy, sx) +
-                    region_cost(ACS_DCT16X32, sy + 2, sx),
-                    [(ACS_DCT16X32, sy, sx), (ACS_DCT16X32, sy + 2, sx)])
-            j32 = (region_cost(ACS_DCT32, sy, sx), [(ACS_DCT32, sy, sx)])
-            best, layout = min((jq, jv32, jh32, j32), key=lambda t: t[0])
+            cands = [jq]
+            if try_32:      # decoding_speed tier 4 disables 32x32-class
+                cands += [
+                    (region_cost(ACS_DCT32X16, sy, sx) +
+                     region_cost(ACS_DCT32X16, sy, sx + 2),
+                     [(ACS_DCT32X16, sy, sx), (ACS_DCT32X16, sy, sx + 2)]),
+                    (region_cost(ACS_DCT16X32, sy, sx) +
+                     region_cost(ACS_DCT16X32, sy + 2, sx),
+                     [(ACS_DCT16X32, sy, sx), (ACS_DCT16X32, sy + 2, sx)]),
+                    (region_cost(ACS_DCT32, sy, sx),
+                     [(ACS_DCT32, sy, sx)]),
+                ]
+            best, layout = min(cands, key=lambda t: t[0])
             cost32[(sy, sx)] = best
             for strategy, by, bx in layout:
                 if strategy != ACS_DCT8:

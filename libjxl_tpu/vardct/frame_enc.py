@@ -46,6 +46,16 @@ from libjxl_tpu.color.xyb import linear_to_xyb, srgb_to_linear
 class LossyOptions:
     distance: float = 1.0
     effort: int = 3
+    resampling: int = 0          # 1/2/4/8 encode at 1/r scale + signal
+                                 # upsampling; 0 = auto (2x at d>=10 with
+                                 # the reference's distance adjustment,
+                                 # enc_frame.cc:104-117)
+    faster_decoding: int = 0     # decoding_speed tier 0-4: trade density
+                                 # for decode speed (fewer EPF passes,
+                                 # no gaborish/32x32 at 4, capped
+                                 # histogram counts; enc_frame.cc:
+                                 # 316-345, enc_ac_strategy.cc:936,
+                                 # enc_ans.cc:1368-1375)
     use_device: bool = False     # JAX/TPU path for color+DCT+quantize
     color_encoding: object = None  # input/signaled ColorEncoding
                                    # (None=sRGB); PQ/HLG/Rec2020 inputs go
@@ -82,6 +92,16 @@ class LossyOptions:
     _emit_headers = True         # False: emit only the frame sections
 
 
+def _epf_iters_for(d: float, decoding_speed: int) -> int:
+    """EPF pass count from distance, reduced by the decoding-speed tier
+    (enc_frame.cc:333-342): tier 2 drops the first threshold, tier >= 3
+    disables EPF entirely."""
+    if decoding_speed >= 3:
+        return 0
+    thresholds = (0.7, 1.5, 4.0)[1 if decoding_speed == 2 else 0:]
+    return sum(d >= t for t in thresholds)
+
+
 def _dc_stream_tree(img: ModularImage, group_id: int, fallback_pred: int,
                     effort: int):
     """MA tree for a DC-group modular sub-stream (DC channels or AC
@@ -116,6 +136,20 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     alpha = pixels[:, :, 3].astype(np.int32) if pixels.shape[2] >= 4 \
         else None
     d = max(options.distance, 0.01)
+    full_w, full_h = w, h
+    # ---- resampling (enc_frame.cc:104-117): encode at 1/r scale and
+    # signal fh.upsampling; auto mode turns on 2x at very low bitrates
+    # with the reference's distance rebalance
+    resample = int(options.resampling)
+    if resample <= 0:
+        resample = 1
+        if d >= 10.0:
+            resample = 2
+            d = d * 0.25 + 0.25
+    elif resample not in (1, 2, 4, 8):
+        raise ValueError("resampling must be 1, 2, 4 or 8")
+    if resample > 1 and alpha is not None:
+        raise ValueError("resampling with extra channels not supported")
     float_samples = False
     if pixels.dtype == np.uint16:
         bits_per_sample = 16
@@ -153,7 +187,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     use_dev = (options.use_device and options.effort <= 4 and
                ce_in is None and pixels.dtype == np.uint8 and
                not isinstance(options.noise, str) and
-               options.qf_override is None)
+               options.qf_override is None and resample == 1)
     if use_dev:
         xyb = None
     elif ce_in is None:
@@ -176,7 +210,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         noise_lut = estimate_noise(xyb)
     elif noise_lut is None and options.photon_noise_iso > 0:
         from libjxl_tpu.render.enc_noise import photon_noise_lut
-        noise_lut = photon_noise_lut(options.photon_noise_iso, w, h)
+        noise_lut = photon_noise_lut(options.photon_noise_iso,
+                                     full_w, full_h)
+
+    if resample > 1:
+        # downsample the opsin (enc_heuristics.cc:409-421); h/w become
+        # FRAME-space sizes from here on (headers keep full_w/full_h)
+        from libjxl_tpu.render.enc_downsample import downsample_xyb
+        xyb = downsample_xyb(np.asarray(xyb), resample)
+        h, w = xyb.shape[1], xyb.shape[2]
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
@@ -211,7 +253,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # gaborish is on at hare-class efforts: sharpen now, decoder smooths
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
-    use_gab = options.effort >= 5 and d > 0.5
+    use_gab = (options.effort >= 5 and d > 0.5 and
+               options.faster_decoding < 4)
     aux = options._aux
     if use_dev:
         xyb_pre_gab = xyb_p = None
@@ -400,7 +443,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 acs_map, acs_anchors, raw_quant = choose_acs(
                     xyb_p[1], raw_quant, matrices, quantizer, d,
                     try_small=options.effort >= 7,
-                    try_64=options.effort >= 7)
+                    try_64=(options.effort >= 7 and
+                            options.faster_decoding < 1),
+                    try_32=options.faster_decoding < 4)
             qac = quantizer.scale * raw_quant.astype(np.float64)
         else:
             acs_map = np.zeros((yb, xb), np.int32)
@@ -414,7 +459,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             # FindBestBlockEntropyModel): fewer block contexts = smaller
             # AC context map + denser histograms
             from libjxl_tpu.vardct.ac_context import build_block_ctx_map
-            custom_bctx = build_block_ctx_map(d, raw_quant, acs_map)
+            custom_bctx = None if options.faster_decoding >= 1 else \
+                build_block_ctx_map(d, raw_quant, acs_map)
             if custom_bctx is not None:
                 bctx = custom_bctx
 
@@ -516,7 +562,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             raw_quant=raw_quant, acs=acs_map, anchors=acs_anchors,
             ytox=ytox_map, ytob=ytob_map, x_qm_scale=x_qm_scale,
             gab=use_gab,
-            epf_iters=sum(d >= t for t in (0.7, 1.5, 4.0)),
+            epf_iters=_epf_iters_for(d, options.faster_decoding),
             fd=fd, sharpness=options._sharpness_field,
             has_features=(patches_dict is not None or
                           options.splines is not None or
@@ -569,7 +615,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         [tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
          for t in group_tokens[p]],
         num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
-        histo_shift=11, max_clusters=24) for p in range(num_passes)]
+        histo_shift=11,
+        max_clusters=6 if options.faster_decoding >= 1 else 24)
+        for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
@@ -596,7 +644,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if options._emit_headers:
         write_signature(bw)
         size = SizeHeader()
-        size.set(w, h)
+        size.set(full_w, full_h)
         write_bundle(bw, size)
         write_bundle(bw, meta)
         ctd = CustomTransformData()
@@ -607,8 +655,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             write_encoded_icc(bw, meta.color_encoding.icc)
         bw.zero_pad_to_byte()
 
-    meta.nonserialized_xsize = w
-    meta.nonserialized_ysize = h
+    meta.nonserialized_xsize = full_w
+    meta.nonserialized_ysize = full_h
     if patches_dict is not None:
         # the atlas rides as a REFERENCE_ONLY modular-XYB frame right
         # before the main frame (RoundtripPatchFrame)
@@ -651,6 +699,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
+    fh.upsampling = resample
     fh.is_last = options._is_last
     fh.animation_frame.duration = options._duration
     from libjxl_tpu.core.frame_header import FrameFlags
@@ -670,9 +719,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     fh.loop_filter.gab = use_gab
     # EPF iterations from distance (enc_frame.cc:333-342): 3 passes
     # (incl. EPF0's 5x5 diamond) from d >= 4
-    fh.loop_filter.epf_iters = sum(d >= t for t in (0.7, 1.5, 4.0))
-    meta.nonserialized_xsize = w
-    meta.nonserialized_ysize = h
+    fh.loop_filter.epf_iters = _epf_iters_for(d, options.faster_decoding)
+    meta.nonserialized_xsize = full_w
+    meta.nonserialized_ysize = full_h
     fh.visit(FieldWriter(bw), meta)
 
     # ---- sections --------------------------------------------------------
@@ -893,7 +942,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # dictionary layer, not the header layer
         _stats.record("dictionary", len(atlas_frame_bytes) * 8)
         _stats.record("header", toc0 - len(atlas_frame_bytes) * 8)
-        _stats.record_count("num_base_pixels", w * h)
+        _stats.record_count("num_base_pixels", full_w * full_h)
         _stats.record_count("num_ac_pixels", w * h)
         for s_id in np.unique(acs_map[acs_anchors]):
             _stats.add_blocks(_ACS_NAMES[int(s_id)],
@@ -985,9 +1034,18 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     qf_lower = init_qf.min() / (asym * np.sqrt(250.0 / qf_ratio))
     qf_higher = init_qf.max() * (np.sqrt(250.0 / qf_ratio) / asym)
 
-    h, w = pixels.shape[:2]
+    fd = state["fd"]
+    h, w = fd.ysize, fd.xsize
+    if (h, w) != pixels.shape[:2]:
+        # resampling: score in the downsampled frame space against the
+        # downsampled opsin (the reference's heuristics likewise operate
+        # on the downsampled image, enc_heuristics.cc:409-421)
+        from libjxl_tpu.color.xyb import xyb_to_linear
+        orig_lin = np.clip(xyb_to_linear(
+            np.asarray(aux["opsin"], np.float64)), 0.0, 1.0)
     orig_f32 = np.asarray(orig_lin, np.float32)
-    iters = 4 if options.effort >= 9 else 2
+    iters = (6 if options.effort >= 11 else 5 if options.effort >= 10
+             else 4 if options.effort >= 9 else 2)
     for i in range(iters):
         sums = roundtrip_block_sums(state, orig_f32, h, w)
         tile = _tile_dist_map(None, aux["acs"], aux["anchors"],
@@ -1064,7 +1122,8 @@ def _encode_lossy_iterated_legacy(pixels: np.ndarray,
     qf_lower = init_qf.min() / (asym * np.sqrt(250.0 / qf_ratio))
     qf_higher = init_qf.max() * (np.sqrt(250.0 / qf_ratio) / asym)
 
-    iters = 4 if options.effort >= 9 else 2
+    iters = (6 if options.effort >= 11 else 5 if options.effort >= 10
+             else 4 if options.effort >= 9 else 2)
     for i in range(iters):
         dec = decode(data)
         dec_lin = srgb_to_linear(

@@ -287,3 +287,63 @@ def test_preview_frame(rng):
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
     if oracle_available():
         assert np.array_equal(oracle_decode(data).pixels, img)
+
+
+def test_encoder_api_mixed_lossless_lossy_animation(rng):
+    """Mixed per-frame lossless/lossy animation: the container stays
+    non-XYB (the reference rejects lossless frames in xyb_encoded
+    codestreams, encode.cc:1573-1576); lossy frames ride as lossy
+    modular. Lossless frames must roundtrip exactly; the whole stream
+    must be oracle-decodable."""
+    base = rng.integers(0, 255, (64, 72, 3), dtype=np.uint8)
+    frames = []
+    e = Encoder(have_animation=True)
+    for i in range(3):
+        f = base.copy()
+        f[:, 16 * i:16 * i + 16] = (40 * i) % 256
+        frames.append(f)
+        e.add_frame(f, FrameSettings(duration=1, effort=3,
+                                     lossless=(i != 1), distance=1.0))
+    out = e.output()
+    meta, disp = decode_frames(out)
+    assert len(disp) == 3
+    f0 = np.round(np.asarray(disp[0].pixels) * 255).astype(np.uint8)
+    f2 = np.round(np.asarray(disp[2].pixels) * 255).astype(np.uint8)
+    assert np.array_equal(np.moveaxis(f0, 0, -1) if f0.shape[0] == 3
+                          else f0, frames[0])
+    assert np.array_equal(np.moveaxis(f2, 0, -1) if f2.shape[0] == 3
+                          else f2, frames[2])
+    f1 = np.asarray(disp[1].pixels)
+    f1 = np.moveaxis(f1, 0, -1) if f1.shape[0] == 3 else f1
+    rmse = np.sqrt(np.mean((f1 * 255 - frames[1]) ** 2))
+    assert rmse < 16.0                     # lossy frame: close, not exact
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        ref = oracle_decode(out, num_channels=3)
+        assert ref.pixels.shape[:2] == (64, 72)
+
+
+def test_grayscale_multiframe_compositing(rng):
+    """Grayscale animation (modular frames with one color channel) now
+    composites through the multi-frame float path (decoder.py gray
+    replication) and decodes to one channel."""
+    frames = [rng.integers(0, 256, (40, 56, 1), dtype=np.uint8)
+              for _ in range(2)]
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_animation
+    data = encode_animation(frames, [1, 1], EncodeOptions(effort=3),
+                            tps=(10, 1))
+    out = decode(data)
+    assert out.shape == (40, 56, 1)
+    assert np.array_equal(out[:, :, 0], frames[1][:, :, 0])
+    _, disp = decode_frames(data)
+    for i, d in enumerate(disp):
+        px = np.asarray(d.pixels)
+        got = np.round(px[..., 0] * 255).astype(np.uint8) \
+            if px.ndim == 3 and px.shape[-1] >= 1 else px
+        assert np.array_equal(got, frames[i][:, :, 0])
+    from libjxl_tpu.utils.oracle import oracle_available
+    if oracle_available():
+        from libjxl_tpu.utils.oracle import oracle_decode
+        ref = oracle_decode(data, num_channels=1)
+        assert np.array_equal(ref.pixels[:, :, 0], frames[1][:, :, 0])

@@ -138,3 +138,31 @@ def test_load_animation_gif_apng(tmp_path):
         assert len(fr) == 3 and dur == [70, 70, 70] and loops == 2
         if ext == "png":                    # APNG is lossless
             assert np.array_equal(fr[1], np.asarray(frames[1]))
+
+
+def test_pam_pfm_pgx_roundtrip(tmp_path):
+    """PAM/PFM/PGX codecs (lib/extras/dec/pnm.cc, pgx.cc): write+read
+    roundtrips for 8/16-bit and float, including bottom-up PFM rows."""
+    import numpy as np
+    from libjxl_tpu.extras.io import load_image, save_image
+
+    rng = np.random.default_rng(0)
+    rgba8 = rng.integers(0, 256, (7, 9, 4), dtype=np.uint8)
+    p = str(tmp_path / "t.pam")
+    save_image(p, rgba8)
+    assert np.array_equal(load_image(p), rgba8)
+
+    g16 = rng.integers(0, 65536, (5, 6, 1), dtype=np.uint16)
+    p = str(tmp_path / "t.pgx")
+    save_image(p, g16)
+    assert np.array_equal(load_image(p), g16)
+
+    f32 = rng.random((6, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "t.pfm")
+    save_image(p, f32)
+    assert np.allclose(load_image(p), f32)
+
+    gray_f = rng.random((4, 5)).astype(np.float32)
+    p2 = str(tmp_path / "g.pfm")
+    save_image(p2, gray_f)
+    assert np.allclose(load_image(p2)[:, :, 0], gray_f)

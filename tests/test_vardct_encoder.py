@@ -447,3 +447,70 @@ def test_custom_block_ctx_map_qf_split():
     out = decode(data)
     mse = np.mean((out[:, :, :3].astype(float) - img) ** 2)
     assert out.shape == img.shape and mse < 200.0
+
+
+def test_encoder_resampling_factors(rng):
+    """-r 2/4/8 (enc_frame.cc resampling): encode at 1/r scale, signal
+    fh.upsampling; decode returns the full size and the stream shrinks
+    with r."""
+    img = _img(rng, 120, 180)
+    base = encode_lossy(img, LossyOptions(distance=1.0, effort=5,
+                                          resampling=1))
+    sizes = [len(base)]
+    for r in (2, 4, 8):
+        data = encode_lossy(img, LossyOptions(distance=1.0, effort=5,
+                                              resampling=r))
+        out = decode(data)
+        assert out.shape[:2] == (120, 180)
+        sizes.append(len(data))
+        if oracle_available():
+            ref = oracle_decode(data, num_channels=3).pixels
+            assert np.abs(out[:, :, :3].astype(int) -
+                          ref.astype(int)).max() <= 1
+    assert sizes[0] > sizes[1] > sizes[2] > sizes[3]
+
+
+def test_encoder_resampling_auto_low_bitrate(rng):
+    """d >= 10 auto-enables 2x resampling with the reference's distance
+    rebalance (enc_frame.cc:104-117)."""
+    from libjxl_tpu.api.codestream import parse_codestream
+
+    img = _img(rng, 96, 96)
+    data = encode_lossy(img, LossyOptions(distance=12.0, effort=5))
+    meta, frames = parse_codestream(data)
+    assert frames[0].header.upsampling == 2
+    assert decode(data).shape[:2] == (96, 96)
+
+
+def test_faster_decoding_tiers(rng):
+    """decoding_speed tiers trade density for decode speed: tier 3 kills
+    EPF, tier 4 kills gaborish too (enc_frame.cc:316-345)."""
+    from libjxl_tpu.api.codestream import parse_codestream
+
+    img = _img(rng, 96, 96)
+    lfs = {}
+    for tier in (0, 2, 3, 4):
+        data = encode_lossy(img, LossyOptions(
+            distance=2.0, effort=5, faster_decoding=tier))
+        meta, frames = parse_codestream(data)
+        lfs[tier] = frames[0].header.loop_filter
+        out = decode(data)
+        assert out.shape[:2] == (96, 96)
+        if oracle_available():
+            ref = oracle_decode(data, num_channels=3).pixels
+            assert np.abs(out[:, :, :3].astype(int) -
+                          ref.astype(int)).max() <= 1
+    assert lfs[0].epf_iters > lfs[2].epf_iters > lfs[3].epf_iters == 0
+    assert lfs[0].gab and not lfs[4].gab
+
+
+def test_effort_10_11_accepted(rng):
+    """e10/e11 (kTectonicPlate/kGlacier, common.h:42-71): the exhaustive
+    tiers run the e9 ladder with more butteraugli iterations."""
+    img = _img(rng, 64, 64)
+    d10 = encode_lossy(img, LossyOptions(distance=1.0, effort=10))
+    out = decode(d10)
+    assert out.shape[:2] == (64, 64)
+    if oracle_available():
+        ref = oracle_decode(d10, num_channels=3).pixels
+        assert np.abs(out[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
