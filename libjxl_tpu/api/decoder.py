@@ -467,18 +467,35 @@ def decode_rows(data: bytes):
     from libjxl_tpu.vardct.frame_dec import VarDCTFrameDecoder
 
     meta, frames = parse_codestream(extract_codestream(data))
-    fs = frames[0]
+    fs = frames[-1]
     fh = fs.header
     fd = fs.dims
+    # feature frames (patch atlases, LF pyramids) preceding the displayed
+    # frame are small and decode whole; the DISPLAYED frame streams
+    # banded. Patches/splines/noise render band-windowed (the feature
+    # renderers are window-exact).
+    refs = [None] * 4
+    pre_ok = all(f.header.frame_type in (FrameType.REFERENCE_ONLY,)
+                 and not getattr(f.header, "nonserialized_is_preview",
+                                 False)
+                 for f in frames[:-1])
     banded_ok = (
-        len(frames) == 1 and fh.encoding == FrameEncoding.VARDCT and
-        not (fh.flags & (FrameFlags.PATCHES | FrameFlags.SPLINES |
-                         FrameFlags.NOISE | FrameFlags.USE_DC_FRAME)) and
+        pre_ok and fh.encoding == FrameEncoding.VARDCT and
+        not (fh.flags & FrameFlags.USE_DC_FRAME) and
+        not fh.custom_size_or_origin and
         fh.upsampling == 1 and meta.m.num_extra_channels == 0 and
         fh.chroma_subsampling.max_hshift == 0 and
         fh.chroma_subsampling.max_vshift == 0 and
         len(fs.sections) > 1)
+    if banded_ok and len(frames) > 1:
+        for f in frames[:-1]:
+            img, pre_ct = _frame_to_float(meta, f, refs)
+            refs[f.header.save_as_reference] = \
+                pre_ct if f.header.save_before_color_transform else img
     if not banded_ok:
+        fs = frames[0]
+        fh = fs.header
+        fd = fs.dims
         mod = _modular_banded_plan(meta, fs)
         if mod is not None:
             yield from _decode_rows_modular(meta, fs, *mod)
@@ -490,6 +507,7 @@ def decode_rows(data: bytes):
         return
 
     dec = VarDCTFrameDecoder(fh, meta.m, fd)
+    dec.reference_frames = refs
     dec.pixels = None                       # no full-frame buffer
     if fs.sections[0] is None:
         raise FormatError("truncated stream: DC global missing")
@@ -561,6 +579,28 @@ def decode_rows(data: bytes):
     maxval = float((1 << min(meta.m.bit_depth.bits_per_sample, 16)) - 1)
     out_dtype = np.uint8 if maxval <= 255 else np.uint16
 
+    def feature_band(xyb_band: np.ndarray, row0: int) -> np.ndarray:
+        """Band-windowed image features, same order as the render
+        pipeline (dec_cache.cc:142-217: patches -> splines -> noise);
+        each renderer is window-exact."""
+        if fh.flags & FrameFlags.PATCHES:
+            from libjxl_tpu.render.patches import apply_patches_band
+            xyb_band = apply_patches_band(
+                xyb_band, row0, dec.patches, refs,
+                meta.m.extra_channel_info)
+        if fh.flags & FrameFlags.SPLINES:
+            from libjxl_tpu.render.splines import render_splines
+            xyb_band = render_splines(
+                xyb_band, dec.splines, dec.cmap.ytox_ratio(0),
+                dec.cmap.ytob_ratio(0), row0=row0, h_total=fd.ysize)
+        if fh.flags & FrameFlags.NOISE:
+            from libjxl_tpu.render.noise import add_noise_band
+            xyb_band = add_noise_band(
+                xyb_band, dec.noise_lut, fh.group_dim, row0, fd.ysize,
+                base_correlation_x=dec.cmap.base_correlation_x,
+                base_correlation_b=dec.cmap.base_correlation_b)
+        return xyb_band
+
     def to_output(xyb_band: np.ndarray) -> np.ndarray:
         linear = xyb_to_linear(xyb_band, intensity_target=intensity)
         srgb = linear_to_srgb(linear)
@@ -575,12 +615,14 @@ def decode_rows(data: bytes):
         if prev is not None:
             done = filter_band(prev_prev_tail, prev, band[:, :margin],
                                gy - 1)
+            done = feature_band(done, (gy - 1) * gd)
             yield (gy - 1) * gd, to_output(done)
             prev_prev_tail = prev[:, -margin:]
         prev = band
     done = filter_band(prev_prev_tail, prev, None, n_gy - 1)
     y0 = (n_gy - 1) * gd
     if y0 < fd.ysize:
+        done = feature_band(done, y0)
         yield y0, to_output(done)
 
 

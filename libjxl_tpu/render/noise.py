@@ -146,3 +146,73 @@ def add_noise(xyb: np.ndarray, lut: np.ndarray, group_dim: int,
     out[1] += rg
     out[2] += base_correlation_b * rg
     return out
+
+
+def _generate_noise_rows(row0: int, row1: int, w: int, h_total: int,
+                         group_dim: int,
+                         visible_frame_index: int = 1) -> np.ndarray:
+    """Raw noise planes for absolute image rows [row0, row1): the
+    per-group Xorshift seeding makes any window reproducible. The three
+    channels consume ONE rng stream per group sequentially, so each
+    intersecting group is generated at its full whole-frame height and
+    sliced — bit-identical to generate_noise_planes."""
+    planes = np.empty((3, row1 - row0, w), np.float32)
+    g0 = (row0 // group_dim) * group_dim
+    for y0 in range(g0, row1, group_dim):
+        th = min(group_dim, h_total - y0)
+        a = max(y0, row0)
+        b = min(y0 + th, row1)
+        for x0 in range(0, w, group_dim):
+            tw = min(group_dim, w - x0)
+            rng = Xorshift128Plus(visible_frame_index, 0, x0, y0)
+            for c in range(3):
+                tile = _random_plane_rows(rng, th, tw)
+                planes[c, a - row0:b - row0, x0:x0 + tw] = \
+                    tile[a - y0:b - y0]
+    return planes
+
+
+def add_noise_band(xyb_band: np.ndarray, lut: np.ndarray, group_dim: int,
+                   row0: int, h_total: int,
+                   base_correlation_x: float = 0.0,
+                   base_correlation_b: float = 1.0,
+                   visible_frame_index: int = 1) -> np.ndarray:
+    """Band-windowed add_noise: bit-identical to the whole-frame result
+    on rows [row0, row0+band). The 5x5 noise convolution needs a 2-row
+    halo; interior bands use the real neighbor groups' (reproducible)
+    raw noise, image edges use the same symmetric mirror as the
+    whole-frame path."""
+    _, rows, w = xyb_band.shape
+    c0 = max(0, row0 - 2)
+    c1 = min(h_total, row0 + rows + 2)
+    raw = _generate_noise_rows(c0, c1, w, h_total, group_dim,
+                               visible_frame_index)
+
+    def conv(plane):
+        pt = 2 - (row0 - c0)                 # top mirror only at y=0
+        pb = 2 - (c1 - row0 - rows)          # bottom mirror only at y=H
+        p = np.pad(plane, ((pt, pb), (2, 2)), mode="symmetric")
+        # p rows now cover [row0-2, row0+rows+2) exactly
+        acc = np.zeros((rows, w), np.float64)
+        for dy in range(5):
+            for dx in range(5):
+                if dy == 2 and dx == 2:
+                    continue
+                acc += p[dy:dy + rows, dx:dx + w]
+        center = plane[row0 - c0:row0 - c0 + rows]
+        return (0.16 * acc - 3.84 * center).astype(np.float32)
+
+    rnd = np.stack([conv(raw[c]) for c in range(3)]) * 0.22
+    in_g = xyb_band[1] - xyb_band[0]
+    in_r = xyb_band[1] + xyb_band[0]
+    strength_g = _strength_lut(lut, in_g * 0.5)
+    strength_r = _strength_lut(lut, in_r * 0.5)
+    k_corr, k_ncorr = 0.9921875, 0.0078125
+    red_noise = strength_r * (k_ncorr * rnd[0] + k_corr * rnd[2])
+    green_noise = strength_g * (k_ncorr * rnd[1] + k_corr * rnd[2])
+    rg = red_noise + green_noise
+    out = xyb_band.copy()
+    out[0] += base_correlation_x * rg + (red_noise - green_noise)
+    out[1] += rg
+    out[2] += base_correlation_b * rg
+    return out

@@ -137,3 +137,31 @@ def apply_patches(img: np.ndarray, pd: PatchDictionary, reference_frames,
                              extra_channel_info)
         out[:, p.y:p.y + rp.ysize, p.x:p.x + rp.xsize] = blended
     return out
+
+
+def apply_patches_band(img_band: np.ndarray, row0: int,
+                       pd: PatchDictionary, reference_frames,
+                       extra_channel_info) -> np.ndarray:
+    """apply_patches for a window of image rows [row0, row0 + band):
+    every patch rect is clipped to the band (blending is per-pixel, so
+    row clipping is exact)."""
+    out = img_band.copy()
+    rows = img_band.shape[1]
+    for p in pd.patches:
+        rp = pd.refs[p.ref_idx]
+        a = max(p.y, row0)
+        b = min(p.y + rp.ysize, row0 + rows)
+        if b <= a:
+            continue
+        ref_img = reference_frames[rp.ref]
+        fg = ref_img[:, rp.y0 + (a - p.y):rp.y0 + (b - p.y),
+                     rp.x0:rp.x0 + rp.xsize]
+        if fg.shape[0] < out.shape[0]:
+            pad = np.zeros((out.shape[0] - fg.shape[0],) + fg.shape[1:],
+                           dtype=fg.dtype)
+            fg = np.concatenate([fg, pad])
+        bg = out[:, a - row0:b - row0, p.x:p.x + rp.xsize]
+        blended = blend_rect(bg, fg, p.blendings[0], p.blendings[1:],
+                             extra_channel_info)
+        out[:, a - row0:b - row0, p.x:p.x + rp.xsize] = blended
+    return out

@@ -203,10 +203,18 @@ def _erf(x: np.ndarray) -> np.ndarray:
 
 
 def render_splines(xyb: np.ndarray, splines: Splines, y_to_x: float,
-                   y_to_b: float) -> np.ndarray:
+                   y_to_b: float, row0: int = 0,
+                   h_total: int | None = None) -> np.ndarray:
     """Add all splines to (3, H, W) XYB (InitializeDrawCache + DrawSegment
-    semantics, splines.cc:40-230, 660-760)."""
+    semantics, splines.cc:40-230, 660-760).
+
+    ``row0``/``h_total``: render only the window of image rows
+    [row0, row0 + H) of an h_total-tall frame (banded decode); segment
+    pixels are absolute, so the windowed result equals the whole-frame
+    rows exactly."""
     _, h, w = xyb.shape
+    if h_total is None:
+        h_total = h
     out = xyb.astype(np.float32).copy()
     for qs, start in zip(splines.splines, splines.starting_points):
         cps, color_dct, sigma_dct = dequantize_spline(
@@ -232,8 +240,8 @@ def render_splines(xyb: np.ndarray, splines: Splines, y_to_x: float,
             maxd = math.sqrt(-2 * sigma * sigma *
                              (math.log(0.1) * dist_exp - math.log(max_color)))
             cx, cy = point
-            y0 = max(0, round(cy - maxd))
-            y1 = min(h, round(cy + maxd) + 1)
+            y0 = max(row0, round(cy - maxd))
+            y1 = min(row0 + h, round(cy + maxd) + 1)
             x0 = max(0, round(cx - maxd))
             x1 = min(w, round(cx + maxd) + 1)
             if y1 <= y0 or x1 <= x0:
@@ -247,7 +255,7 @@ def render_splines(xyb: np.ndarray, splines: Splines, y_to_x: float,
                    _erf((0.5 * dist - c1) * inv_sigma))
             local = (0.25 * sigma * multiplier) * odf * odf
             for c in range(3):
-                out[c, y0:y1, x0:x1] += color[c] * local
+                out[c, y0 - row0:y1 - row0, x0:x1] += color[c] * local
     return out
 
 

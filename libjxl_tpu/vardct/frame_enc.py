@@ -103,12 +103,15 @@ def _epf_iters_for(d: float, decoding_speed: int) -> int:
 
 
 def _dc_stream_tree(img: ModularImage, group_id: int, fallback_pred: int,
-                    effort: int):
+                    effort: int, kind: str = "dc"):
     """MA tree for a DC-group modular sub-stream (DC channels or AC
     metadata). The reference's modular encoder learns one global tree
     over all these streams (enc_modular.cc ComputeEncodingData); we
-    learn a compact local tree per stream at effort >= 5, falling back
-    to the single-context predictor of the fast tiers."""
+    learn a compact local tree per stream at effort >= 5, and use the
+    reference's PREDEFINED trees at the fast tiers
+    (enc_encoding.cc:482-570: kWPFixedDC/kGradientFixedDC for DC,
+    kACMeta/kFalconACMeta for the metadata) — a single fallback context
+    codes constant quant fields at ~6 bits/block."""
     if effort >= 5:
         try:
             from libjxl_tpu.modular.enc_ma import learn_tree
@@ -117,6 +120,17 @@ def _dc_stream_tree(img: ModularImage, group_id: int, fallback_pred: int,
                 max_leaves=32, group_id=group_id)
         except Exception:  # noqa: BLE001  (degenerate channels)
             pass
+    from libjxl_tpu.modular.fixed_trees import (
+        acmeta_tree, falcon_acmeta_tree, gradient_fixed_dc, wp_fixed_dc,
+    )
+    total = sum(ch.plane.size for ch in img.channel)
+    if kind == "acmeta":
+        return falcon_acmeta_tree() if effort <= 3 else acmeta_tree(total)
+    if kind == "dc":
+        if effort >= 3:
+            return wp_fixed_dc(total)
+        if effort == 2:
+            return gradient_fixed_dc(total)
     return [TreeNode(-1, 0, 0, 0, fallback_pred, 0, 1)]
 
 
@@ -827,13 +841,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     def _learn_dc_tree(g: int) -> None:
         if g not in dc_tree_cache:
             dc_tree_cache[g] = _dc_stream_tree(
-                _dc_img(g), 1 + g, PREDICTOR_GRADIENT, options.effort)
+                _dc_img(g), 1 + g, PREDICTOR_GRADIENT, options.effort,
+                kind="dc")
 
     def _learn_am_tree(g: int) -> None:
         am, _, _ = _am_img(g)
         am_tree_cache[g] = _dc_stream_tree(
             am, 1 + 2 * fd.num_dc_groups + g, PREDICTOR_ZERO,
-            options.effort)
+            options.effort, kind="acmeta")
 
     if options.effort >= 5:
         from concurrent.futures import ThreadPoolExecutor
@@ -854,7 +869,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             tree_dc = dc_tree_cache.get(g)
             if tree_dc is None:
                 tree_dc = dc_tree_cache[g] = _dc_stream_tree(
-                    img, 1 + g, PREDICTOR_GRADIENT, options.effort)
+                    img, 1 + g, PREDICTOR_GRADIENT, options.effort,
+                    kind="dc")
             modular_encode(sw, img, group_id=1 + g, tree=tree_dc)
         # Modular DC group: no channels -> nothing.
         am, count, upper = _am_img(g)
@@ -863,7 +879,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         if tree_am is None:
             tree_am = _dc_stream_tree(
                 am, 1 + 2 * fd.num_dc_groups + g, PREDICTOR_ZERO,
-                options.effort)
+                options.effort, kind="acmeta")
         modular_encode(sw, am, group_id=1 + 2 * fd.num_dc_groups + g,
                        tree=tree_am)
 

@@ -195,3 +195,35 @@ def test_large_image_low_memory_roundtrip(rng):
                                               EncodeOptions(effort=2)))
     got = np.concatenate([b for _, b in decode_rows(data)], axis=0)
     assert np.array_equal(got, img)
+
+
+def test_e7_bd_rate_match_or_beat_corpus():
+    """Match-or-beat gate on the checked-in corpus (tests/corpus: real
+    photo crops, graphics, screenshot, photographic-statistics
+    synthetics): at e7, mean Bjontegaard delta-rate vs the system
+    libjxl over d in {0.5, 1, 2, 4} must be <= 0 (we need no more bits
+    at equal butteraugli), and the real-photo class must each be <= +2%.
+    bench_quality.py prints the full per-image table."""
+    import glob
+    import os
+
+    import pytest
+    from PIL import Image
+
+    from libjxl_tpu.utils.oracle import oracle_available
+    if not oracle_available():
+        pytest.skip("libjxl not found")
+    import bench_quality as bq
+
+    corpus = os.path.join(os.path.dirname(__file__), "corpus")
+    rates = {}
+    for path in sorted(glob.glob(os.path.join(corpus, "*.png"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        (ours, ref), = bq._curves(img, [7], [0.5, 1.0, 2.0, 4.0]).values()
+        rates[name] = bq.bd_rate(ours, ref)
+    mean = float(np.nanmean(list(rates.values())))
+    assert mean <= 0.0, rates
+    for name, r in rates.items():
+        if name.startswith("photo"):
+            assert r <= 2.0, (name, r, rates)

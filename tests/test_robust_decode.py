@@ -228,3 +228,54 @@ def test_banded_matches_whole_frame_with_xla_filters(rng):
     finally:
         C.device_filters_enabled = orig
     assert np.array_equal(got, full)
+
+
+def test_banded_decode_feature_streams():
+    """decode_rows with noise/splines/patches streams: the band-windowed
+    feature renderers (noise halo regen, spline window clip, patch rect
+    clip) must reproduce the whole-frame decode exactly."""
+    import numpy as np
+    from libjxl_tpu.api.decoder import decode, decode_rows
+    from libjxl_tpu.render.splines import QuantizedSpline, Splines
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    def banded_eq(data):
+        full = decode(data)
+        parts = {y0: b for y0, b in decode_rows(data)}
+        banded = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+        return np.array_equal(full, banded)
+
+    rng = np.random.default_rng(6)
+    h, w = 600, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([140 + 70 * np.sin(xx / 50), 130 + 60 * np.cos(yy / 40),
+                    120 + 50 * np.sin((xx + yy) / 70)], -1)
+    img = (img + rng.normal(0, 5, img.shape)).clip(0, 255).astype(np.uint8)
+
+    o = LossyOptions(distance=1.5, effort=5)
+    o.noise = np.full(8, 0.3)
+    assert banded_eq(encode_lossy(img, o))
+
+    flat = np.full((600, 192, 3), 140, np.uint8)
+    color = np.zeros((3, 32), np.int64)
+    color[1, 0] = 60
+    sigma = np.zeros(32, np.int64)
+    sigma[0] = 8
+    sp = Splines(0, [QuantizedSpline([(30, 500), (-10, 25), (5, -15)],
+                                     color, sigma)], [(50.0, 40.0)])
+    o = LossyOptions(distance=1.0, effort=3)
+    o.splines = sp
+    assert banded_eq(encode_lossy(flat, o))
+
+    simg = np.full((520, 192, 3), 250, np.uint8)
+    glyph = rng.integers(0, 120, (7, 5, 3), np.uint8)
+    for k in range(40):
+        y, x = 13 * (k % 30) + 4, 40 * (k // 30) + 12
+        simg[y:y + 7, x:x + 5] = glyph
+    data = encode_lossy(simg, LossyOptions(distance=2.0, effort=7))
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.api.container import extract_codestream
+    from libjxl_tpu.core.frame_header import FrameFlags
+    _, frames = parse_codestream(extract_codestream(data))
+    assert frames[-1].header.flags & FrameFlags.PATCHES
+    assert banded_eq(data)
