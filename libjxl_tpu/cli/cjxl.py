@@ -18,8 +18,13 @@ def main(argv=None) -> int:
                                 description="TPU-native JPEG XL encoder")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("-d", "--distance", type=float, default=1.0,
-                   help="Butteraugli distance target; 0 = lossless")
+    p.add_argument("-d", "--distance", type=float, default=None,
+                   help="Butteraugli distance target; 0 = lossless "
+                        "(default 1.0)")
+    p.add_argument("--quality", type=float, default=None,
+                   help="JPEG-style quality 0-100 mapped to distance "
+                        "(100 = lossless; encode.cc "
+                        "JxlEncoderDistanceFromQuality)")
     p.add_argument("-e", "--effort", type=int, default=3,
                    help="encoder effort 1 (fastest) .. 11 (most thorough)")
     p.add_argument("--lossless", action="store_true")
@@ -63,6 +68,16 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if not 1 <= args.effort <= 11:
         p.error("effort must be in 1..11")
+    if args.quality is not None:
+        if args.distance is not None:
+            p.error("give either --quality or --distance, not both")
+        q = args.quality
+        # JxlEncoderDistanceFromQuality (encode.cc:1626-1631)
+        args.distance = (0.0 if q >= 100.0 else
+                         0.1 + (100 - q) * 0.09 if q >= 30 else
+                         53.0 / 3000.0 * q * q - 23.0 / 20.0 * q + 25.0)
+    elif args.distance is None:
+        args.distance = 1.0
     if args.num_threads > 0:
         from libjxl_tpu.parallel.runner import (
             ThreadRunner, set_default_runner,
