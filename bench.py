@@ -74,7 +74,7 @@ def bench_device_encode() -> float:
     import jax.numpy as jnp
 
     from libjxl_tpu.models.lossless import (
-        chunk_pack_device, frame_groups_host, lossless_tokens_device,
+        frame_groups_host, lossless_pack_fused,
     )
 
     imgs = [make_image(100 + s) for s in range(8)]
@@ -85,10 +85,13 @@ def bench_device_encode() -> float:
     lut_l = jnp.asarray(rng.integers(4, 15, 256).astype(np.int32))
 
     def step():
-        wide, wide8, valid, payload = lossless_tokens_device(
-            g, 1024, 1024, gx=4, per_image=16)
-        words, cb = chunk_pack_device(wide, valid, lut_b, lut_l,
-                                      cap_words=1 << 22)
+        # the production serving program: ONE dispatch for RCT +
+        # residuals + tokens + prefix pack (ROOFLINE.md hypothesis 1:
+        # per-dispatch relay latency dominates, so dispatch count is
+        # the first-order knob)
+        words, cb = lossless_pack_fused(g, 1024, 1024, lut_b, lut_l,
+                                        gx=4, per_image=16,
+                                        cap_words=1 << 22)
         return cb
 
     cb = step()
