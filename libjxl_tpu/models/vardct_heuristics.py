@@ -1,0 +1,129 @@
+"""Device-side VarDCT encode heuristics for effort >= 5 (the round-3
+lift of the e<=4 device gate, VERDICT r2 item 3).
+
+Two fused XLA programs:
+
+1. ``front_device``: sRGB -> XYB (pre-gaborish, padded to the block
+   grid), the adaptive quantization field (InitialQuantField,
+   enc_adaptive_quantization.cc — the xp-generic math of
+   vardct/adaptive_quant.py run under jnp), and the gaborish-inverse
+   sharpened encoder input. One dispatch; the host fetches the small
+   (yb, xb) field, derives the integer global scale (exact host int
+   semantics), and keeps the sharpened image for the transform stage.
+
+2. ``acs_grids_device``: the AC-strategy cost grids — for every
+   candidate transform class, a batched whole-frame DCT (MXU matmuls
+   over all aligned positions at once, the device analog of
+   enc_ac_strategy.cc:618's per-tile loop), dead-zone quantization,
+   rate estimate and weighted distortion, reduced to one cost per
+   aligned position. The host runs only the (cheap, sequential) merge
+   decisions on the fetched grids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+from libjxl_tpu.vardct.dct import dct_matrix
+
+
+@functools.partial(jax.jit, static_argnames=("distance", "use_gab",
+                                             "h", "w", "yb", "xb"))
+def front_device(pixels_u8, distance: float, use_gab: bool,
+                 h: int, w: int, yb: int, xb: int):
+    """(h, w, 3) u8 sRGB -> (qf (yb, xb) f32, xyb_p (3, yb*8, xb*8) f32,
+    xyb_pre_gab padded)."""
+    from libjxl_tpu.models.vardct_pipeline import (
+        _BIAS, _NEG_BIAS_CBRT, _OPSIN,
+    )
+    from libjxl_tpu.render.filters import gaborish_inverse
+    from libjxl_tpu.vardct.adaptive_quant import adaptive_quant_field
+
+    hp = jax.lax.Precision.HIGHEST
+    srgb = jnp.moveaxis(pixels_u8.astype(jnp.float32), -1, 0) / 255.0
+    linear = jnp.where(srgb <= 0.04045, srgb / 12.92,
+                       ((srgb + 0.055) / 1.055) ** 2.4)
+    mixed = jnp.einsum("ij,jhw->ihw", jnp.asarray(_OPSIN, jnp.float32),
+                       linear, precision=hp) + _BIAS
+    g = jnp.cbrt(jnp.maximum(mixed, 1e-12)) + _NEG_BIAS_CBRT
+    xyb = jnp.stack([0.5 * (g[0] - g[1]), 0.5 * (g[0] + g[1]), g[2]])
+    pre_gab = jnp.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                      mode="edge")
+    qf, _ = adaptive_quant_field(
+        pre_gab, distance if use_gab else distance * 0.62, xp=jnp)
+    if use_gab:
+        xyb = gaborish_inverse(xyb, xp=jnp)
+    xyb_p = jnp.pad(xyb, ((0, 0), (0, yb * 8 - h), (0, xb * 8 - w)),
+                    mode="edge")
+    return qf, xyb_p, pre_gab
+
+
+def _thresholds_np(nby, nbx):
+    from libjxl_tpu.vardct.enc_acs import _thresholds
+    return _thresholds(nby, nbx, True)
+
+
+@functools.partial(jax.jit, static_argnames=("strategies", "lam",
+                                             "scale", "inv_gs"))
+def _grids_jit(y_plane, raw_quant, tables, thres, strategies: tuple,
+               lam: float, scale: float, inv_gs: float):
+    from libjxl_tpu.models.vardct_pipeline import _adjust_quant_bias
+
+    hp = jax.lax.Precision.HIGHEST
+    H, W = y_plane.shape
+    out = []
+    for i, s in enumerate(strategies):
+        nby, nbx = COVERED_Y[s], COVERED_X[s]
+        rows, cols = nby * 8, nbx * 8
+        gy, gx = H // rows, W // cols
+        win = y_plane[:gy * rows, :gx * cols].reshape(
+            gy, rows, gx, cols).transpose(0, 2, 1, 3).reshape(
+            gy * gx, rows, cols)
+        mr = jnp.asarray(dct_matrix(rows), jnp.float32)
+        mc = jnp.asarray(dct_matrix(cols), jnp.float32)
+        coef = jnp.einsum("ux,nxz,vz->nuv", mr, win, mc, precision=hp)
+        qfw = raw_quant[:gy * nby, :gx * nbx].reshape(
+            gy, nby, gx, nbx).transpose(0, 2, 1, 3).reshape(
+            gy * gx, -1).max(axis=1).astype(jnp.float32)
+        table = tables[i]
+        stored = (jnp.swapaxes(coef, 1, 2) if rows >= cols else
+                  coef).reshape(gy * gx, -1)
+        th = thres[i]
+        val = stored * (scale / table)[None, :] * qfw[:, None]
+        q = jnp.where(jnp.abs(val) >= th[None, :], jnp.round(val), 0.0)
+        covered = nby * nbx
+        pos = jnp.arange(stored.shape[1]) >= covered
+        aq = jnp.abs(q) * pos[None, :]
+        nzbits = jnp.where(aq > 0, jnp.log2(aq + 1) * 2.0 + 1.2, 0.02)
+        rate = (nzbits * pos[None, :]).sum(axis=1) + 12.0
+        dq = _adjust_quant_bias(q, 1) * table[None, :] * \
+            (inv_gs / qfw)[:, None]
+        err = (dq - stored) * pos[None, :]
+        cost = rate + lam * (err * err).sum(axis=1)
+        out.append(cost.reshape(gy, gx))
+    return tuple(out)
+
+
+def acs_grids_device(y_plane_dev, raw_quant: np.ndarray, matrices,
+                     quantizer, distance: float,
+                     strategies: tuple) -> dict:
+    """Compute the per-strategy aligned-position cost grids on device;
+    returns {strategy: np grid} for choose_acs's merge pass."""
+    lam = 5.5 / (distance * distance)
+    tables = tuple(
+        jnp.asarray(matrices.table_for_strategy(s)[1].reshape(-1),
+                    jnp.float32) for s in strategies)
+    thres = tuple(
+        jnp.asarray(_thresholds_np(COVERED_Y[s], COVERED_X[s]),
+                    jnp.float32) for s in strategies)
+    grids = _grids_jit(y_plane_dev, jnp.asarray(raw_quant), tables,
+                       thres, tuple(int(s) for s in strategies),
+                       float(lam), float(quantizer.scale),
+                       float(quantizer.inv_global_scale))
+    return {int(s): np.asarray(g, np.float64)
+            for s, g in zip(strategies, grids)}

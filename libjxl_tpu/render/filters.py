@@ -148,7 +148,7 @@ def epf_step0(xyb, inv_sigma_block, lf, xp=np):
                      lf.epf_pass0_sigma_scale, True, xp)
 
 
-def gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
+def gaborish_inverse(xyb, xp=np):
     """Approximate inverse-gaborish sharpening applied by the encoder when
     the gaborish loop filter is on (enc_gaborish.cc:21-75): Symmetric5
     with the butteraugli-tuned kGaborish weights, normalized."""
@@ -160,19 +160,16 @@ def gaborish_inverse(xyb: np.ndarray) -> np.ndarray:
     # quadrant layout c r R / r d L / R L D (convolve.h WeightsSymmetric5)
     w_c, w_r, w_R = n, n * kg[0], n * kg[2]
     w_d, w_D, w_L = n * kg[1], n * kg[4], n * kg[3]
-    out = np.empty_like(xyb)
-    for c in range(3):
-        p = _mirror_pad(xyb[c], 2)
+    h, w = xyb.shape[1:]
+    p = _mirror_pad(xyb, 2, xp)
 
-        def sh(dy, dx):
-            h, w = xyb[c].shape
-            return p[2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
+    def sh(dy, dx):
+        return p[:, 2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
 
-        out[c] = (w_c * sh(0, 0) +
-                  w_r * (sh(0, -1) + sh(0, 1) + sh(-1, 0) + sh(1, 0)) +
-                  w_R * (sh(0, -2) + sh(0, 2) + sh(-2, 0) + sh(2, 0)) +
-                  w_d * (sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)) +
-                  w_D * (sh(-2, -2) + sh(-2, 2) + sh(2, -2) + sh(2, 2)) +
-                  w_L * (sh(-1, -2) + sh(-2, -1) + sh(-2, 1) + sh(-1, 2) +
-                         sh(1, -2) + sh(2, -1) + sh(2, 1) + sh(1, 2)))
-    return out
+    return (w_c * sh(0, 0) +
+            w_r * (sh(0, -1) + sh(0, 1) + sh(-1, 0) + sh(1, 0)) +
+            w_R * (sh(0, -2) + sh(0, 2) + sh(-2, 0) + sh(2, 0)) +
+            w_d * (sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)) +
+            w_D * (sh(-2, -2) + sh(-2, 2) + sh(2, -2) + sh(2, 2)) +
+            w_L * (sh(-1, -2) + sh(-2, -1) + sh(-2, 1) + sh(-1, 2) +
+                   sh(1, -2) + sh(2, -1) + sh(2, 1) + sh(1, 2)))

@@ -27,11 +27,11 @@ _K_SG_RET_MUL = _K_SG_MUL2 * 18.6580932135 * np.log(2.0)
 _K_SG_V_OFFSET = 7.7825991679894591
 
 
-def _ratio_cbrt_to_gamma(v, invert: bool):
+def _ratio_cbrt_to_gamma(v, invert: bool, xp=np):
     """RatioOfDerivativesOfCubicRootToSimpleGamma
     (enc_adaptive_quantization.cc:120-146)."""
     eps = 1e-2
-    v = np.maximum(v, 0.0)
+    v = xp.maximum(v, 0.0)
     num_mul = _K_SG_RET_MUL * 3 * _K_SG_MUL
     v_off = _K_SG_V_OFFSET * np.log(2.0) + eps
     den_mul = np.log(2.0) * _K_SG_MUL
@@ -41,15 +41,15 @@ def _ratio_cbrt_to_gamma(v, invert: bool):
     return num / den if invert else den / num
 
 
-def _masking_sqrt(v):
+def _masking_sqrt(v, xp=np):
     k_log_offset = 27.505837037000106
     k_mul = 211.66567973503678
-    return 0.25 * np.sqrt(v * np.sqrt(k_mul * 1e8) + k_log_offset)
+    return 0.25 * xp.sqrt(v * np.sqrt(k_mul * 1e8) + k_log_offset)
 
 
-def _compute_mask(v):
+def _compute_mask(v, xp=np):
     """(enc_adaptive_quantization.cc:95-118)."""
-    v1 = np.maximum(v * 0.80061762862741759, 1e-3)
+    v1 = xp.maximum(v * 0.80061762862741759, 1e-3)
     v2 = 1.0 / (v1 + 302.59587815579727)
     v3 = 1.0 / (v1 * v1 + 3.7179635626140772)
     v4 = 1.0 / (v1 * v1 + 0.25 * 3.7179635626140772)
@@ -62,15 +62,15 @@ def _blocks_sum(img, n):
     return img.reshape(h // n, n, w // n, n).sum(axis=(1, 3))
 
 
-def _neighbor_stack(img):
+def _neighbor_stack(img, xp=np):
     """3x3 edge-clamped neighborhood stack: (9, H, W)."""
-    p = np.pad(img, 1, mode="edge")
-    return np.stack([p[1 + dy: 1 + dy + img.shape[0],
+    p = xp.pad(img, 1, mode="edge")
+    return xp.stack([p[1 + dy: 1 + dy + img.shape[0],
                        1 + dx: 1 + dx + img.shape[1]]
                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
 
 
-def _fuzzy_erosion(pre: np.ndarray, d: float) -> np.ndarray:
+def _fuzzy_erosion(pre, d: float, xp=np):
     """(enc_adaptive_quantization.cc:389-478): weighted 4 smallest of each
     3x3 neighborhood, then 2x2-summed to per-block resolution."""
     k_mul_base = np.array([0.125, 0.1, 0.09, 0.06])
@@ -78,81 +78,86 @@ def _fuzzy_erosion(pre: np.ndarray, d: float) -> np.ndarray:
     mul = (2.0 - d) / 2.0 if d < 2.0 else 0.0
     k_mul = k_mul_base + mul * k_mul_add
     k_mul *= 0.29959705784054957 / k_mul.sum()
-    stack = np.sort(_neighbor_stack(pre), axis=0)[:4]
-    v = (k_mul[:, None, None] * stack).sum(axis=0)
+    stack = xp.sort(_neighbor_stack(pre, xp), axis=0)[:4]
+    v = (xp.asarray(k_mul[:, None, None], stack.dtype) * stack).sum(axis=0)
     return _blocks_sum(v, 2)
 
 
-def _gamma_modulation(xyb_x, xyb_y, base):
+def _gamma_modulation(xyb_x, xyb_y, base, xp=np):
     """(enc_adaptive_quantization.cc:179-211)."""
     bias = 0.16
     iny = xyb_y + bias
-    r = _ratio_cbrt_to_gamma(iny - xyb_x, invert=True)
-    g = _ratio_cbrt_to_gamma(iny + xyb_x, invert=True)
+    r = _ratio_cbrt_to_gamma(iny - xyb_x, invert=True, xp=xp)
+    g = _ratio_cbrt_to_gamma(iny + xyb_x, invert=True, xp=xp)
     overall = _blocks_sum(r + g, 8) * (0.5 / 64)
-    return base + 0.1005613337192697 * np.log2(overall)
+    return base + 0.1005613337192697 * xp.log2(overall)
 
 
-def _hf_modulation(xyb_y, base):
+def _hf_modulation(xyb_y, base, xp=np):
     """(enc_adaptive_quantization.cc:260-313): sum of clamped 4-connected
     |diffs| of Y within each block."""
     valmin = 0.0206
-    dx = np.minimum(np.abs(np.diff(xyb_y, axis=1)), valmin)
-    dx = np.pad(dx, ((0, 0), (0, 1)))
-    # block-internal column diffs only (x+1 inside block for x<7)
     h, w = xyb_y.shape
+    dx = xp.minimum(xp.abs(xyb_y[:, 1:] - xyb_y[:, :-1]), valmin)
+    dx = xp.pad(dx, ((0, 0), (0, 1)))
+    # block-internal column diffs only (x+1 inside block for x<7)
     colmask = np.ones(w)
     colmask[7::8] = 0.0
-    dx = dx * colmask[None, :]
-    dy = np.minimum(np.abs(np.diff(xyb_y, axis=0)), valmin)
-    dy = np.concatenate([dy, np.zeros((1, w))], axis=0)
+    dx = dx * xp.asarray(colmask[None, :], dx.dtype)
+    dy = xp.minimum(xp.abs(xyb_y[1:] - xyb_y[:-1]), valmin)
+    dy = xp.pad(dy, ((0, 1), (0, 0)))
     rowmask = np.ones(h)
     rowmask[7::8] = 0.0   # dy==7 uses same row -> diff 0
-    dy = dy * rowmask[:, None]
+    dy = dy * xp.asarray(rowmask[:, None], dy.dtype)
     s = _blocks_sum(dx + dy, 8)
     return base + (-0.38) * s + 0.42
 
 
-def _blue_modulation(xyb_x, xyb_y, xyb_b, base):
+def _blue_modulation(xyb_x, xyb_y, xyb_b, base, xp=np):
     """(enc_adaptive_quantization.cc:221-258)."""
     k_limit = 0.010474084867598155
     k_offset = 0.0031994768654636393
-    p_y_eff = xyb_y + k_offset + np.abs(xyb_x)
-    contrib = np.where(xyb_b > p_y_eff,
-                       np.minimum(xyb_b - p_y_eff, k_limit), 0.0)
+    p_y_eff = xyb_y + k_offset + xp.abs(xyb_x)
+    contrib = xp.where(xyb_b > p_y_eff,
+                       xp.minimum(xyb_b - p_y_eff, k_limit), 0.0)
     s = _blocks_sum(contrib, 8)
-    s = np.where(s >= 32 * k_limit, 64 * k_limit - s, s)
-    s = np.minimum(s, 15.463398341612438 * k_limit)
+    s = xp.where(s >= 32 * k_limit, 64 * k_limit - s, s)
+    s = xp.minimum(s, 15.463398341612438 * k_limit)
     return base + 0.90590804735610064 * s
 
 
-def adaptive_quant_field(xyb: np.ndarray, distance: float,
-                         rescale: float = 1.0):
+def adaptive_quant_field(xyb, distance: float, rescale: float = 1.0,
+                         xp=np):
     """xyb: (3, H, W) padded to 8x8 blocks. Returns (qf, masking) where
     ``qf`` is the per-block float quant field (InitialQuantField) and
-    ``masking`` the AC-strategy mask (unused yet)."""
+    ``masking`` the AC-strategy mask (unused yet).
+
+    ``xp=jnp`` runs the whole field on device (the math is pure array
+    ops; shapes are static)."""
     scale = K_AC_QUANT / distance * rescale
     y = xyb[1]
     h, w = y.shape
 
     # gamma-scaled Laplacian activity, 4x4 box to quarter res
     match_gamma_offset = 0.019
-    p = np.pad(y, 1, mode="edge")
+    p = xp.pad(y, 1, mode="edge")
     base4 = 0.25 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
-    gammac = _ratio_cbrt_to_gamma(y + match_gamma_offset, invert=False)
+    gammac = _ratio_cbrt_to_gamma(y + match_gamma_offset, invert=False,
+                                  xp=xp)
     diff = (gammac * (y - base4)) ** 2
-    diff = _masking_sqrt(np.minimum(diff, 0.2))
+    diff = _masking_sqrt(xp.minimum(diff, 0.2), xp=xp)
     pre_erosion = _blocks_sum(diff, 4) * 0.25
 
-    aq_map = _fuzzy_erosion(pre_erosion, distance)
+    aq_map = _fuzzy_erosion(pre_erosion, distance, xp=xp)
     masking = 1.0 / (aq_map + 0.001)
 
     # per-block modulations (exponent space), then exponentiate
-    val = _compute_mask(aq_map)
-    val = _gamma_modulation(xyb[0], xyb[1], val)
-    out_val = _hf_modulation(xyb[1], val)
-    out_val = np.minimum(out_val,
-                         _blue_modulation(xyb[0], xyb[1], xyb[2], val))
+    val = _compute_mask(aq_map, xp=xp)
+    val = _gamma_modulation(xyb[0], xyb[1], val, xp=xp)
+    out_val = _hf_modulation(xyb[1], val, xp=xp)
+    out_val = xp.minimum(out_val,
+                         _blue_modulation(xyb[0], xyb[1], xyb[2], val,
+                                          xp=xp))
 
     base_level = 0.48 * scale
     damp_start, damp_end = 2.0, 14.0
@@ -162,8 +167,8 @@ def adaptive_quant_field(xyb: np.ndarray, distance: float,
                      (damp_end - damp_start))
     mul = scale * dampen
     add = (1.0 - dampen) * base_level
-    qf = np.exp(out_val) * mul + add
-    return qf.astype(np.float32), masking.astype(np.float32)
+    qf = xp.exp(out_val) * mul + add
+    return qf.astype(xp.float32), masking.astype(xp.float32)
 
 
 def initial_quant_dc(distance: float) -> float:

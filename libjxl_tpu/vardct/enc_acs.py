@@ -83,7 +83,8 @@ def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
 
 def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                quantizer, distance: float, try_small: bool = False,
-               try_64: bool = False, try_32: bool = True):
+               try_64: bool = False, try_32: bool = True,
+               grids: dict | None = None):
     """RD selection on the Y channel. Returns (acs_raw, anchors,
     raw_quant') with merged regions given their anchor's max qf.
 
@@ -129,7 +130,7 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
         err[:, :covered] = 0.0             # LLF handled via DC
         return (rate + lam * (err * err).sum(axis=1)).reshape(gy, gx)
 
-    grid_cache = {}
+    grid_cache = dict(grids) if grids else {}
 
     def region_cost(strategy, by, bx):
         g = grid_cache.get(strategy)
