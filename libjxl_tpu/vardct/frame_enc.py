@@ -211,7 +211,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                     ce_in is None and pixels.dtype == np.uint8 and
                     not isinstance(options.noise, str) and
                     resample == 1)
-    if use_dev or use_dev_heur:
+    # butteraugli-loop iterations: every pixel-derived product (opsin,
+    # gaborish inverse, patches, noise LUT) is a pure function of the
+    # input and already cached in aux — skip recomputing them all
+    cached_iter = (options._aux is not None and options._in_iteration
+                   and "xyb_cache" in options._aux)
+    if use_dev or use_dev_heur or cached_iter:
         xyb = None
     elif ce_in is None:
         signal = pixels[:, :, :3].astype(np.float64) / maxval
@@ -228,9 +233,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- noise model (encoder side) -------------------------------------
     noise_lut = options.noise
-    if isinstance(noise_lut, str):       # "auto": estimate from the image
+    if cached_iter and isinstance(noise_lut, str):
+        noise_lut = options._aux.get("noise_cache")
+    elif isinstance(noise_lut, str):     # "auto": estimate from the image
         from libjxl_tpu.render.enc_noise import estimate_noise
         noise_lut = estimate_noise(xyb)
+        if options._aux is not None:
+            options._aux["noise_cache"] = noise_lut
     elif noise_lut is None and options.photon_noise_iso > 0:
         from libjxl_tpu.render.enc_noise import photon_noise_lut
         noise_lut = photon_noise_lut(options.photon_noise_iso,
@@ -239,9 +248,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if resample > 1:
         # downsample the opsin (enc_heuristics.cc:409-421); h/w become
         # FRAME-space sizes from here on (headers keep full_w/full_h)
-        from libjxl_tpu.render.enc_downsample import downsample_xyb
-        xyb = downsample_xyb(np.asarray(xyb), resample)
-        h, w = xyb.shape[1], xyb.shape[2]
+        if xyb is not None:
+            from libjxl_tpu.render.enc_downsample import downsample_xyb
+            xyb = downsample_xyb(np.asarray(xyb), resample)
+            h, w = xyb.shape[1], xyb.shape[2]
+        else:
+            h = -(-h // resample)
+            w = -(-w // resample)
 
     fd = FrameDimensions(w, h, 256)
     xb, yb = fd.xsize_blocks, fd.ysize_blocks
@@ -273,6 +286,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             patches_dict = build_patch_dictionary(found, apos, num_extra)
             xyb = np.asarray(xyb, np.float64).copy()
             subtract_patches(xyb, patches_dict, atlas_dec)
+            if options._aux is not None:
+                options._aux["patches_cache"] = (patches_dict, chans)
+    elif cached_iter and "patches_cache" in options._aux:
+        # loop iterations: the detection ran on the first pass and the
+        # cached xyb products already have the atlas subtracted
+        patches_dict, chans = options._aux["patches_cache"]
 
     # gaborish is on at hare-class efforts: sharpen now, decoder smooths
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
@@ -722,6 +741,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # the atlas rides as a REFERENCE_ONLY modular-XYB frame right
         # before the main frame (RoundtripPatchFrame)
         from libjxl_tpu.api.encoder import xyb_reference_frame_bytes
+        from libjxl_tpu.render.enc_patches import PATCH_FRAME_REF_ID
         atlas_frame_bytes = xyb_reference_frame_bytes(
             chans, meta, PATCH_FRAME_REF_ID)
         bw.write_bytes(atlas_frame_bytes)
