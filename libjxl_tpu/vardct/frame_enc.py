@@ -379,6 +379,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 xyb_pre_gab, d if use_gab else d * 0.62)
         global_scale, quant_dc_int, raw_quant = \
             compute_global_scale_and_quant(quant_dc_f, qf_field)
+    from libjxl_tpu.utils import debug as _dbg
+    if _dbg.active():
+        # DumpHeatmaps (enc_adaptive_quantization.cc:738-763)
+        _dbg.dump_image("quant_heatmap", np.asarray(qf_field, np.float32))
     quantizer = Quantizer(global_scale, quant_dc_int)
     matrices = DequantMatrices()
     bctx = BlockCtxMap()
@@ -1133,6 +1137,9 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         sums = roundtrip_block_sums(state, orig_f32, h, w)
         tile = _tile_dist_map(None, aux["acs"], aux["anchors"],
                               h_w=(h, w), sums=sums)
+        from libjxl_tpu.utils import debug as _dbg
+        if _dbg.active():
+            _dbg.dump_image(f"tile_heatmap_iter{i}", tile)
         diff = tile / target
         scale = 16.0 / max(init_qf.max(), 1e-9)   # ~ one raw-quant step
         if i < 2:

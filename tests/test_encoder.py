@@ -340,3 +340,26 @@ def test_modular_lossy_squeeze_quantization(rng):
         sizes.append(len(data))
         prev_err = err
     assert sizes[2] < sizes[1] < sizes[0]
+
+
+def test_debug_image_hook_and_logging():
+    """Debug-image dump hook (enc_debug_image.cc analog) + leveled
+    logging: encoder intermediates are delivered to the callback."""
+    import numpy as np
+
+    from libjxl_tpu.utils import debug
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    with debug.collect_debug_images() as images:
+        encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    assert any(k.startswith("quant_heatmap") for k in images)
+    assert any(k.startswith("tile_heatmap") for k in images)
+    qh = images["quant_heatmap"]
+    assert qh.shape == (12, 12)
+    # leveled logging smoke
+    debug.set_level(1)
+    debug.log(1, "visible")
+    debug.log(3, "suppressed")
+    debug.set_level(0)

@@ -279,3 +279,36 @@ def test_banded_decode_feature_streams():
     _, frames = parse_codestream(extract_codestream(data))
     assert frames[-1].header.flags & FrameFlags.PATCHES
     assert banded_eq(data)
+
+
+def test_hostile_size_no_alloc_bomb():
+    """Fault-injection analog of the reference's failing-allocator tests
+    (test_memory_manager.cc): header mutations that claim hostile
+    dimensions must raise FormatError, never MemoryError — verified in
+    a subprocess with the address space capped at 2 GB."""
+    import subprocess
+    import sys
+
+    code = r'''
+import jax; jax.config.update("jax_platforms", "cpu")
+import itertools, resource
+import numpy as np
+from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+from libjxl_tpu.api.decoder import decode
+from libjxl_tpu.core.fields import FormatError
+img = np.zeros((8, 8, 3), np.uint8)
+data = bytearray(encode_lossless(img, EncodeOptions(effort=1)))
+resource.setrlimit(resource.RLIMIT_AS, (2 << 30, 2 << 30))
+for i, v in itertools.product(range(2, 10), (0x01, 0x7f, 0xff)):
+    bad = bytearray(data); bad[i] ^= v
+    try:
+        decode(bytes(bad))
+    except FormatError:
+        pass
+print("CLEAN")
+'''
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=240, cwd=__import__("os").path.dirname(
+                           __import__("os").path.dirname(
+                               __import__("os").path.abspath(__file__))))
+    assert b"CLEAN" in r.stdout, (r.stdout, r.stderr[-800:])
