@@ -34,6 +34,8 @@ K_MIN_SIGMA = -3.90524291751269967465540850526098
 
 _PLUS = ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1))          # (dx, dy)
 _NEIGHBORS1 = ((0, -1), (-1, 0), (1, 0), (0, 1))
+_NEIGHBORS0 = ((0, -2), (-1, -1), (0, -1), (1, -1), (-2, 0), (-1, 0),
+               (1, 0), (2, 0), (-1, 1), (0, 1), (1, 1), (0, 2))
 
 TILE_H = 256
 TILE_W = 512
@@ -70,7 +72,7 @@ def _gab_kernel(xw_ref, out_ref, *, w0, w1, w2, p):
 
 
 def _epf_kernel(xw_ref, sig_ref, out_ref, *, scales, sm, bsm, plus_sad,
-                p):
+                p, neighbors=_NEIGHBORS1):
     """One EPF pass over a (tile + halo) window (stage_epf.cc EPF1/2)."""
     th, tw = out_ref.shape[1], out_ref.shape[2]
     x = xw_ref[:]
@@ -91,7 +93,7 @@ def _epf_kernel(xw_ref, sig_ref, out_ref, *, scales, sm, bsm, plus_sad,
 
     wsum = jnp.ones((th, tw), jnp.float32)
     acc = center
-    for dx, dy in _NEIGHBORS1:
+    for dx, dy in neighbors:
         if plus_sad:
             sad = jnp.zeros((th, tw), jnp.float32)
             for ox, oy in _PLUS:
@@ -165,7 +167,8 @@ def static_lf_params(lf) -> tuple:
             float(lf.gab_b_weight1), float(lf.gab_b_weight2),
             tuple(float(v) for v in lf.epf_channel_scale),
             float(lf.epf_border_sad_mul),
-            float(lf.epf_pass2_sigma_scale))
+            float(lf.epf_pass2_sigma_scale),
+            float(lf.epf_pass0_sigma_scale))
 
 
 @functools.partial(jax.jit if _HAVE_PALLAS else (lambda f, **k: f),
@@ -176,8 +179,8 @@ def restore_pallas(xyb, inv_sigma_pix, params: tuple, gab: bool,
 
     xyb: (3, H, W) f32. inv_sigma_pix: (H, W) per-pixel 1/sigma
     (upsampled from the block field). params: static_lf_params(lf).
-    epf_iters is capped at 2 (matching the encoder/decoder surface)."""
-    (gx1, gx2, gy1, gy2, gb1, gb2, scales, bsm_mul, p2s) = params
+    All three EPF passes are supported (EPF0 5x5 diamond included)."""
+    (gx1, gx2, gy1, gy2, gb1, gb2, scales, bsm_mul, p2s, p0s) = params
     _, h, w = xyb.shape
     x = jnp.asarray(xyb, jnp.float32)
     if gab:
@@ -191,6 +194,14 @@ def restore_pallas(xyb, inv_sigma_pix, params: tuple, gab: bool,
     if epf_iters > 0:
         sig = _pad_plane_tiles(jnp.asarray(inv_sigma_pix, jnp.float32),
                                h, w)
+        if epf_iters >= 3:
+            # EPF0: 5x5 diamond with plus-shaped SADs (stage_epf.cc
+            # EPF0Stage); stencil reach 2 + plus offset 1 -> halo 3
+            kern = functools.partial(
+                _epf_kernel, scales=scales, sm=1.65 * p0s,
+                bsm=1.65 * p0s * bsm_mul, plus_sad=True, p=3,
+                neighbors=_NEIGHBORS0)
+            x = _tiled_call(kern, _pad_tiles(x, h, w, 3), sig, (h, w), 3)
         kern = functools.partial(
             _epf_kernel, scales=scales, sm=1.65, bsm=1.65 * bsm_mul,
             plus_sad=True, p=2)

@@ -84,7 +84,7 @@ def restore_device(xyb: np.ndarray, lf, raw_quant, epf_sharpness,
     import jax.numpy as jnp
 
     from libjxl_tpu.config import config as _cfg
-    if _cfg.pallas_filters and lf.epf_iters <= 2:
+    if _cfg.pallas_filters:
         from libjxl_tpu.models import pallas_filters as PF
         if PF.available():
             import libjxl_tpu.render.filters as F

@@ -111,3 +111,44 @@ def test_pallas_filter_kernels_match_host():
     finally:
         PF.pl.pallas_call = orig
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_pallas_epf0_three_iterations_match_host():
+    """EPF0 (5x5 diamond, epf_iters==3 — the e7+ HDR filter chain) as a
+    Pallas tile kernel matches the host filters; the Pallas path is no
+    longer gated to epf_iters <= 2 (VERDICT r2 weak #7)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import libjxl_tpu.models.pallas_filters as PF
+    from libjxl_tpu.core.frame_header import LoopFilter
+    from libjxl_tpu.render.filters import (
+        _upsample8, compute_sigma, epf_step0, epf_step1, epf_step2,
+        gaborish,
+    )
+
+    rng = np.random.default_rng(5)
+    H, W = 200, 264
+    xyb = (rng.random((3, H, W)).astype(np.float32) - 0.4) * 0.3
+    yb, xb = (H + 7) // 8, (W + 7) // 8
+    rq = rng.integers(1, 40, (yb, xb)).astype(np.int32)
+    sh = np.full((yb, xb), 4, np.int32)
+    lf = LoopFilter()
+    lf.gab = True
+    lf.epf_iters = 3
+    inv_sig = compute_sigma(lf, None, None, rq, sh, 0.005)
+    ref = gaborish(xyb, lf)
+    ref = epf_step0(ref, inv_sig, lf)
+    ref = epf_step1(ref, inv_sig, lf)
+    ref = epf_step2(ref, inv_sig, lf)
+    sig_pix = _upsample8(np.asarray(inv_sig, np.float32), H, W)
+    orig = PF.pl.pallas_call
+    PF.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = np.asarray(PF.restore_pallas(
+            jnp.asarray(xyb), jnp.asarray(sig_pix),
+            PF.static_lf_params(lf), True, 3))
+    finally:
+        PF.pl.pallas_call = orig
+    assert np.abs(out - ref).max() < 1e-5
