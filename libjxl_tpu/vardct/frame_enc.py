@@ -526,9 +526,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                     grids = acs_grids_device(
                         y_dev, raw_quant, matrices, quantizer, d,
                         tuple(strat))
+                # the 8x8 special transforms are tried at hare (e5) and
+                # slower in the reference (enc_ac_strategy.cc:855
+                # `speed_tier > kHare -> return`)
                 acs_map, acs_anchors, raw_quant = choose_acs(
                     xyb_p[1], raw_quant, matrices, quantizer, d,
-                    try_small=options.effort >= 7,
+                    try_small=options.effort >= 5,
                     try_64=try_64, try_32=try_32, grids=grids)
             qac = quantizer.scale * raw_quant.astype(np.float64)
         else:
