@@ -228,7 +228,12 @@ def measure() -> dict:
 
 
 def main():
-    retry_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S", "480"))
+    # probe budget: retry long only when there is nothing to fall back
+    # on — with a cached in-round measurement available, a short probe
+    # keeps the whole run well inside any driver timeout
+    default_budget = "90" if _load_cache() is not None else "480"
+    retry_budget = int(os.environ.get("BENCH_PROBE_BUDGET_S",
+                                      default_budget))
     if _tpu_healthy_with_retry(retry_budget):
         try:
             record = measure()
