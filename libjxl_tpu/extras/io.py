@@ -211,6 +211,17 @@ def save_image(path: str, img: np.ndarray) -> None:
             f.write(write_exr(f32, pixel_type=ptype))
         return
     from PIL import Image
+    if ext in (".jpg", ".jpeg"):
+        # lib/extras/enc/jpg.cc analog (quality 90 default, like cjpeg)
+        arr = img2d
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr.astype(np.float64) /
+                          (257.0 if arr.dtype == np.uint16 else 1.0),
+                          0, 255).astype(np.uint8)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        Image.fromarray(arr).save(path, "JPEG", quality=90)
+        return
     Image.fromarray(img2d).save(path)
 
 
