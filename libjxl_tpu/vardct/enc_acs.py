@@ -450,3 +450,146 @@ def adjust_field_for_acs(acs: np.ndarray, anchors: np.ndarray,
             val = mixer * val + (1.0 - mixer) * region.mean()
         rq[by:by + nby, bx:bx + nbx] = max(1, int(round(val)))
     return rq
+
+
+def tokenize_varblocks_group(blocks, acs, anchors, orders, bctx, raw_quant,
+                             by0: int, bx0: int, gh: int, gw: int
+                             ) -> np.ndarray:
+    """Vectorized whole-group tokenizer for variable-size blocks: the
+    batched mirror of ``tokenize_varblock`` (enc_entropy_coder.cc:153
+    DecodeACVarBlock order). Produces the identical (N, 2) token stream:
+    per raster anchor, per channel (Y, X, B), one nonzero-count token
+    followed by the zero-density coefficient tokens.
+
+    Causality note: the nonzero-count prediction reads the top/left
+    CELLS of each anchor, which raster anchor order guarantees belong
+    to earlier blocks — so the nz grids can be painted up front and
+    gathered without a sequential walk."""
+    a_sel = anchors[by0:by0 + gh, bx0:bx0 + gw]
+    acs_g = acs[by0:by0 + gh, bx0:bx0 + gw]
+    ys, xs = np.nonzero(a_sel)
+    n = len(ys)
+    if n == 0:
+        return np.zeros((0, 2), np.int64)
+    strat = acs_g[ys, xs]
+    qf = raw_quant[by0 + ys, bx0 + xs].astype(np.int64)
+    order_of = np.asarray(STRATEGY_ORDER, np.int64)
+    covered_of = (np.asarray(COVERED_X, np.int64) *
+                  np.asarray(COVERED_Y, np.int64))
+    covered = covered_of[strat]
+    log2cov = np.zeros(n, np.int64)
+    c_tmp = covered.copy()
+    while (c_tmp > 1).any():
+        log2cov += c_tmp > 1
+        c_tmp >>= 1
+
+    # block contexts per (anchor, channel): idx layout of
+    # BlockCtxMap.context (ac_context.py:87-96)
+    nqf = len(bctx.qf_thresholds)
+    qf_idx = np.searchsorted(np.asarray(bctx.qf_thresholds, np.int64),
+                             qf, side="left") if nqf else \
+        np.zeros(n, np.int64)
+    cidx = np.array([1, 0, 2], np.int64)     # channel order (Y, X, B)
+    from libjxl_tpu.vardct.ac_context import (
+        K_COEFF_FREQ_CONTEXT, K_COEFF_NUM_NONZERO_CONTEXT, NUM_ORDERS,
+    )
+    idx = (cidx[None, :] * NUM_ORDERS + order_of[strat][:, None])
+    idx = (idx * (nqf + 1) + qf_idx[:, None]) * bctx.num_dc_ctxs
+    block_ctx = np.asarray(bctx.ctx_map, np.int64)[idx]    # (n, 3)
+
+    knz = np.asarray(K_COEFF_NUM_NONZERO_CONTEXT, np.int64)
+    kfr = np.asarray(K_COEFF_FREQ_CONTEXT, np.int64)
+
+    # per-class batched coefficient tokens
+    per_anchor_parts: list = [None] * n          # (3, list of tok arrays)
+    nzeros_all = np.zeros((n, 3), np.int64)
+    per_class: dict = {}
+    for s in np.unique(strat):
+        sel = np.nonzero(strat == s)[0]
+        per_class[int(s)] = sel
+    class_tok = {}
+    for s, sel in per_class.items():
+        cov = int(covered_of[s])
+        size = cov * 64
+        order = orders[STRATEGY_ORDER[s]]
+        q = np.stack([blocks[(by0 + ys[i], bx0 + xs[i])]["q"]
+                      for i in sel])              # (m, 3, size)
+        vals = q[:, :, order[cov:]].astype(np.int64)   # (m, 3, size-cov)
+        m = vals != 0
+        nz = m.sum(-1, dtype=np.int64)                  # (m, 3)
+        nzeros_all[sel] = nz
+        cums = np.cumsum(m, axis=-1, dtype=np.int64)
+        left = nz[..., None] - (cums - m)
+        emit = left > 0
+        prev = np.empty(vals.shape, np.int64)
+        prev[..., 0] = (nz <= size // 16).astype(np.int64)
+        prev[..., 1:] = m[..., :-1]
+        l2 = max(cov.bit_length() - 1, 0)
+        k = cov + np.arange(vals.shape[-1])
+        nzl = (np.where(emit, left, 1) + cov - 1) >> l2
+        ho = bctx.zero_density_offset(0) - 0  # base without block_ctx
+        # zero_density_offset(bc) = num_ctxs*K_NONZERO_BUCKETS + ZD*bc
+        from libjxl_tpu.vardct.ac_context import (
+            K_NONZERO_BUCKETS, K_ZERO_DENSITY_CONTEXT_COUNT,
+        )
+        hoff = (bctx.num_ctxs * K_NONZERO_BUCKETS +
+                K_ZERO_DENSITY_CONTEXT_COUNT *
+                block_ctx[sel])                          # (m, 3)
+        ctx = hoff[:, :, None] + \
+            (knz[nzl] + kfr[(k >> l2)][None, None, :]) * 2 + prev
+        tok = np.where(vals >= 0, vals << 1, ((-vals) << 1) - 1)
+        class_tok[s] = (sel, ctx, tok, emit)
+
+    # nonzero-count contexts: paint per-channel nz grids, then gather
+    # top/left predictions per anchor
+    nzgrid = np.zeros((3, gh, gw), np.int64)
+    paint = (nzeros_all + (covered - 1)[:, None]) >> log2cov[:, None]
+    for s, sel in per_class.items():
+        nby, nbx = COVERED_Y[s], COVERED_X[s]
+        ay = np.arange(nby)
+        ax = np.arange(nbx)
+        yy = (ys[sel][:, None, None] + ay[None, :, None])
+        xx = (xs[sel][:, None, None] + ax[None, None, :])
+        for c in range(3):
+            nzgrid[c, yy, xx] = paint[sel, c][:, None, None]
+    # prediction must read only already-painted (earlier-anchor) cells;
+    # top/left cells of an anchor are never covered by itself
+    up = np.where(ys > 0, nzgrid[:, np.maximum(ys - 1, 0), xs], 32)
+    lf = np.where(xs > 0, nzgrid[:, ys, np.maximum(xs - 1, 0)], 0)
+    predicted = np.where(
+        xs[None, :] == 0, up,
+        np.where(ys[None, :] == 0, lf, (up + lf + 1) >> 1))  # (3, n)
+    pb = np.minimum(predicted, 64)
+    pb = np.where(pb < 8, pb, 4 + pb // 2)
+    nz_ctx = pb.T * bctx.num_ctxs + block_ctx                # (n, 3)
+
+    # assemble in raster-anchor/channel order via offsets
+    corder = np.array([1, 0, 2])
+    emit_counts = np.zeros((n, 3), np.int64)
+    for s, (sel, ctx, tok, emit) in class_tok.items():
+        emit_counts[sel] = emit.sum(-1)
+    per_chan = 1 + emit_counts[:, corder]                    # (n, 3)
+    flat_counts = per_chan.reshape(-1)
+    offsets = np.concatenate([[0], np.cumsum(flat_counts)[:-1]]
+                             ).reshape(n, 3)
+    total = int(flat_counts.sum())
+    out = np.empty((total, 2), np.int64)
+    # nz tokens
+    for ci, c in enumerate(corder):
+        pos = offsets[:, ci]
+        out[pos, 0] = nz_ctx[:, c]
+        out[pos, 1] = nzeros_all[:, c]
+    # coefficient tokens per class
+    for s, (sel, ctx, tok, emit) in class_tok.items():
+        for ci, c in enumerate(corder):
+            em = emit[:, c]                                  # (m, size-cov)
+            cnt = em.sum(-1)
+            m_idx, k_idx = np.nonzero(em)
+            # position = anchor offset + 1 + rank within the channel
+            ranks = np.concatenate(
+                [np.arange(v) for v in cnt]) if len(cnt) else \
+                np.zeros(0, np.int64)
+            pos = offsets[sel, ci][m_idx] + 1 + ranks
+            out[pos, 0] = ctx[:, c][em]
+            out[pos, 1] = tok[:, c][em]
+    return out

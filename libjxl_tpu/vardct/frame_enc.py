@@ -666,25 +666,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         raise ValueError("progressive + ACS search not combined yet")
     if use_acs:
         from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
-        from libjxl_tpu.vardct.enc_acs import tokenize_varblock
+        from libjxl_tpu.vardct.enc_acs import tokenize_varblocks_group
         orders = {STRATEGY_ORDER[int(sid)]: natural_order(int(sid))
                   for sid in np.unique(acs_map)}
         for gy in range(fd.ysize_groups):
             for gx in range(fd.xsize_groups):
                 g = gy * fd.xsize_groups + gx
-                toks = group_tokens[0][g]
                 by0, bx0 = gy * gdb, gx * gdb
                 gh = min(gdb, yb - by0)
                 gw = min(gdb, xb - bx0)
-                nzeros_img = np.zeros((3, gh, gw), dtype=np.int32)
-                for by in range(gh):
-                    for bx in range(gw):
-                        y, x = by0 + by, bx0 + bx
-                        if not acs_anchors[y, x]:
-                            continue
-                        tokenize_varblock(
-                            toks, blocks[(y, x)], orders, nzeros_img,
-                            bx, by, bctx, int(raw_quant[y, x]), y, x)
+                group_tokens[0][g] = tokenize_varblocks_group(
+                    blocks, acs_map, acs_anchors, orders, bctx,
+                    raw_quant, by0, bx0, gh, gw)
     else:
         for p in range(num_passes):
             qp = q_passes[p]
@@ -699,7 +692,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                         raw_quant[by0:by0 + gh, bx0:bx0 + gw])
 
     codes_per_pass = [build_entropy_codes(
-        [tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
+        [t if isinstance(t, np.ndarray) else
+         tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
          for t in group_tokens[p]],
         num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
         histo_shift=11,
@@ -968,8 +962,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     def ac_group(sw: BitWriter, g: int, p: int = 0) -> None:
         # histogram selector: 0 bits (num_histograms == 1)
-        arr = tokens_to_array(group_tokens[p][g]) \
-            if len(group_tokens[p][g]) else np.zeros((0, 2), np.int64)
+        t = group_tokens[p][g]
+        arr = t if isinstance(t, np.ndarray) else \
+            tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
         write_tokens(sw, arr, codes_per_pass[p])
         # modular AC data (extra channels > group_dim) follows the tokens
         # (enc_group.cc EncodeGroup -> ModularFrameEncoder)
