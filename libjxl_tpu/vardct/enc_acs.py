@@ -527,8 +527,6 @@ def tokenize_varblocks_group(blocks, acs, anchors, orders, bctx, raw_quant,
         l2 = max(cov.bit_length() - 1, 0)
         k = cov + np.arange(vals.shape[-1])
         nzl = (np.where(emit, left, 1) + cov - 1) >> l2
-        ho = bctx.zero_density_offset(0) - 0  # base without block_ctx
-        # zero_density_offset(bc) = num_ctxs*K_NONZERO_BUCKETS + ZD*bc
         from libjxl_tpu.vardct.ac_context import (
             K_NONZERO_BUCKETS, K_ZERO_DENSITY_CONTEXT_COUNT,
         )
