@@ -198,9 +198,14 @@ def measure() -> dict:
         except Exception:  # noqa: BLE001
             pass
     try:
-        from bench_decode import bench_decode_device_mpps, bench_decode_mpps
+        from bench_decode import (
+            bench_decode_device_mpps, bench_decode_e7_mpps,
+            bench_decode_mpps,
+        )
         extra["decode_mpps"] = bench_decode_mpps()
         extra["decode_device_mpps"] = bench_decode_device_mpps()
+        _save_cache(record)
+        extra["decode_e7_mpps"] = bench_decode_e7_mpps()
         _save_cache(record)
     except Exception:  # noqa: BLE001
         pass

@@ -70,3 +70,30 @@ def bench_decode_device_mpps() -> float:
 if __name__ == "__main__":
     import json
     print(json.dumps({"decode_mpps": bench_decode_mpps()}))
+
+
+def bench_decode_e7_mpps() -> float:
+    """Serving decode of e7 (variable-block) streams: host entropy
+    decode + per-strategy-class batched device reconstruction
+    (decode_frames_device_var)."""
+    from libjxl_tpu.api.decoder import decode_many
+    from libjxl_tpu.config import config
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:768, 0:1024]
+    img = np.stack([
+        (xx * 255 // 1024 + rng.integers(0, 8, (768, 1024))),
+        (yy * 255 // 768 + rng.integers(0, 8, (768, 1024))),
+        ((xx + yy) * 255 // 1792 + rng.integers(0, 8, (768, 1024))),
+    ], -1).clip(0, 255).astype(np.uint8)
+    data = encode_lossy(img, LossyOptions(distance=1.0, effort=7))
+    config.device_filters = True
+    decode_many([data] * 8)
+    n = 16
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_many([data] * n)
+        dt = min(dt, time.perf_counter() - t0)
+    return round(n * 0.786432 / dt, 2)

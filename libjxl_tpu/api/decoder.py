@@ -896,8 +896,60 @@ def _device_decode_inputs(data: bytes):
         readers = {g: [BitReader(frame.sections[ac_group_index(
             0, g, fd.num_groups, fd.num_dc_groups)])]
             for g in range(fd.num_groups)}
-    if dec.jpeg_mode or (dec.acs_raw[dec.acs_anchor] != 0).any():
-        return None       # only the all-DCT8 shape runs on device
+    if dec.jpeg_mode:
+        return None
+    x_dm_ = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
+    b_dm_ = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
+    if (dec.acs_raw[dec.acs_anchor] != 0).any():
+        # variable-block stream: per-strategy-class device batches
+        # (models/vardct_decode.decode_frames_device_var)
+        from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+        dec._collect_runs = []
+        for g, rs in readers.items():
+            if not dec._decode_ac_group_native(rs, g, 1,
+                                               *_group_rect(fd, g)):
+                return None
+        if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
+            return None
+        classes: dict = {}
+        for (bx0, by0, w_, h_, acs_g, anc_g, coeffs) in dec._collect_runs:
+            anc_b = anc_g.astype(bool)
+            sizes = np.where(
+                anc_b,
+                np.asarray(COVERED_X)[np.maximum(acs_g, 0)].astype(
+                    np.int64) *
+                np.asarray(COVERED_Y)[np.maximum(acs_g, 0)] * 64, 0)
+            offs = np.concatenate(
+                [[0], np.cumsum(sizes.ravel())[:-1]]).reshape(h_, w_)
+            for s in np.unique(acs_g[anc_b]):
+                s = int(s)
+                sel = anc_b & (acs_g == s)
+                ys, xs = np.nonzero(sel)
+                size = COVERED_X[s] * COVERED_Y[s] * 64
+                q = coeffs[:, offs[ys, xs][:, None] +
+                           np.arange(size)[None, :]]
+                entry = classes.setdefault(s, [[], [], [], []])
+                entry[0].append(np.ascontiguousarray(
+                    q.transpose(1, 0, 2)))
+                entry[1].append(dec.raw_quant[by0 + ys, bx0 + xs])
+                entry[2].append((by0 + ys).astype(np.int32))
+                entry[3].append((bx0 + xs).astype(np.int32))
+        frame = dict(
+            classes={s: tuple(np.concatenate(v) for v in parts)
+                     for s, parts in classes.items()},
+            dc=dec.dc.astype(np.float32),
+            raw_quant=dec.raw_quant, sharpness=dec.epf_sharpness,
+            x_cc=dec.cmap.ytox_ratio_arr(dec.ytox_map),
+            b_cc=dec.cmap.ytob_ratio_arr(dec.ytob_map),
+            inv_gs=np.float32(dec.quantizer.inv_global_scale),
+            dms=np.asarray([x_dm_, 1.0, b_dm_], np.float32),
+            quant_scale=np.float32(dec.quantizer.scale),
+            intensity=np.float32(meta.m.tone_mapping.intensity_target))
+        lf = fh.loop_filter
+        key = (meta.ysize, meta.xsize, yb, xb, bool(lf.gab),
+               int(lf.epf_iters), bits, "var",
+               tuple(sorted(classes)))
+        return frame, key, lf
     dec._collect_coeffs = np.zeros((3, yb, xb, 64), np.int32)
     for g, rs in readers.items():
         if not dec._decode_ac_group_native(rs, g, 1, *_group_rect(fd, g)):
@@ -968,17 +1020,22 @@ def decode_many(streams, workers: int = 3, device_batch: bool = True
     for i, p in enumerate(prepped):
         if p is not None:
             by_key.setdefault(p[1], []).append(i)
-    from libjxl_tpu.models.vardct_decode import decode_frames_device
+    from libjxl_tpu.models.vardct_decode import (
+        decode_frames_device, decode_frames_device_var,
+    )
     CHUNK = 8
     for key, idxs in by_key.items():
-        h, w, yb, xb, gab, epf_iters, bits = key
+        h, w, yb, xb, gab, epf_iters, bits = key[:7]
+        is_var = len(key) > 7 and key[7] == "var"
         lf = prepped[idxs[0]][2]
         # dispatch every chunk first (async device queue), then fetch:
         # chunk i+1 executes while chunk i's image crosses the link
         pending = []
         for c0 in range(0, len(idxs), CHUNK):
             chunk = idxs[c0:c0 + CHUNK]
-            dev = decode_frames_device(
+            fn = decode_frames_device_var if is_var \
+                else decode_frames_device
+            dev = fn(
                 [prepped[i][0] for i in chunk], lf, gab, epf_iters,
                 h, w, maxval=(1 << bits) - 1, fetch=False)
             pending.append((chunk, dev))

@@ -171,3 +171,207 @@ def decode_frames_device(inputs: list, lf, gab: bool, epf_iters: int,
     # device is free for the consumer, and any multi-D host fetch would
     # hit the tunnel's row-chunked slow path
     return out
+
+
+# ---- variable-block-size device reconstruction (round 3) ----------------
+#
+# e5+ streams carry merged transforms (DCT16/32/64 + rectangles) and the
+# 8x8 specials. Ragged per-block work maps to the TPU as PER-CLASS
+# BATCHES: every class is a fixed-shape (cap, 3, size) tensor whose
+# dequant + CfL + LLF + IDCT are dense matmuls, scattered into the frame
+# canvas by block coordinates. Padding blocks target a scratch frame.
+# (dec_group.cc:156-181 / dec_transforms-inl.h:456 re-designed batched.)
+
+_SPECIALS = (1, 2, 3, 12, 13, 14, 15, 16, 17)
+
+
+def _class_geometry(s: int):
+    from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+    nby, nbx = COVERED_Y[s], COVERED_X[s]
+    return nby, nbx, nby * nbx * 64
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("classes", "caps", "gab", "epf_iters",
+                     "h", "w", "maxval", "K", "yb", "xb"))
+def _decode_batch_var(class_data, dc, raw_quant, sharpness, x_cc, b_cc,
+                      inv_gs, dms, quant_scale, intensity, lfp,
+                      classes: tuple, caps: tuple, gab: bool,
+                      epf_iters: int, h: int, w: int, maxval: int,
+                      K: int, yb: int, xb: int):
+    import jax
+    import jax.numpy as jnp
+
+    from libjxl_tpu.render import filters as F
+    from libjxl_tpu.render.filters_jax import _output_int
+    from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
+    from libjxl_tpu.vardct.dct import (
+        dct_matrix, idct_matrix, resample_scales,
+    )
+    from libjxl_tpu.vardct.enc_transforms_small import inverse_matrix
+    from libjxl_tpu.vardct.frame_dec import K_BIASES
+
+    hp = jax.lax.Precision.HIGHEST
+    # scratch frame K absorbs padding-block scatters
+    img = jnp.zeros((K + 1, 3, yb * 8, xb * 8), jnp.float32)
+    dc_p = jnp.pad(dc, ((0, 1), (0, 0), (0, 0), (0, 0)))
+    iv_p = jnp.pad(inv_gs, (0, 1), constant_values=1.0)
+    dm_p = jnp.pad(dms, ((0, 1), (0, 0)), constant_values=1.0)
+    xcc_p = jnp.pad(x_cc, ((0, 1), (0, 0), (0, 0)))
+    bcc_p = jnp.pad(b_cc, ((0, 1), (0, 0), (0, 0)))
+
+    def bias(q, c):
+        absq = jnp.abs(q)
+        out = q - K_BIASES[3] / jnp.where(q == 0, 1.0, q)
+        out = jnp.where(absq < 0.5, 0.0, out)
+        return jnp.where((absq > 0.5) & (absq < 1.5),
+                         jnp.sign(q) * K_BIASES[c], out)
+
+    from libjxl_tpu.vardct.quant_weights import DequantMatrices
+    mats = DequantMatrices()
+    for ci, s in enumerate(classes):
+        q, qf, fy, fx, fi = class_data[ci]
+        nby, nbx = COVERED_Y[s], COVERED_X[s]
+        size = nby * nbx * 64
+        qf32 = q.astype(jnp.float32)
+        dq = jnp.stack([bias(qf32[:, c], c) for c in range(3)], axis=1)
+        tab = jnp.asarray(
+            mats.table_for_strategy(s).reshape(3, -1), jnp.float32)
+        dq = dq * (tab[None] * dm_p[fi][:, :, None]) * \
+            (iv_p[fi] / qf.astype(jnp.float32))[:, None, None]
+        xc = xcc_p[fi, fy // 8, fx // 8]
+        bc = bcc_p[fi, fy // 8, fx // 8]
+        y_ch = dq[:, 1]
+        dq = jnp.stack([dq[:, 0] + xc[:, None] * y_ch, y_ch,
+                        dq[:, 2] + bc[:, None] * y_ch], axis=1)
+        if s in _SPECIALS:
+            stored = dq.at[:, :, 0].set(
+                dc_p[fi[:, None], jnp.arange(3)[None, :], fy[:, None],
+                     fx[:, None]])
+            M = jnp.asarray(inverse_matrix(s), jnp.float32)
+            pix = jnp.einsum("ncs,ps->ncp", stored, M,
+                             precision=hp).reshape(-1, 3, 8, 8)
+            R = C = 8
+        else:
+            mn, mx = min(nby, nbx), max(nby, nbx)
+            stored = dq.reshape(-1, 3, mn * 8, mx * 8)
+            ay = jnp.arange(nby)
+            ax = jnp.arange(nbx)
+            dcb = dc_p[fi[:, None, None, None],
+                       jnp.arange(3)[None, :, None, None],
+                       (fy[:, None, None] + ay[None, :, None])[:, None],
+                       (fx[:, None, None] + ax[None, None, :])[:, None]]
+            dmy = jnp.asarray(dct_matrix(nby), jnp.float32)
+            dmx = jnp.asarray(dct_matrix(nbx), jnp.float32)
+            llf = jnp.einsum("uy,ncyx,vx->ncuv", dmy, dcb, dmx,
+                             precision=hp)
+            llf = llf / jnp.asarray(
+                resample_scales(nby), jnp.float32)[:, None] / \
+                jnp.asarray(resample_scales(nbx), jnp.float32)[None, :]
+            llf_st = jnp.swapaxes(llf, 2, 3) if nby >= nbx else llf
+            stored = stored.at[:, :, :llf_st.shape[2],
+                               :llf_st.shape[3]].set(llf_st)
+            R, C = nby * 8, nbx * 8
+            rc = jnp.swapaxes(stored, 2, 3) if R >= C else stored
+            imy = jnp.asarray(idct_matrix(R), jnp.float32)
+            imx = jnp.asarray(idct_matrix(C), jnp.float32)
+            pix = jnp.einsum("uy,ncyx,vx->ncuv", imy, rc, imx,
+                             precision=hp)
+        yy = fy[:, None] * 8 + jnp.arange(R)[None, :]
+        xx = fx[:, None] * 8 + jnp.arange(C)[None, :]
+        img = img.at[fi[:, None, None, None],
+                     jnp.arange(3)[None, :, None, None],
+                     yy[:, None, :, None],
+                     xx[:, None, None, :]].set(pix)
+
+    img = img[:K, :, :h, :w]
+
+    def restore(xyb, rq, shp, scale):
+        if gab:
+            xyb = F.gaborish(xyb, lfp, xp=jnp)
+        if epf_iters > 0:
+            inv_sigma = F.compute_sigma(lfp, None, None, rq, shp,
+                                        scale, xp=jnp)
+            if epf_iters >= 3:
+                xyb = F.epf_step0(xyb, inv_sigma, lfp, xp=jnp)
+            xyb = F.epf_step1(xyb, inv_sigma, lfp, xp=jnp)
+            if epf_iters >= 2:
+                xyb = F.epf_step2(xyb, inv_sigma, lfp, xp=jnp)
+        return xyb
+
+    img = jax.vmap(restore)(img, raw_quant, sharpness, quant_scale)
+    out = jax.vmap(lambda x, i: _output_int(x, i, maxval))(img, intensity)
+    return out.reshape(-1)
+
+
+def decode_frames_device_var(inputs: list, lf, gab: bool, epf_iters: int,
+                             h: int, w: int, maxval: int = 255,
+                             fetch: bool = True):
+    """Batched var-block device reconstruction.
+
+    ``inputs``: per-frame dicts with keys ``classes`` ({strategy:
+    (q (n,3,size) i32, qf (n,) i32, fy (n,) i32, fx (n,) i32)}),
+    ``dc`` (3, yb, xb) f32, ``raw_quant``/``sharpness`` (yb, xb) i32,
+    ``x_cc``/``b_cc`` (ty, tx) f32 ratio maps, ``inv_gs``, ``dms`` (3,),
+    ``quant_scale``, ``intensity`` scalars."""
+    import jax.numpy as jnp
+
+    from libjxl_tpu.render.filters_jax import lf_params
+
+    K = len(inputs)
+    yb, xb = inputs[0]["dc"].shape[1:]
+    all_classes = sorted({s for f in inputs for s in f["classes"]})
+    class_data = []
+    caps = []
+    for s in all_classes:
+        qs, qfs, fys, fxs, fis = [], [], [], [], []
+        for k, f in enumerate(inputs):
+            if s not in f["classes"]:
+                continue
+            q, qf, fy, fx = f["classes"][s]
+            qs.append(q)
+            qfs.append(qf)
+            fys.append(fy)
+            fxs.append(fx)
+            fis.append(np.full(len(qf), k, np.int32))
+        q = np.concatenate(qs)
+        n = len(q)
+        cap = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        _, _, size = _class_geometry(s)
+        pad = cap - n
+
+        def cat_pad(parts, fill=0):
+            a = np.concatenate(parts)
+            return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                          constant_values=fill)
+
+        class_data.append((
+            jnp.asarray(cat_pad(qs)),
+            jnp.asarray(cat_pad(qfs, fill=1).astype(np.int32)),
+            jnp.asarray(cat_pad(fys).astype(np.int32)),
+            jnp.asarray(cat_pad(fxs).astype(np.int32)),
+            jnp.asarray(np.pad(np.concatenate(fis), (0, pad),
+                               constant_values=K)),
+        ))
+        caps.append(cap)
+    out = _decode_batch_var(
+        tuple(class_data),
+        jnp.asarray(np.stack([f["dc"] for f in inputs])),
+        jnp.asarray(np.stack([f["raw_quant"] for f in inputs])),
+        jnp.asarray(np.stack([f["sharpness"] for f in inputs])),
+        jnp.asarray(np.stack([f["x_cc"] for f in inputs])),
+        jnp.asarray(np.stack([f["b_cc"] for f in inputs])),
+        jnp.asarray(np.asarray([f["inv_gs"] for f in inputs],
+                               np.float32)),
+        jnp.asarray(np.stack([f["dms"] for f in inputs])),
+        jnp.asarray(np.asarray([f["quant_scale"] for f in inputs],
+                               np.float32)),
+        jnp.asarray(np.asarray([f["intensity"] for f in inputs],
+                               np.float32)),
+        lf_params(lf), tuple(all_classes), tuple(caps), bool(gab),
+        int(epf_iters), int(h), int(w), int(maxval), K, yb, xb)
+    if fetch:
+        arr = np.asarray(out).reshape(K, h, w, 3)
+        return [arr[i] for i in range(K)]
+    return out

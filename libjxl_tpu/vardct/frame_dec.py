@@ -463,6 +463,13 @@ class VarDCTFrameDecoder:
             if end < 0:
                 raise FormatError(f"AC group native decode error {end}")
             r.skip(int(end) - r.bits_consumed)
+        if getattr(self, "_collect_runs", None) is not None:
+            # var-block device-reconstruction mode: keep the per-anchor
+            # coefficient runs; models/vardct_decode.py batches them per
+            # strategy class on device
+            self._collect_runs.append((bx0, by0, w_, h_, acs.copy(),
+                                       anchors.copy(), coeffs))
+            return True
         if getattr(self, "_collect_coeffs", None) is not None:
             # device-reconstruction mode: stash raw quantized coefficients
             # (models/vardct_decode.py runs dequant+CfL+IDCT on TPU)

@@ -535,3 +535,26 @@ def test_device_heuristics_e5_e7(rng):
             ref = oracle_decode(dev, num_channels=3).pixels
             assert np.abs(out[:, :, :3].astype(int) -
                           ref.astype(int)).max() <= 1
+
+
+def test_decode_many_varblock_device_batch(rng):
+    """Variable-block streams (e5/e7: merges + specials) now take the
+    batched device reconstruction in decode_many — per-strategy-class
+    dense batches (models/vardct_decode.decode_frames_device_var) —
+    matching the host decode within the f32/f64 rounding step."""
+    from libjxl_tpu.api.decoder import decode_many
+    from libjxl_tpu.config import config
+
+    imgs = [_img(rng, 120, 144), _img(rng, 120, 144), _img(rng, 96, 80)]
+    streams = [encode_lossy(im, LossyOptions(distance=1.0, effort=e))
+               for im, e in zip(imgs, (7, 5, 5))]
+    host = [decode(s) for s in streams]
+    old = config.device_filters
+    config.device_filters = True
+    try:
+        dev = decode_many(streams)
+    finally:
+        config.device_filters = old
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
