@@ -1169,8 +1169,9 @@ def _prefix_fused(batch_imgs: list, options: EncodeOptions, st2: dict,
     # detected in _prefix_assemble and re-fetched from words_dev's tail
     # — and cap_words is sized so that can't truncate: the pack buffer
     # itself holds the worst case
-    worst = n_tokens * 30 // 32 + n_chunks + 64
-    est = int(n_tokens * words_per_token * 1.3) + n_chunks + 8192
+    from libjxl_tpu.models.lossless import PACK_NW
+    worst = n_chunks * PACK_NW
+    est = int(n_tokens * words_per_token * 1.3) + n_chunks * 8 + 8192
     # bucket to 512Ki-word multiples: compaction cost is O(cap_words),
     # so a tight cap matters more than reusing a power-of-2 program;
     # an overflow is detected via chunk_bits and retried two-pass
@@ -1181,8 +1182,7 @@ def _prefix_fused(batch_imgs: list, options: EncodeOptions, st2: dict,
         jnp.asarray(st2["lut_len"]), gx=gx_groups,
         per_image=per_image if len(imgs) > 1 else 0, cap_words=cap_words)
     piece = 1 << 19
-    est_fetch = int(n_tokens * words_per_token) + (n_chunks * 5) // 8 \
-        + 8192
+    est_fetch = int(n_tokens * words_per_token) + n_chunks * 6 + 8192
     bucket = min(cap_words, ((est_fetch + piece - 1) // piece) * piece)
     slices = [words_dev[p:min(p + piece, bucket)]
               for p in range(0, bucket, piece)]
@@ -1257,7 +1257,7 @@ def _prefix_pass2(st: dict) -> dict:
         return st2
 
     n_chunks = n_tokens // PACK_T
-    max_words = total_bits // 32 + n_chunks + 64
+    max_words = total_bits // 32 + n_chunks * 8 + 64
     cap_words = 1 << max(12, int(np.ceil(np.log2(max_words))))
     words_dev, chunk_bits_dev = chunk_pack_device(
         st["wide"], st["valid"], jnp.asarray(lut_bits),
@@ -1269,7 +1269,7 @@ def _prefix_pass2(st: dict) -> dict:
     # critical path, and a rare shortfall costs one extra tail fetch in
     # _prefix_assemble. Slice boundaries are fixed so programs cache.
     piece = 1 << 19
-    est_words = total_bits // 32 + (n_chunks * 5) // 8 + 8192
+    est_words = total_bits // 32 + n_chunks * 5 + 8192
     bucket = min(cap_words, ((est_words + piece - 1) // piece) * piece)
     slices = [words_dev[p:min(p + piece, bucket)]
               for p in range(0, bucket, piece)]
@@ -1298,7 +1298,11 @@ def _prefix_assemble(st: dict) -> list:
     if mode == "stream":
         words = np.concatenate([np.asarray(s) for s in st["words_slices"]])
         chunk_bits = np.asarray(st["chunk_bits_dev"])
+        # chunks start PACK_ROW-word aligned in the dense stream (the
+        # device compaction is row-granular); the splice itself reads
+        # exactly chunk_bits bits so the slack never reaches the stream
         nw = (chunk_bits.astype(np.int64) + 31) >> 5
+        nw = (nw + 7) & ~np.int64(7)
         word_start = np.concatenate([[0], np.cumsum(nw)])
         if word_start[-1] > st["words_dev"].shape[0]:
             # fused-mode capacity estimate overflowed (content much less

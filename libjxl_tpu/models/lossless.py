@@ -156,8 +156,10 @@ def encode_image_device_collect(dev):
     return out, mask, hist
 
 
-PACK_T = 64           # tokens per packed chunk
-PACK_NW = 60          # word capacity per chunk: ceil(64*30/32) + slack
+PACK_T = 128          # tokens per packed chunk
+PACK_NW = 128         # padded word capacity per chunk (max real: 124)
+PACK_ROW = 8          # compaction row: chunks start 8-word aligned in
+                      # the dense stream (host splice drops the slack)
 
 
 @functools.partial(jax.jit, static_argnames=("gx", "per_image", "out16"))
@@ -292,24 +294,32 @@ def _lut2_apply(tokens: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray,
     return o0.reshape(-1)[:n], o1.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("cap_words",))
-def chunk_pack_device(wide, valid, code_bits, code_len,
-                      cap_words: int = 1 << 20):
-    """Pass 2: entropy-code residuals into a dense LSB-first word stream.
+def _compact_rows8(buf, chunk_bits, cap_words: int):
+    """Compact per-chunk word buffers into one dense uint32 stream whose
+    chunks start PACK_ROW-word aligned. Row-granular gather: the scalar
+    word gather runs ~5x slower on TPU (measured 157 ms vs 26 ms for 4M
+    words); the ~2-word average row slack per chunk never reaches the
+    bitstream — the host splice is bit-exact from chunk_bits."""
+    rw = PACK_ROW
+    cap_rows = cap_words // rw
+    rows = buf.reshape(-1, rw)
+    rows_per_chunk = PACK_NW // rw
+    nw8 = (chunk_bits + rw * 32 - 1) >> 8
+    wstart8 = jnp.cumsum(nw8) - nw8
+    marks = jnp.zeros(cap_rows, jnp.int32).at[wstart8].add(1, mode="drop")
+    cid = jnp.cumsum(marks) - 1
+    j = jnp.arange(cap_rows)
+    rsrc = cid * rows_per_chunk + (j - wstart8[cid])
+    dense = rows[jnp.clip(rsrc, 0, rows.shape[0] - 1)]
+    total_rows = wstart8[-1] + nw8[-1]
+    dense = jnp.where((j < total_rows)[:, None], dense, 0)
+    return dense.reshape(-1)
 
-    Strategy (TPU-shaped, no scatter into big buffers): each PACK_T-token
-    chunk is packed independently into a word-aligned PACK_NW-word buffer
-    with a short unrolled insertion loop (pure VPU selects); the buffers
-    are then compacted into one dense uint32 stream with a word-level
-    gather. The host splices chunks bit-exactly (native
-    jxlt_splice_chunks) — slack never reaches the bitstream, only the
-    wire. Replaces WriteTokens (enc_ans.cc:1237) + emission.
 
-    Returns (dense words uint32[cap_words], chunk_bits uint16[Cn]).
-    """
+def _pack_buffers_xla(v, valid, code_bits, code_len):
+    """Portable (CPU/interpreter) chunk packer: same (buf, chunk_bits)
+    contract as the Pallas kernel, via a T-step lax.scan."""
     T, NW = PACK_T, PACK_NW
-    v = wide.astype(jnp.uint32).reshape(-1)
-    valid = valid.reshape(-1)
     token = _token_id(v)
     n = jnp.maximum(_floor_log2_u32(jnp.maximum(v, 1)), 2)
     nbits = jnp.where(v < 16, 0, n - 2).astype(jnp.uint32)
@@ -318,7 +328,7 @@ def chunk_pack_device(wide, valid, code_bits, code_len,
                                   code_len.astype(jnp.int32))
     clen = clen_i.astype(jnp.uint32)
     cbits = cbits_i.astype(jnp.uint32)
-    comb = (cbits | (raw << clen)).reshape(-1, T)
+    comb = jnp.where(valid, cbits | (raw << clen), 0).reshape(-1, T)
     lens = jnp.where(valid, clen + nbits, 0).astype(jnp.int32).reshape(-1, T)
 
     off = jnp.cumsum(lens, axis=1) - lens
@@ -338,17 +348,46 @@ def chunk_pack_device(wide, valid, code_bits, code_len,
         insert, jnp.zeros((comb.shape[0], NW), jnp.uint32),
         (wt.T, lo.T, hi.T))
     chunk_bits = (off[:, -1] + lens[:, -1]).astype(jnp.int32)
+    return buf, chunk_bits
 
-    # word-level compaction: dense[j] = buf[cid[j], j - wstart[cid[j]]]
-    nw = (chunk_bits + 31) >> 5
-    wstart = jnp.cumsum(nw) - nw
-    marks = jnp.zeros(cap_words, jnp.int32).at[wstart].add(1, mode="drop")
-    cid = jnp.cumsum(marks) - 1
-    j = jnp.arange(cap_words)
-    src = cid * NW + (j - wstart[cid])
-    dense = buf.reshape(-1)[jnp.clip(src, 0, buf.size - 1)]
-    total_words = wstart[-1] + nw[-1]
-    dense = jnp.where(j < total_words, dense, 0)
+
+@functools.partial(jax.jit, static_argnames=("cap_words",))
+def chunk_pack_device(wide, valid, code_bits, code_len,
+                      cap_words: int = 1 << 20):
+    """Pass 2: entropy-code residuals into a dense LSB-first word stream.
+
+    Strategy (TPU-shaped, no scatter into big buffers): each PACK_T-token
+    chunk is packed independently into a word-aligned buffer — on TPU by
+    a Pallas kernel that keeps the whole token->bits pipeline in VMEM
+    (models/pack_kernel.py), elsewhere by an unrolled-insertion lax.scan
+    — then the buffers are compacted into one dense uint32 stream with a
+    row-level gather. Chunks start PACK_ROW-word aligned; the host
+    splices them bit-exactly (native jxlt_splice_chunks) — slack never
+    reaches the bitstream, only the wire. Replaces WriteTokens
+    (enc_ans.cc:1237) + emission.
+
+    Returns (dense words uint32[cap_words], chunk_bits uint16[Cn]).
+    """
+    T = PACK_T
+    v = wide.astype(jnp.uint32).reshape(-1)
+    valid = valid.reshape(-1)
+    cn = v.shape[0] // T
+    if jax.default_backend() == "tpu":
+        from libjxl_tpu.models.pack_kernel import CB, pack_chunks_tpu
+        sent = jnp.uint32(0xFFFFFFFF)
+        vs = jnp.where(valid, v, sent).reshape(-1, T)
+        pad = (-cn) % CB
+        if pad:
+            vs = jnp.concatenate(
+                [vs, jnp.full((pad, T), sent, jnp.uint32)])
+        lut_comb = ((code_len.astype(jnp.int32) << 16)
+                    | code_bits.astype(jnp.int32))[:96]
+        buf, chunk_bits = pack_chunks_tpu(vs, lut_comb)
+        buf, chunk_bits = buf[:cn], chunk_bits[:cn]
+    else:
+        buf, chunk_bits = _pack_buffers_xla(v, valid, code_bits, code_len)
+        buf = jnp.pad(buf, ((0, 0), (0, PACK_NW - buf.shape[1])))
+    dense = _compact_rows8(buf, chunk_bits, cap_words)
     return dense, chunk_bits.astype(jnp.uint16)
 
 
