@@ -77,7 +77,8 @@ def bench_device_encode() -> float:
         frame_groups_host, lossless_pack_fused,
     )
 
-    imgs = [make_image(100 + s) for s in range(8)]
+    n_img = 16  # 16.8 MP per dispatch amortizes the ~27 ms relay floor
+    imgs = [make_image(100 + s) for s in range(n_img)]
     groups = np.concatenate([frame_groups_host(im, 256)[0] for im in imgs])
     g = jax.device_put(groups)
     rng = np.random.default_rng(0)
@@ -91,7 +92,7 @@ def bench_device_encode() -> float:
         # the first-order knob)
         words, cb = lossless_pack_fused(g, 1024, 1024, lut_b, lut_l,
                                         gx=4, per_image=16,
-                                        cap_words=1 << 22)
+                                        cap_words=1 << 23)
         return cb
 
     cb = step()
@@ -104,7 +105,7 @@ def bench_device_encode() -> float:
         cb = step()
     np.asarray(cb[:64])
     dt = time.perf_counter() - t0
-    return round(n * 8 * 1.048576 / dt, 1)
+    return round(n * n_img * 1.048576 / dt, 1)
 
 
 def _tpu_healthy(timeout_s: int = 90) -> bool:
