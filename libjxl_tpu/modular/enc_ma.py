@@ -319,11 +319,31 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     tok = {}
     for p, v in resid.items():
         tok[p] = _tokenize(v)
+    # (P, n) stacked tokens/raw-bit-counts: every histogram/entropy below
+    # is batched over all candidate predictors in one numpy call — the
+    # per-(leaf, prop, predictor) Python loop was call-overhead-bound
+    # (11520 tiny _seg_entropies calls profiled at ~0.9 s per tree)
+    n_samp = next(iter(resid.values())).size
+    tok_mat = np.stack([tok[p][0] for p in cand])
+    nb_mat = np.stack([tok[p][1] for p in cand])
+    n_pred = len(cand)
+    pidx = np.arange(n_pred)[:, None]
+    alphabet = 1 + (int(tok_mat.max()) if tok_mat.size else 0)
+
+    # x*log2(x) table: entropy*n of a histogram is xl[tot] - sum xl[c];
+    # a table gather replaces millions of tiny log2 evaluations
+    _ar = np.arange(1, n_samp + 1, dtype=np.float64)
+    xl = np.concatenate([[0.0], _ar * np.log2(_ar)])
+
+    def _ent_counts(counts: np.ndarray) -> np.ndarray:
+        """counts: (..., A) histograms -> (...) shannon bits * n."""
+        return xl[counts.sum(axis=-1)] - xl[counts].sum(axis=-1)
 
     # node: (mask,) grown greedily
     class _Node:
         def __init__(self, mask):
             self.mask = mask
+            self.idx = np.flatnonzero(mask)
             self.prop = -1
             self.splitval = 0
             self.left = self.right = None
@@ -331,48 +351,44 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
             self.cost = None
 
         def best_pred(self):
-            best = None
-            for p in cand:
-                t, nb = tok[p]
-                c = _cost(t[self.mask], nb[self.mask])
-                if best is None or c < best[0]:
-                    best = (c, p)
-            self.cost, self.predictor = best
-            return best[0]
-
-    alphabet = 1 + max(int(t.max()) if t.size else 0
-                       for t, _ in tok.values())
-
-    def _seg_entropies(counts: np.ndarray) -> np.ndarray:
-        """counts: (k, A) histograms -> (k,) shannon bits * n."""
-        tot = counts.sum(axis=1, keepdims=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            lp = np.where(counts > 0,
-                          np.log2(np.maximum(counts, 1) /
-                                  np.maximum(tot, 1)), 0.0)
-        return -(counts * lp).sum(axis=1)
+            t = tok_mat[:, self.idx]
+            hist = np.bincount(
+                (pidx * alphabet + t).ravel(),
+                minlength=n_pred * alphabet).reshape(n_pred, alphabet)
+            costs = _ent_counts(hist) + nb_mat[:, self.idx].sum(axis=1)
+            k = int(np.argmin(costs))
+            self.cost, self.predictor = float(costs[k]), cand[k]
+            return self.cost
 
     def _best_split(leaf):
-        """One pass per (prop, predictor): sort the leaf's samples by
-        the property, histogram the token ids per threshold segment,
-        and score every candidate threshold from prefix sums — same
-        costs/tie-breaks as the original per-threshold masking, minus
-        its O(n) re-scan per threshold."""
-        idx = np.flatnonzero(leaf.mask)
+        """One pass per prop, batched over predictors: sort the leaf's
+        samples by the property, histogram the token ids per threshold
+        segment (all predictors in one bincount), and score every
+        candidate threshold from prefix sums — same costs/tie-breaks as
+        the per-threshold masking original, minus its O(n) re-scan per
+        threshold and the per-predictor Python loop."""
+        idx = leaf.idx
         m = idx.size
         if m < 256:
             return None
         best = None
-        ltok = {p: (tok[p][0][idx], tok[p][1][idx]) for p in cand}
+        t_leaf = tok_mat[:, idx]
+        nb_leaf = nb_mat[:, idx]
+        qfrac = np.array((6, 12, 25, 37, 50, 63, 75, 88, 94)) / 100.0
         for prop in split_props:
             vals = props[prop][idx]
             if vals.size == 0:
                 continue
-            qs = np.unique(np.percentile(
-                vals, (6, 12, 25, 37, 50, 63, 75, 88, 94)).astype(
-                    np.int64))
             order = np.argsort(vals, kind="stable")
             svals = vals[order]
+            # np.percentile('linear') evaluated on the already-sorted
+            # values — identical result, no extra partition pass
+            qpos = (m - 1) * qfrac
+            flo = np.floor(qpos).astype(np.int64)
+            frac = qpos - flo
+            qv = (svals[flo] * (1 - frac)
+                  + svals[np.minimum(flo + 1, m - 1)] * frac)
+            qs = np.unique(qv.astype(np.int64))
             cuts = np.searchsorted(svals, qs, side="right")
             # n_right = samples with val <= sv (rchild), n_left = > sv
             valid = (cuts >= 64) & (m - cuts >= 64)
@@ -380,24 +396,26 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
                 continue
             seg = np.searchsorted(cuts, np.arange(m), side="right")
             nseg = len(qs) + 1
-            cl_min = np.full(len(qs), np.inf)
-            cr_min = np.full(len(qs), np.inf)
-            for p in cand:
-                t_s = ltok[p][0][order]
-                nb_s = ltok[p][1][order]
-                hist = np.bincount(
-                    seg * alphabet + t_s,
-                    minlength=nseg * alphabet).reshape(nseg, alphabet)
-                cum = np.cumsum(hist, axis=0)          # <= sv side
-                nb_seg = np.bincount(seg, weights=nb_s, minlength=nseg)
-                nb_cum = np.cumsum(nb_seg)
-                le = cum[:len(qs)]                     # rchild (<= sv)
-                gt = cum[-1][None] - le                # lchild (> sv)
-                cr = _seg_entropies(le) + nb_cum[:len(qs)]
-                cl = _seg_entropies(gt) + (nb_cum[-1] -
-                                           nb_cum[:len(qs)])
-                cr_min = np.minimum(cr_min, cr)
-                cl_min = np.minimum(cl_min, cl)
+            t_s = t_leaf[:, order]
+            nb_s = nb_leaf[:, order]
+            ids = (pidx * nseg + seg[None, :]) * alphabet + t_s
+            hist = np.bincount(
+                ids.ravel(), minlength=n_pred * nseg * alphabet
+            ).reshape(n_pred, nseg, alphabet)
+            cum = np.cumsum(hist, axis=1)              # <= sv side
+            nb_seg = np.bincount(
+                (pidx * nseg + seg[None, :]).ravel(),
+                weights=nb_s.ravel(),
+                minlength=n_pred * nseg).reshape(n_pred, nseg)
+            nb_cum = np.cumsum(nb_seg, axis=1)
+            q = len(qs)
+            le = cum[:, :q]                            # rchild (<= sv)
+            gt = cum[:, -1][:, None, :] - le           # lchild (> sv)
+            cr = _ent_counts(le) + nb_cum[:, :q]
+            cl = _ent_counts(gt) + (nb_cum[:, -1][:, None]
+                                    - nb_cum[:, :q])
+            cr_min = cr.min(axis=0)
+            cl_min = cl.min(axis=0)
             gains = leaf.cost - (cl_min + cr_min) - 96
             gains = np.where(valid, gains, -np.inf)
             k = int(np.argmax(gains))

@@ -344,8 +344,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
     quant_dc_f = initial_quant_dc(d)
-    if options.effort >= 7 and not options._in_iteration \
-            and not options.use_device:
+    if options.effort >= 7 and not options._in_iteration:
         # butteraugli-iterated refinement (FindBestQuantization,
         # enc_adaptive_quantization.cc:929-1115): encode/decode roundtrips
         # with the JAX butteraugli diffmap steering the field
@@ -557,28 +556,29 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
             (table[1][None, None] * inv_qac[:, :, None])
 
-        # ---- chroma-from-luma search (per 64x64 tile, least squares) --------
+        # ---- chroma-from-luma search (per 64x64 tile, least squares,
+        # all tiles batched; zero padding adds nothing to the sums) ----
         tx_n = cdiv(xb, 8)
         ty_n = cdiv(yb, 8)
-        ytox_map = np.zeros((ty_n, tx_n), np.int32)
-        ytob_map = np.zeros((ty_n, tx_n), np.int32)
         color_scale = 1.0 / 84.0
-        for ty in range(ty_n):
-            for tx in range(tx_n):
-                ys, xs = slice(ty * 8, min((ty + 1) * 8, yb)), \
-                    slice(tx * 8, min((tx + 1) * 8, xb))
-                yv = y_rt[ys, xs, 1:].ravel()
-                denom = float(np.dot(yv, yv))
-                if denom < 1e-9:
-                    continue
-                xv = stored[ys, xs, 0, 1:].ravel()
-                bv = stored[ys, xs, 2, 1:].ravel()
-                fx = np.clip(round(np.dot(xv, yv) / denom / color_scale),
-                             -128, 127)
-                fb = np.clip(round((np.dot(bv, yv) / denom - 1.0) / color_scale),
-                             -128, 127)
-                ytox_map[ty, tx] = int(fx)
-                ytob_map[ty, tx] = int(fb)
+
+        def _tiles(a):
+            ap = np.zeros((ty_n * 8, tx_n * 8, a.shape[2]))
+            ap[:yb, :xb] = a
+            return ap.reshape(ty_n, 8, tx_n, 8, -1).transpose(
+                0, 2, 1, 3, 4).reshape(ty_n, tx_n, -1)
+
+        yt = _tiles(y_rt[:, :, 1:])
+        denom = np.einsum("ijk,ijk->ij", yt, yt)
+        numx = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 0, 1:]), yt)
+        numb = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 2, 1:]), yt)
+        ok = denom >= 1e-9
+        dsafe = np.where(ok, denom, 1.0)
+        ytox_map = np.where(ok, np.clip(np.round(
+            numx / dsafe / color_scale), -128, 127), 0).astype(np.int32)
+        ytob_map = np.where(ok, np.clip(np.round(
+            (numb / dsafe - 1.0) / color_scale), -128, 127),
+            0).astype(np.int32)
 
         # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
         fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
@@ -594,11 +594,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 x_qm_mul, coef_cache=cc)
             finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
                           quantizer)
-        x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
-        b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
-        q_x = quantize(0, x_res, x_qm_mul, thres_xb)
-        q_b = quantize(2, b_res, 1.0, thres_xb)
-        q_ac = np.stack([q_x, q_y, q_b], axis=2)               # (yb, xb, 3, 64)
+        if use_acs:
+            # per-block quantization lives in blocks (finish_chroma);
+            # the whole-frame DCT8 q_ac would be dead work here
+            q_ac = None
+        else:
+            x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
+            b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
+            q_x = quantize(0, x_res, x_qm_mul, thres_xb)
+            q_b = quantize(2, b_res, 1.0, thres_xb)
+            q_ac = np.stack([q_x, q_y, q_b], axis=2)       # (yb, xb, 3, 64)
 
     # ---- progressive pass split (enc_progressive_split.cc:30-80) --------
     pass_shifts = (2, 1, 0) if options.progressive else (0,)
@@ -610,6 +615,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     if len(pass_shifts) == 1:
         q_passes = [q_ac]
+    elif q_ac is None:
+        raise ValueError("progressive + ACS search not combined yet")
     else:
         q_passes = []
         prev_shift = 0
@@ -1131,8 +1138,22 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     orig_f32 = np.asarray(orig_lin, np.float32)
     iters = (6 if options.effort >= 11 else 5 if options.effort >= 10
              else 4 if options.effort >= 9 else 2)
+    # use_device: the whole iteration body (requantize + recon + filter
+    # + butteraugli) is ONE device program per step; only the field goes
+    # up and the block-sum grid comes down (models/vardct_loop). The CfL
+    # factor maps stay frozen at first-pass values inside the loop — the
+    # final emit recomputes them exactly.
+    ls = None
+    if options.use_device:
+        from libjxl_tpu.models.vardct_loop import LoopState
+        x_qm_mul = 1.25 ** (state["x_qm_scale"] - 2)
+        ls = LoopState(state, aux, orig_f32, float(options.distance),
+                       x_qm_mul, h, w)
     for i in range(iters):
-        sums = roundtrip_block_sums(state, orig_f32, h, w)
+        if ls is not None:
+            sums = ls.block_sums(qf)
+        else:
+            sums = roundtrip_block_sums(state, orig_f32, h, w)
         tile = _tile_dist_map(None, aux["acs"], aux["anchors"],
                               h_w=(h, w), sums=sums)
         from libjxl_tpu.utils import debug as _dbg
@@ -1155,18 +1176,24 @@ def _encode_lossy_iterated(pixels: np.ndarray,
             qf = np.where(qf < clamp, np.minimum(
                 np.maximum(clamp, qf_lower), qf_higher), qf)
         _stats.record_count("num_butteraugli_iters", 1)
-        it = copy.copy(base)
-        it.qf_override = qf
-        with _stats.suppress():
-            encode_lossy(pixels, it)
-        state = aux.pop("recon_state")
+        if ls is None:
+            it = copy.copy(base)
+            it.qf_override = qf
+            with _stats.suppress():
+                encode_lossy(pixels, it)
+            state = aux.pop("recon_state")
 
     # EPF sharpness search (ComputeARHeuristics, enc_heuristics.cc:
     # 892-1018) on the converged reconstruction; the field doesn't
     # change coefficients, so the single emit below carries it
     field = None
     if options.distance >= 0.5:
-        xyb_pre, rdec, lf = reconstruct_prefilter(state)
+        if ls is not None:
+            from libjxl_tpu.models.vardct_loop import state_lf
+            xyb_pre, rdec = ls.recon_prefilter(qf)
+            lf = state_lf(state)
+        else:
+            xyb_pre, rdec, lf = reconstruct_prefilter(state)
         field = _epf_sharpness_search_state(
             xyb_pre, rdec, lf, aux.get("opsin"), options.distance)
     emit = copy.copy(options)
