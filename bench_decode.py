@@ -42,9 +42,11 @@ def bench_decode_mpps() -> float:
 
 
 def bench_decode_device_mpps() -> float:
-    """Device-resident decode rate (pixels stay in HBM for a consuming
-    model; excludes the dev tunnel's ~45 MB/s image fetch — see
-    BASELINE.md on why that link is not representative)."""
+    """Device-resident decode rate: coefficient blob staged in HBM
+    (symmetric with the encode device axis), full dequant + IDCT +
+    EPF + color output on chip, synced with a tiny fetch. Excludes
+    the dev tunnel (~45 MB/s, ~25 ms/transfer — not representative of
+    a production PCIe host; see BASELINE.md)."""
     import numpy as np
 
     from libjxl_tpu.api.decoder import _device_decode_inputs
@@ -53,18 +55,29 @@ def bench_decode_device_mpps() -> float:
     data = _make_stream()
     fr, key, lf = _device_decode_inputs(data)
     h, w, yb, xb, gab, epf_iters, bits = key
-    inputs = [fr] * 8
-    out = decode_frames_device(inputs, lf, gab, epf_iters, h, w,
-                               fetch=False)
-    np.asarray(out[:1])       # sync (block_until_ready is a no-op here)
+    K = 16
+    import jax
+    import jax.numpy as jnp
+
+    from libjxl_tpu.models.vardct_decode import (
+        decode_frames_device_blob, pack_frames_blob,
+    )
+    blob_np, meta = pack_frames_blob([fr] * K)
+    blob = jax.device_put(jnp.asarray(blob_np))
+
+    def step():
+        return decode_frames_device_blob(blob, meta, lf, gab,
+                                         epf_iters, h, w)
+
+    np.asarray(step()[:64])   # warm + sync (block_until_ready is a
+    #                           no-op on the axon backend)
     n = 6
     t0 = time.perf_counter()
     for _ in range(n):
-        out = decode_frames_device(inputs, lf, gab, epf_iters, h, w,
-                                   fetch=False)
-    np.asarray(out[:1])
+        out = step()
+    np.asarray(out[:64])
     dt = time.perf_counter() - t0
-    return round(n * 8 * 0.786432 / dt, 1)
+    return round(n * K * 0.786432 / dt, 1)
 
 
 if __name__ == "__main__":

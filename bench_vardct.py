@@ -38,12 +38,16 @@ def bench_vardct_encode_mpps() -> float:
 
 
 def bench_vardct_e7_mpps() -> float:
-    """Full-heuristics e7 encode (butteraugli loop with device scoring,
-    device EPF sharpness search): the BASELINE config-4 effort class."""
+    """Full-heuristics e7 encode via the device-resident butteraugli
+    loop (models/vardct_loop: requantize + recon + filters + diffmap as
+    one program per iteration) + device EPF sharpness search: the
+    BASELINE config-4 effort class. Streams verified oracle-conformant
+    with quality identical to the host loop (tests/test_vardct_encoder
+    ::test_device_heuristics_e5_e7)."""
     from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
 
     img = _make_images(1)[0]
-    opts = LossyOptions(distance=1.0, effort=7)
+    opts = LossyOptions(distance=1.0, effort=7, use_device=True)
     encode_lossy(img, opts)              # warm: compile
     dt = float("inf")
     for _ in range(2):

@@ -53,10 +53,11 @@ class FrameRecon(NamedTuple):
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("gab", "epf_iters", "h", "w", "maxval",
-                     "K", "yb", "xb", "ty_n", "tx_n"))
-def _decode_batch(fr: FrameRecon, lfp: LfParams, gab: bool,
+                     "K", "yb", "xb", "ty_n", "tx_n", "cap"))
+def _decode_batch(blob, lfp: LfParams, gab: bool,
                   epf_iters: int, h: int, w: int, maxval: int,
-                  K: int, yb: int, xb: int, ty_n: int, tx_n: int):
+                  K: int, yb: int, xb: int, ty_n: int, tx_n: int,
+                  cap: int):
     import jax
     import jax.numpy as jnp
 
@@ -65,17 +66,33 @@ def _decode_batch(fr: FrameRecon, lfp: LfParams, gab: bool,
     from libjxl_tpu.vardct.dct import idct_matrix
     from libjxl_tpu.vardct.frame_dec import K_BIASES
 
-    # inputs arrive as FLAT buffers: the dev-tunnel transfers 1-D
-    # arrays at full link speed but multi-D ones row-chunked (~15x
-    # slower); reshape is free inside the program
-    fr = fr._replace(
-        dc=fr.dc.reshape(K, 3, yb, xb),
-        raw_quant=fr.raw_quant.reshape(K, yb, xb),
-        sharpness=fr.sharpness.reshape(K, yb, xb),
-        x_cc=fr.x_cc.reshape(K, ty_n, tx_n),
-        b_cc=fr.b_cc.reshape(K, ty_n, tx_n),
-        dms=fr.dms.reshape(K, 3),
-        table=fr.table.reshape(3, 64),
+    # the whole frame batch arrives as ONE flat int32 blob: the dev
+    # tunnel charges ~25 ms fixed latency PER transfer, so a dozen
+    # per-leaf uploads cost more than the decode itself; slicing +
+    # bitcasting on device is free
+    off = 0
+
+    def take(n, dtype=None, shape=None):
+        nonlocal off
+        part = jax.lax.slice_in_dim(blob, off, off + n)
+        off += n
+        if dtype is not None and dtype != jnp.int32:
+            part = jax.lax.bitcast_convert_type(part, dtype)
+        return part.reshape(shape) if shape is not None else part
+
+    fr = FrameRecon(
+        coeff_vals=take(cap),
+        coeff_idx=take(cap),
+        dc=take(K * 3 * yb * xb, jnp.float32, (K, 3, yb, xb)),
+        raw_quant=take(K * yb * xb, None, (K, yb, xb)),
+        sharpness=take(K * yb * xb, None, (K, yb, xb)),
+        x_cc=take(K * ty_n * tx_n, jnp.float32, (K, ty_n, tx_n)),
+        b_cc=take(K * ty_n * tx_n, jnp.float32, (K, ty_n, tx_n)),
+        inv_gs=take(K, jnp.float32),
+        dms=take(K * 3, jnp.float32, (K, 3)),
+        table=take(3 * 64, jnp.float32, (3, 64)),
+        quant_scale=take(K, jnp.float32),
+        intensity=take(K, jnp.float32),
     )
     # scatter the sparse coefficients (padding entries are (idx 0,
     # val 0): add-identity, so no masking needed)
@@ -132,6 +149,57 @@ def _decode_batch(fr: FrameRecon, lfp: LfParams, gab: bool,
     return out.reshape(-1)      # flat d2h (same tunnel constraint)
 
 
+def pack_frames_blob(inputs: list):
+    """Pack a batch of FrameRecon pytrees into ONE flat int32 blob
+    (float leaves bit-punned): the dev tunnel charges ~25 ms fixed
+    latency per transfer, so a dozen per-leaf uploads cost more than
+    the decode itself. Returns (blob, (K, yb, xb, ty_n, tx_n, cap))."""
+    K = len(inputs)
+    yb, xb = inputs[0].dc.shape[1], inputs[0].dc.shape[2]
+    ty_n, tx_n = inputs[0].x_cc.shape
+    per_frame = 3 * yb * xb * 64
+    vals = np.concatenate([f.coeff_vals for f in inputs])
+    idx = np.concatenate([f.coeff_idx.astype(np.int64) + k * per_frame
+                          for k, f in enumerate(inputs)])
+    # pad the sparse run to a power-of-two bucket: one compiled program
+    # per bucket instead of per batch
+    cap = max(1024, 1 << int(np.ceil(np.log2(len(vals) or 1))))
+    parts = [np.pad(vals.astype(np.int32), (0, cap - len(vals))),
+             np.pad(idx, (0, cap - len(idx))).astype(np.int32)]
+    for f in inputs:
+        parts.append(f.dc.ravel().astype(np.float32).view(np.int32))
+    for f in inputs:
+        parts.append(f.raw_quant.ravel().astype(np.int32))
+    for f in inputs:
+        parts.append(f.sharpness.ravel().astype(np.int32))
+    for f in inputs:
+        parts.append(f.x_cc.ravel().astype(np.float32).view(np.int32))
+    for f in inputs:
+        parts.append(f.b_cc.ravel().astype(np.float32).view(np.int32))
+    parts.append(np.asarray([f.inv_gs for f in inputs],
+                            np.float32).view(np.int32))
+    for f in inputs:
+        parts.append(f.dms.ravel().astype(np.float32).view(np.int32))
+    parts.append(inputs[0].table.ravel().astype(np.float32).view(np.int32))
+    parts.append(np.asarray([f.quant_scale for f in inputs],
+                            np.float32).view(np.int32))
+    parts.append(np.asarray([f.intensity for f in inputs],
+                            np.float32).view(np.int32))
+    return np.concatenate(parts), (K, yb, xb, ty_n, tx_n, cap)
+
+
+def decode_frames_device_blob(blob_dev, meta, lf, gab: bool,
+                              epf_iters: int, h: int, w: int,
+                              maxval: int = 255):
+    """Run the batched decode program on an already-staged device blob
+    (device-resident serving: the consumer keeps pixels in HBM)."""
+    from libjxl_tpu.render.filters_jax import lf_params
+    K, yb, xb, ty_n, tx_n, cap = meta
+    return _decode_batch(blob_dev, lf_params(lf), bool(gab),
+                         int(epf_iters), int(h), int(w), int(maxval),
+                         K, yb, xb, ty_n, tx_n, cap)
+
+
 def decode_frames_device(inputs: list, lf, gab: bool, epf_iters: int,
                          h: int, w: int, maxval: int = 255,
                          fetch: bool = True):
@@ -144,26 +212,11 @@ def decode_frames_device(inputs: list, lf, gab: bool, epf_iters: int,
 
     from libjxl_tpu.render.filters_jax import lf_params
 
-    K = len(inputs)
-    yb, xb = inputs[0].dc.shape[1], inputs[0].dc.shape[2]
-    ty_n, tx_n = inputs[0].x_cc.shape
-    per_frame = 3 * yb * xb * 64
-    vals = np.concatenate([f.coeff_vals for f in inputs])
-    idx = np.concatenate([f.coeff_idx.astype(np.int64) + k * per_frame
-                          for k, f in enumerate(inputs)])
-    # pad the sparse run to a power-of-two bucket: one compiled program
-    # per bucket instead of per batch
-    cap = max(1024, 1 << int(np.ceil(np.log2(len(vals) or 1))))
-    vals = np.pad(vals, (0, cap - len(vals)))
-    idx = np.pad(idx, (0, cap - len(idx))).astype(np.int32)
-    rest = [jnp.asarray(np.stack(leaf).ravel())
-            for leaf in list(zip(*inputs))[2:]]
-    stacked = FrameRecon(jnp.asarray(vals), jnp.asarray(idx), *rest)
-    # the dequant table is frame-invariant: keep it unbatched
-    stacked = stacked._replace(table=jnp.asarray(inputs[0].table.ravel()))
-    out = _decode_batch(stacked, lf_params(lf), bool(gab),
+    blob_np, meta = pack_frames_blob(inputs)
+    K, yb, xb, ty_n, tx_n, cap = meta
+    out = _decode_batch(jnp.asarray(blob_np), lf_params(lf), bool(gab),
                         int(epf_iters), int(h), int(w), int(maxval),
-                        K, yb, xb, ty_n, tx_n)
+                        K, yb, xb, ty_n, tx_n, cap)
     if fetch:
         out = np.asarray(out).reshape(K, h, w, 3)
         return [out[i] for i in range(K)]
