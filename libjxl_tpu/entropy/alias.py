@@ -22,7 +22,16 @@ def build_alias_table(counts, log_alpha_size: int):
 
     plus the inverse ``slot[symbol_start + offset] -> v`` mapping used by the
     encoder, as (cum_freq, slots) arrays.
+
+    Hot in the decode host stage (one table per clustered histogram per
+    stream); dispatches to the native builder when available.
     """
+    from libjxl_tpu.utils import native
+    if native.available():
+        res = native.build_alias_table(np.asarray(counts, np.int32),
+                                       log_alpha_size)
+        if res is not None:
+            return res
     table_size = 1 << log_alpha_size
     entry_size = ANS_TAB_SIZE >> log_alpha_size
     log_entry_size = ANS_LOG_TAB_SIZE - log_alpha_size

@@ -45,7 +45,7 @@ def _build() -> str | None:
     if os.path.exists(so_path):
         return so_path
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", so_path + ".tmp"]
+           "-pthread", _SRC, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so_path + ".tmp", so_path)
@@ -185,6 +185,30 @@ def ans_decode_tokens(data: bytes, start_bit: int, n: int,
     if end < 0:
         return None
     return out, int(end), int(st[0]) if state is not None else None
+
+
+def build_alias_table(counts: np.ndarray, log_alpha_size: int):
+    """Native alias-table build; returns (sym, off, freq) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_build_alias_table_bound"):
+        lib.jxlt_build_alias_table.restype = ctypes.c_int64
+        lib.jxlt_build_alias_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.jxlt_build_alias_table_bound = True
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    sym = np.empty(4096, np.int32)
+    off = np.empty(4096, np.int32)
+    freq = np.empty(1 << log_alpha_size, np.int32)
+    rc = lib.jxlt_build_alias_table(
+        counts.ctypes.data, len(counts), log_alpha_size,
+        sym.ctypes.data, off.ctypes.data, freq.ctypes.data)
+    if rc != 0:
+        from libjxl_tpu.core.fields import FormatError
+        raise FormatError("invalid histogram for alias table")
+    return sym, off, freq
 
 
 def gradient_reconstruct(residuals: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -506,28 +530,42 @@ def modular_generic_decode(data, start_bit: int, state: int, code,
             ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
         lib.jxlt_modular_generic_decode_bound = True
-    nhist = len(code.alias_freqs)
-    a_sym = np.ascontiguousarray(
-        np.stack([np.asarray(s, np.int32) for s in code.alias_symbols]))
-    a_off = np.ascontiguousarray(
-        np.stack([np.asarray(s, np.int32) for s in code.alias_offsets]))
-    freqs_off = np.zeros(nhist + 1, np.int64)
-    freqs_off[1:] = np.cumsum([len(f) for f in code.alias_freqs])
-    freqs_flat = np.ascontiguousarray(np.concatenate(
-        [np.asarray(f, np.int32) for f in code.alias_freqs]))
-    cmap = np.ascontiguousarray(np.asarray(code.context_map, np.int32))
-    cfg_se = np.array([c.split_exponent for c in code.uint_configs],
-                      np.int32)
-    cfg_msb = np.array([c.msb_in_token for c in code.uint_configs],
-                       np.int32)
-    cfg_lsb = np.array([c.lsb_in_token for c in code.uint_configs],
-                       np.int32)
-    tarr = np.zeros((len(tree), 8), np.int32)
-    for i, n in enumerate(tree):
-        tarr[i] = (n.property, n.splitval, n.lchild, n.rchild,
-                   n.context, n.predictor, n.predictor_offset,
-                   n.multiplier)
-    tarr = np.ascontiguousarray(tarr)
+    flat = getattr(code, "_native_flat", None)
+    if flat is None:
+        nhist = len(code.alias_freqs)
+        a_sym = np.ascontiguousarray(
+            np.stack([np.asarray(s, np.int32)
+                      for s in code.alias_symbols]))
+        a_off = np.ascontiguousarray(
+            np.stack([np.asarray(s, np.int32)
+                      for s in code.alias_offsets]))
+        freqs_off = np.zeros(nhist + 1, np.int64)
+        freqs_off[1:] = np.cumsum([len(f) for f in code.alias_freqs])
+        freqs_flat = np.ascontiguousarray(np.concatenate(
+            [np.asarray(f, np.int32) for f in code.alias_freqs]))
+        cmap = np.ascontiguousarray(np.asarray(code.context_map, np.int32))
+        cfg_se = np.array([c.split_exponent for c in code.uint_configs],
+                          np.int32)
+        cfg_msb = np.array([c.msb_in_token for c in code.uint_configs],
+                           np.int32)
+        cfg_lsb = np.array([c.lsb_in_token for c in code.uint_configs],
+                           np.int32)
+        flat = (a_sym, a_off, freqs_off, freqs_flat, cmap,
+                cfg_se, cfg_msb, cfg_lsb)
+        code._native_flat = flat
+    a_sym, a_off, freqs_off, freqs_flat, cmap, cfg_se, cfg_msb, \
+        cfg_lsb = flat
+    tcache = getattr(code, "_native_tree", None)
+    if tcache is not None and tcache[0] is tree:
+        tarr = tcache[1]
+    else:
+        tarr = np.zeros((len(tree), 8), np.int32)
+        for i, n in enumerate(tree):
+            tarr[i] = (n.property, n.splitval, n.lchild, n.rchild,
+                       n.context, n.predictor, n.predictor_offset,
+                       n.multiplier)
+        tarr = np.ascontiguousarray(tarr)
+        code._native_tree = (tree, tarr)
     buf = np.frombuffer(data, dtype=np.uint8)
     h, w = plane.shape
     st = np.array([state], np.uint32)

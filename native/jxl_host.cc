@@ -17,7 +17,9 @@
 
 #include <cstdlib>
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <thread>
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -261,7 +263,98 @@ EXPORT void jxlt_gradient_residuals(const int32_t* plane, int64_t h,
   }
 }
 
-EXPORT int64_t jxlt_version() { return 2; }
+EXPORT int64_t jxlt_version() { return 3; }
+
+// Build the rANS alias table for one normalized histogram (the
+// [0,4096) slot -> (symbol, offset) mapping; semantics of
+// lib/jxl/ans_common.cc InitAliasTable, re-derived — the table is
+// spec-defined so both sides must agree bit-for-bit).
+//   counts:   int32[n_counts], sums to 4096 (trailing zeros allowed).
+//   sym_out:  int32[4096], off_out: int32[4096],
+//   freq_out: int32[1 << log_alpha_size].
+// Returns 0, or -1 on invalid histogram.
+EXPORT int64_t jxlt_build_alias_table(const int32_t* counts, int64_t n_counts,
+                                      int32_t log_alpha_size,
+                                      int32_t* sym_out, int32_t* off_out,
+                                      int32_t* freq_out) {
+  const int64_t table_size = (int64_t)1 << log_alpha_size;
+  const int log_entry_size = kAnsLogTabSize - log_alpha_size;
+  const int64_t entry_size = (int64_t)1 << log_entry_size;
+  while (n_counts > 0 && counts[n_counts - 1] == 0) n_counts--;
+  int64_t n = n_counts ? n_counts : 1;
+  if (n > table_size) return -1;
+  int32_t one[1] = {(int32_t)kAnsTabSize};
+  const int32_t* dist = n_counts ? counts : one;
+  int64_t total = 0;
+  int64_t single = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (dist[i] < 0) return -1;
+    total += dist[i];
+    if (dist[i] == (int32_t)kAnsTabSize) single = i;
+  }
+  if (total != (int64_t)kAnsTabSize) return -1;
+  for (int64_t i = 0; i < table_size; ++i)
+    freq_out[i] = i < n ? dist[i] : 0;
+  if (single >= 0) {
+    for (int64_t v = 0; v < (int64_t)kAnsTabSize; ++v) {
+      sym_out[v] = (int32_t)single;
+      off_out[v] = (int32_t)v;
+    }
+    return 0;
+  }
+  // Robin-hood pairing of overfull/underfull buckets (stack order must
+  // match the decoder's expectation exactly).
+  std::vector<int64_t> cutoffs(table_size), right_value(table_size, 0),
+      offsets1(table_size, 0);
+  std::vector<int64_t> underfull, overfull;
+  underfull.reserve(table_size);
+  overfull.reserve(table_size);
+  for (int64_t i = 0; i < n; ++i) {
+    cutoffs[i] = dist[i];
+    if (dist[i] > entry_size) overfull.push_back(i);
+    else if (dist[i] < entry_size) underfull.push_back(i);
+  }
+  for (int64_t i = n; i < table_size; ++i) {
+    cutoffs[i] = 0;
+    underfull.push_back(i);
+  }
+  while (!overfull.empty()) {
+    int64_t oi = overfull.back();
+    overfull.pop_back();
+    if (underfull.empty()) return -1;
+    int64_t ui = underfull.back();
+    underfull.pop_back();
+    int64_t by = entry_size - cutoffs[ui];
+    cutoffs[oi] -= by;
+    right_value[ui] = oi;
+    offsets1[ui] = cutoffs[oi];
+    if (cutoffs[oi] < entry_size) underfull.push_back(oi);
+    else if (cutoffs[oi] > entry_size) overfull.push_back(oi);
+  }
+  std::vector<int64_t> cutoff(table_size);
+  for (int64_t i = 0; i < table_size; ++i) {
+    if (cutoffs[i] == entry_size) {
+      right_value[i] = i;
+      offsets1[i] = 0;
+      cutoff[i] = 0;
+    } else {
+      offsets1[i] -= cutoffs[i];
+      cutoff[i] = cutoffs[i];
+    }
+  }
+  for (int64_t v = 0; v < (int64_t)kAnsTabSize; ++v) {
+    int64_t i = v >> log_entry_size;
+    int64_t pos = v & (entry_size - 1);
+    if (pos >= cutoff[i]) {
+      sym_out[v] = (int32_t)right_value[i];
+      off_out[v] = (int32_t)(offsets1[i] + pos);
+    } else {
+      sym_out[v] = (int32_t)i;
+      off_out[v] = (int32_t)pos;
+    }
+  }
+  return 0;
+}
 
 // Assemble a complete byte-aligned section: copy `prefix_nbits` header
 // bits (LSB-first, from prefix_bytes), then splice chunks [c0, c1), then
@@ -390,27 +483,33 @@ struct AnsDec {
 
 }  // namespace
 
+namespace {
+
+// Shared per-group AC token decode body (dec_group.cc
+// DecodeACVarBlock:470-545 semantics). Strided so it can read a group
+// window out of frame-level acs/anchor/block_ctx3 arrays.
+//   stride:     row stride of acs/anchor (and block_ctx3 rows)
+//   bc_plane:   channel-plane stride of block_ctx3
+//   dense_out:  if nonzero, out_coeffs is a frame-dense buffer: block
+//               (c, by, bx) writes at c*out_cstride + (by*out_rstride)
+//               + bx*64 + pos (all relative to the group-origin base
+//               pointer the caller passes). Otherwise run-packed:
+//               qc = out + c*plane + coff.
 // Returns end bit position (>=0) or a negative error:
 //   -1 checksum, -2 corrupt token, -3 invalid nzeros, -4 overrun.
-EXPORT int64_t jxlt_ac_group_decode(
+static int64_t AcGroupDecodeImpl(
     const uint8_t* data, int64_t nbytes, int64_t start_bit,
-    const int32_t* alias_sym,   // (H, 4096)
-    const int32_t* alias_off,   // (H, 4096)
-    const int32_t* freqs,       // (H, 256)
-    const int32_t* uint_cfg,    // (H, 3) split/msb/lsb
-    const int32_t* ctx_map, int64_t n_ctx,
-    int32_t ctx_offset,         // histogram-selector context offset
-    const int32_t* block_ctx3,  // (3, ghb, gwb) block contexts at anchors
-    const int8_t* acs_raw,      // (ghb, gwb) strategy, -1 = covered
-    const uint8_t* anchor,      // (ghb, gwb) 1 = anchor
+    const int32_t* alias_sym, const int32_t* alias_off,
+    const int32_t* freqs, const int32_t* uint_cfg,
+    const int32_t* ctx_map, int64_t n_ctx, int32_t ctx_offset,
+    const int32_t* block_ctx3, int64_t bc_plane,
+    const int8_t* acs_raw, const uint8_t* anchor, int64_t stride,
     const uint8_t* cov_x, const uint8_t* cov_y, const uint8_t* log2cov,
-    const int32_t* orders,      // flat natural/custom orders
-    const int64_t* order_off,   // (NUM_ORDERS*3) offsets into `orders`
-    const uint8_t* strat_ord,   // (27) strategy -> order bucket
-    int32_t num_ctxs, int64_t gwb, int64_t ghb, int32_t check_final,
-    int32_t shift,
-    int32_t* out_coeffs,        // (3, gwb*ghb*64), filled per anchor
-    int32_t accumulate) {       // 1: += (progressive passes)
+    const int32_t* orders, const int64_t* order_off,
+    const uint8_t* strat_ord, int32_t num_ctxs, int64_t gwb, int64_t ghb,
+    int32_t check_final, int32_t shift, int32_t* out_coeffs,
+    int32_t accumulate, int32_t dense_out, int64_t out_cstride,
+    int64_t out_rstride) {
   AnsDec dec{data, nbytes, start_bit, 0};
   dec.state = (uint32_t)dec.Read(32);
   std::vector<int32_t> nz(3 * ghb * gwb, 0);
@@ -418,8 +517,8 @@ EXPORT int64_t jxlt_ac_group_decode(
   const int64_t plane = gwb * ghb * 64;
   for (int64_t by = 0; by < ghb; ++by) {
     for (int64_t bx = 0; bx < gwb; ++bx) {
-      if (!anchor[by * gwb + bx]) continue;
-      int strat = acs_raw[by * gwb + bx];
+      if (!anchor[by * stride + bx]) continue;
+      int strat = acs_raw[by * stride + bx];
       if (strat < 0 || strat >= 27) return -2;
       int cx = cov_x[strat], cy = cov_y[strat], l2 = log2cov[strat];
       int covered = cx * cy;
@@ -440,7 +539,7 @@ EXPORT int64_t jxlt_ac_group_decode(
               (nzp[(by - 1) * gwb + bx] + nzp[by * gwb + bx - 1] + 1) / 2;
         }
         if (predicted > 64) predicted = 64;
-        int block_ctx = block_ctx3[(c * ghb + by) * gwb + bx];
+        int block_ctx = block_ctx3[c * bc_plane + by * stride + bx];
         int nz_small = predicted < 8 ? predicted : 4 + predicted / 2;
         int64_t nzero_ctx =
             ctx_offset + nz_small * num_ctxs + block_ctx;
@@ -477,7 +576,9 @@ EXPORT int64_t jxlt_ac_group_decode(
             ctx_offset + num_ctxs * 37 + 458 * block_ctx;
         const int32_t* order = orders + order_off[ord_b * 3 + c];
         int prev = nzeros > size / 16 ? 0 : 1;
-        int32_t* qc = out_coeffs + c * plane + coff;
+        int32_t* qc = dense_out
+            ? out_coeffs + c * out_cstride + by * out_rstride + bx * 64
+            : out_coeffs + c * plane + coff;
         for (int k = covered; k < size && nzeros != 0; ++k) {
           // zero_density_context (ac_context.h:52-63)
           int nzl = (int)((nzeros + covered - 1) >> l2);
@@ -508,6 +609,102 @@ EXPORT int64_t jxlt_ac_group_decode(
   if (dec.overflow) return -4;
   if (check_final && dec.state != (kAnsSignature << 16)) return -1;
   return dec.bitpos;
+}
+
+}  // namespace
+
+// Single-group AC token decode (original entry point; see
+// AcGroupDecodeImpl for parameter semantics). Group-local arrays:
+// acs/anchor are (ghb, gwb), block_ctx3 is (3, ghb, gwb), output is
+// run-packed (3, gwb*ghb*64).
+EXPORT int64_t jxlt_ac_group_decode(
+    const uint8_t* data, int64_t nbytes, int64_t start_bit,
+    const int32_t* alias_sym, const int32_t* alias_off,
+    const int32_t* freqs, const int32_t* uint_cfg,
+    const int32_t* ctx_map, int64_t n_ctx, int32_t ctx_offset,
+    const int32_t* block_ctx3, const int8_t* acs_raw,
+    const uint8_t* anchor, const uint8_t* cov_x, const uint8_t* cov_y,
+    const uint8_t* log2cov, const int32_t* orders,
+    const int64_t* order_off, const uint8_t* strat_ord, int32_t num_ctxs,
+    int64_t gwb, int64_t ghb, int32_t check_final, int32_t shift,
+    int32_t* out_coeffs, int32_t accumulate) {
+  return AcGroupDecodeImpl(
+      data, nbytes, start_bit, alias_sym, alias_off, freqs, uint_cfg,
+      ctx_map, n_ctx, ctx_offset, block_ctx3, ghb * gwb, acs_raw, anchor,
+      gwb, cov_x, cov_y, log2cov, orders, order_off, strat_ord, num_ctxs,
+      gwb, ghb, check_final, shift, out_coeffs, accumulate,
+      /*dense_out=*/0, 0, 0);
+}
+
+// Decode ALL AC-group sections of one pass concurrently (the
+// dec_frame.cc:726 RunOnPool-over-groups analog: std::thread over the
+// per-group byte ranges; each group's rANS stream is independent by
+// format design, doc/format_overview.md:180-193).
+//
+//   data:        the whole frame byte buffer
+//   sec_off/len: per-group byte ranges of the AC sections
+//   start_bit:   per-group initial bit offset inside its section
+//   gx0/gy0/gw/gh: per-group block-space rects
+//   block_ctx3:  (3, fhb, fwb) frame-level block contexts
+//   acs/anchor:  (fhb, fwb) frame-level strategy/anchor planes
+//   selector_bits: histogram-selector width; read per group here
+//   out:         run-packed per group at out + out_off[g] (3, gw*gh*64)
+//   end_bits:    per-group end bit position or negative error code
+// Returns 0 if every group decoded, else the first error code.
+EXPORT int64_t jxlt_ac_frame_decode(
+    const uint8_t* data, const int64_t* sec_off, const int64_t* sec_len,
+    const int64_t* start_bit, int64_t n_groups, const int64_t* gx0,
+    const int64_t* gy0, const int64_t* gw, const int64_t* gh,
+    const int32_t* alias_sym, const int32_t* alias_off,
+    const int32_t* freqs, const int32_t* uint_cfg,
+    const int32_t* ctx_map, int64_t n_ctx, int32_t selector_bits,
+    int32_t num_histograms, int32_t num_ac_ctxs,
+    const int32_t* block_ctx3, int64_t fwb, int64_t fhb,
+    const int8_t* acs_raw, const uint8_t* anchor, const uint8_t* cov_x,
+    const uint8_t* cov_y, const uint8_t* log2cov, const int32_t* orders,
+    const int64_t* order_off, const uint8_t* strat_ord, int32_t num_ctxs,
+    int32_t check_final, int32_t shift, int32_t* out,
+    const int64_t* out_off, int32_t accumulate, int32_t n_threads,
+    int64_t* end_bits) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t g = next.fetch_add(1);
+      if (g >= n_groups) return;
+      const uint8_t* sdata = data + sec_off[g];
+      int64_t nbytes = sec_len[g];
+      // Histogram selector precedes the ANS state (dec_frame.cc:481).
+      AnsDec sel_rd{sdata, nbytes, start_bit[g], 0};
+      int64_t sel =
+          selector_bits ? (int64_t)sel_rd.Read(selector_bits) : 0;
+      if (sel_rd.overflow || sel >= num_histograms) {
+        end_bits[g] = -4;
+        err.store(-4);
+        continue;
+      }
+      int64_t base = gy0[g] * fwb + gx0[g];
+      int64_t res = AcGroupDecodeImpl(
+          sdata, nbytes, sel_rd.bitpos, alias_sym, alias_off, freqs,
+          uint_cfg, ctx_map, n_ctx, (int32_t)(sel * num_ac_ctxs),
+          block_ctx3 + base, fhb * fwb, acs_raw + base, anchor + base,
+          fwb, cov_x, cov_y, log2cov, orders, order_off, strat_ord,
+          num_ctxs, gw[g], gh[g], check_final, shift, out + out_off[g],
+          accumulate, /*dense_out=*/0, 0, 0);
+      end_bits[g] = res;
+      if (res < 0) err.store(res);
+    }
+  };
+  int nt = (int)(n_threads < n_groups ? n_threads : n_groups);
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return err.load();
 }
 
 // Paint the AC-strategy / quant-field / sharpness planes for one DC
