@@ -263,11 +263,31 @@ def decode_vardct_frame(meta: CodecMetadata, frame,
                  not dec.mfd.full_image.channel)
         groups_todo = [g for g in range(fd.num_groups)
                        if g not in missing_ac]
-        if no_ec and len(groups_todo) > 3:
-            list(_group_pool().map(_ac, groups_todo))
-        else:
-            for g in groups_todo:
-                _ac(g)
+        done = False
+        if no_ec and fh.passes.num_passes == 1 and not missing_ac:
+            # one native call decodes every AC section concurrently
+            secs = {g: (frame.sections[ac_group_index(
+                0, g, fd.num_groups, fd.num_dc_groups)], 0)
+                for g in groups_todo}
+            decoded = None
+            if all(s[0] is not None for s in secs.values()):
+                decoded = dec.decode_ac_frame_native(secs)
+            if decoded is not None:
+                recon = list(decoded.values())
+                if len(recon) > 3:
+                    list(_group_pool().map(
+                        lambda a: dec._reconstruct_group_batched(*a),
+                        recon))
+                else:
+                    for a in recon:
+                        dec._reconstruct_group_batched(*a)
+                done = True
+        if not done:
+            if no_ec and len(groups_todo) > 3:
+                list(_group_pool().map(_ac, groups_todo))
+            else:
+                for g in groups_todo:
+                    _ac(g)
         if missing_ac and not allow_partial:
             raise FormatError("truncated stream: AC sections missing")
         if missing_ac and dec.is_444:
@@ -884,7 +904,7 @@ def _device_decode_inputs(data: bytes):
         dec.decode_dc_group(r, 0)
         dec.finalize_dc()
         dec.decode_ac_global(r)
-        readers = {0: [r]}
+        sections = {0: (frame.sections[0], r.bits_consumed)}
     else:
         r = BitReader(frame.sections[0])
         dec.decode_dc_global(r)
@@ -893,22 +913,24 @@ def _device_decode_inputs(data: bytes):
         dec.finalize_dc()
         dec.decode_ac_global(BitReader(
             frame.sections[1 + fd.num_dc_groups]))
-        readers = {g: [BitReader(frame.sections[ac_group_index(
-            0, g, fd.num_groups, fd.num_dc_groups)])]
+        sections = {g: (frame.sections[ac_group_index(
+            0, g, fd.num_groups, fd.num_dc_groups)], 0)
             for g in range(fd.num_groups)}
     if dec.jpeg_mode:
         return None
     x_dm_ = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
     b_dm_ = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
-    if (dec.acs_raw[dec.acs_anchor] != 0).any():
+    is_var = bool((dec.acs_raw[dec.acs_anchor] != 0).any())
+    dense_buf = None if is_var else np.zeros((3, yb, xb, 64), np.int32)
+    # all AC sections in ONE native call (std::threads over groups)
+    groups = dec.decode_ac_frame_native(sections, dense_buf=dense_buf)
+    if groups is None:
+        return None
+    if is_var:
         # variable-block stream: per-strategy-class device batches
         # (models/vardct_decode.decode_frames_device_var)
         from libjxl_tpu.vardct.ac_strategy import COVERED_X, COVERED_Y
-        dec._collect_runs = []
-        for g, rs in readers.items():
-            if not dec._decode_ac_group_native(rs, g, 1,
-                                               *_group_rect(fd, g)):
-                return None
+        dec._collect_runs = [groups[g] for g in sorted(groups)]
         if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
             return None
         classes: dict = {}
@@ -950,15 +972,9 @@ def _device_decode_inputs(data: bytes):
                int(lf.epf_iters), bits, "var",
                tuple(sorted(classes)))
         return frame, key, lf
-    dec._collect_coeffs = np.zeros((3, yb, xb, 64), np.int32)
-    for g, rs in readers.items():
-        if not dec._decode_ac_group_native(rs, g, 1, *_group_rect(fd, g)):
-            return None   # prefix codes / lz77: host path
     if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
         return None
-    flat = dec._collect_coeffs.ravel()
-    nz = np.flatnonzero(flat).astype(np.int32)
-    vals = flat[nz]
+    nz, vals = native.sparsify_i32(dense_buf)
     if len(vals) and np.abs(vals).max() > 32767:
         return None           # host path for absurd coefficients
     x_dm = (1 / 1.25) ** (fh.x_qm_scale - 2.0)

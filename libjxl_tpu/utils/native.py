@@ -211,6 +211,29 @@ def build_alias_table(counts: np.ndarray, log_alpha_size: int):
     return sym, off, freq
 
 
+def sparsify_i32(buf: np.ndarray, n_threads: int = 0):
+    """(idx, val) of the nonzeros of a dense int32 array, threaded.
+    Falls back to np.flatnonzero without the native lib."""
+    flat = np.ascontiguousarray(buf).reshape(-1)
+    lib = get_lib()
+    if lib is None:
+        idx = np.flatnonzero(flat).astype(np.int32)
+        return idx, flat[idx]
+    if not hasattr(lib, "jxlt_sparsify_i32_bound"):
+        lib.jxlt_sparsify_i32.restype = ctypes.c_int64
+        lib.jxlt_sparsify_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.jxlt_sparsify_i32_bound = True
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    out_idx = np.empty(flat.size, np.int32)
+    out_val = np.empty(flat.size, np.int32)
+    nnz = lib.jxlt_sparsify_i32(flat.ctypes.data, flat.size, n_threads,
+                                out_idx.ctypes.data, out_val.ctypes.data)
+    return out_idx[:nnz].copy(), out_val[:nnz].copy()
+
+
 def gradient_reconstruct(residuals: np.ndarray, h: int, w: int) -> np.ndarray:
     lib = get_lib()
     if lib is None:

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -394,6 +395,122 @@ class VarDCTFrameDecoder:
             idx = idx * bctx.num_dc_ctxs + dc_idx
             out[c] = cmap_np[idx]
         return np.ascontiguousarray(out)
+
+    def decode_ac_frame_native(self, sections: dict, n_threads: int = 0,
+                               dense_buf: np.ndarray | None = None):
+        """Decode ALL single-pass AC group sections concurrently in ONE
+        native call (std::threads inside — the dec_frame.cc:726
+        RunOnPool-over-groups analog without per-group Python/GIL cost).
+
+        ``sections`` maps group_id -> (bytes, start_bit). Returns
+        {group_id: (bx0, by0, w, h, acs, anchors, coeffs)} with the same
+        per-group run-packed coefficient layout as
+        :meth:`_decode_ac_group_native`, or None when the stream shape
+        needs another path (prefix codes, LZ77, subsampling).
+
+        ``dense_buf``: for all-8x8 streams, a zeroed (3, fhb, fwb, 64)
+        int32 frame buffer the decoder fills in place (no per-group
+        copy); per-group coeffs in the result are then views of it."""
+        import ctypes
+
+        from libjxl_tpu.utils import native
+        from libjxl_tpu.vardct.ac_strategy import (
+            COVERED_X, COVERED_Y, LOG2_COVERED, STRATEGY_ORDER,
+        )
+        if not native.available() or not self.is_444:
+            return None
+        code = self.codes[0]
+        if code.use_prefix_code or code.lz77.enabled:
+            return None
+        lib = native.get_lib()
+        if not hasattr(lib, "jxlt_ac_frame_decode_bound"):
+            P, I32, I64 = ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64
+            lib.jxlt_ac_frame_decode.restype = I64
+            lib.jxlt_ac_frame_decode.argtypes = (
+                [P, P, P, P, I64, P, P, P, P] +       # data, secs, rects
+                [P, P, P, P, P, I64, I32, I32, I32] +  # tables, selector
+                [P, I64, I64, P, P, P, P, P, P, P, P] +  # frame planes
+                [I32, I32, I32, P, P, I32, I32, P] +   # flags, out
+                [I32, I64, I64])                       # dense mode
+            lib.jxlt_ac_frame_decode_bound = True
+
+        fd = self.fd
+        fwb, fhb = fd.xsize_blocks, fd.ysize_blocks
+        gids = sorted(sections)
+        n = len(gids)
+        rects = []
+        gdb = fd.group_dim // 8
+        for g in gids:
+            gx, gy = g % fd.xsize_groups, g // fd.xsize_groups
+            bx0, by0 = gx * gdb, gy * gdb
+            rects.append((bx0, by0, min(gdb, fwb - bx0),
+                          min(gdb, fhb - by0)))
+        bufs = [np.frombuffer(sections[g][0], np.uint8) for g in gids]
+        lens = np.array([len(b) for b in bufs], np.int64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        data = np.empty(offs[-1], np.uint8)
+        for i, b in enumerate(bufs):
+            data[offs[i]:offs[i + 1]] = b
+        start_bits = np.array([sections[g][1] for g in gids], np.int64)
+        gx0 = np.array([r[0] for r in rects], np.int64)
+        gy0 = np.array([r[1] for r in rects], np.int64)
+        gw = np.array([r[2] for r in rects], np.int64)
+        gh = np.array([r[3] for r in rects], np.int64)
+        if dense_buf is not None:
+            out = dense_buf
+            out_cstride = fhb * fwb * 64
+            out_rstride = fwb * 64
+            out_off = gy0 * out_rstride + gx0 * 64
+            dense = 1
+        else:
+            out_sizes = 3 * gw * gh * 64
+            out_off = np.zeros(n + 1, np.int64)
+            np.cumsum(out_sizes, out=out_off[1:])
+            out = np.zeros(out_off[-1], np.int32)
+            out_cstride = out_rstride = 0
+            dense = 0
+        end_bits = np.zeros(n, np.int64)
+
+        acs_f = np.ascontiguousarray(self.acs_raw, np.int8)
+        anchors_f = np.ascontiguousarray(self.acs_anchor, np.uint8)
+        block_ctx3 = self._block_ctx3(0, 0, fwb, fhb)
+        alias_sym, alias_off, freqs, cfgs, ctx_map = \
+            self._flat_code_tables(0)
+        orders, order_off = self._flat_orders(0)
+        cov_x = np.asarray(COVERED_X, np.uint8)
+        cov_y = np.asarray(COVERED_Y, np.uint8)
+        l2cov = np.asarray(LOG2_COVERED, np.uint8)
+        strat_ord = np.asarray(STRATEGY_ORDER, np.uint8)
+        selector_bits = ((self.num_histograms - 1).bit_length()
+                         if self.num_histograms > 1 else 0)
+        shift = self.fh.passes.shift[0] if self.fh.passes.shift else 0
+        if n_threads <= 0:
+            n_threads = min(n, os.cpu_count() or 1)
+        err = lib.jxlt_ac_frame_decode(
+            data.ctypes.data, offs.ctypes.data, lens.ctypes.data,
+            start_bits.ctypes.data, n, gx0.ctypes.data, gy0.ctypes.data,
+            gw.ctypes.data, gh.ctypes.data, alias_sym.ctypes.data,
+            alias_off.ctypes.data, freqs.ctypes.data, cfgs.ctypes.data,
+            ctx_map.ctypes.data, len(ctx_map), selector_bits,
+            self.num_histograms, self.bctx.num_ac_contexts(),
+            block_ctx3.ctypes.data, fwb, fhb, acs_f.ctypes.data,
+            anchors_f.ctypes.data, cov_x.ctypes.data, cov_y.ctypes.data,
+            l2cov.ctypes.data, orders.ctypes.data, order_off.ctypes.data,
+            strat_ord.ctypes.data, self.bctx.num_ctxs, 1, shift,
+            out.ctypes.data, out_off.ctypes.data, 0, n_threads,
+            end_bits.ctypes.data, dense, out_cstride, out_rstride)
+        if err < 0:
+            raise FormatError(f"AC frame native decode error {err}")
+        res = {}
+        for i, g in enumerate(gids):
+            bx0, by0, w_, h_ = rects[i]
+            coeffs = (out[:, by0:by0 + h_, bx0:bx0 + w_] if dense
+                      else out[out_off[i]:out_off[i + 1]].reshape(3, -1))
+            res[g] = (bx0, by0, w_, h_,
+                      acs_f[by0:by0 + h_, bx0:bx0 + w_],
+                      anchors_f[by0:by0 + h_, bx0:bx0 + w_], coeffs)
+        return res
 
     def _decode_ac_group_native(self, readers, group_id: int,
                                 num_passes: int, bx0, by0,

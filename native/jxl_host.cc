@@ -665,7 +665,8 @@ EXPORT int64_t jxlt_ac_frame_decode(
     const int64_t* order_off, const uint8_t* strat_ord, int32_t num_ctxs,
     int32_t check_final, int32_t shift, int32_t* out,
     const int64_t* out_off, int32_t accumulate, int32_t n_threads,
-    int64_t* end_bits) {
+    int64_t* end_bits, int32_t dense_out, int64_t out_cstride,
+    int64_t out_rstride) {
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
   auto worker = [&]() {
@@ -690,7 +691,7 @@ EXPORT int64_t jxlt_ac_frame_decode(
           block_ctx3 + base, fhb * fwb, acs_raw + base, anchor + base,
           fwb, cov_x, cov_y, log2cov, orders, order_off, strat_ord,
           num_ctxs, gw[g], gh[g], check_final, shift, out + out_off[g],
-          accumulate, /*dense_out=*/0, 0, 0);
+          accumulate, dense_out, out_cstride, out_rstride);
       end_bits[g] = res;
       if (res < 0) err.store(res);
     }
@@ -705,6 +706,52 @@ EXPORT int64_t jxlt_ac_frame_decode(
     for (auto& t : threads) t.join();
   }
   return err.load();
+}
+
+// Compact a dense int32 buffer into (index, value) pairs, threaded
+// over chunks (two-pass: count then fill; replaces np.flatnonzero on
+// the decode hot path — the sparse coefficient upload format of
+// models/vardct_decode.FrameRecon). Returns total nonzero count.
+// out_idx/out_val must hold >= n entries.
+EXPORT int64_t jxlt_sparsify_i32(const int32_t* buf, int64_t n,
+                                 int32_t n_threads, int32_t* out_idx,
+                                 int32_t* out_val) {
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if ((int64_t)nt > n / 65536 + 1) nt = (int)(n / 65536 + 1);
+  std::vector<int64_t> counts(nt, 0);
+  const int64_t chunk = (n + nt - 1) / nt;
+  auto count_fn = [&](int t) {
+    int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    int64_t c = 0;
+    for (int64_t i = lo; i < hi; ++i) c += buf[i] != 0;
+    counts[t] = c;
+  };
+  auto fill_fn = [&](int t, int64_t base) {
+    int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    for (int64_t i = lo; i < hi; ++i) {
+      if (buf[i] != 0) {
+        out_idx[base] = (int32_t)i;
+        out_val[base] = buf[i];
+        ++base;
+      }
+    }
+  };
+  if (nt == 1) {
+    count_fn(0);
+    fill_fn(0, 0);
+    return counts[0];
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(count_fn, t);
+  for (auto& th : threads) th.join();
+  threads.clear();
+  int64_t base = 0;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back(fill_fn, t, base);
+    base += counts[t];
+  }
+  for (auto& th : threads) th.join();
+  return base;
 }
 
 // Paint the AC-strategy / quant-field / sharpness planes for one DC
