@@ -671,6 +671,137 @@ def encode_animation(frames, durations=None,
     return bytes(out)
 
 
+class _StreamingLayout:
+    """Shared state of the spec streaming schedule (enc_frame.cc:2045
+    EncodeFrameStreaming, ComputePermutationForStreaming :1867): frame
+    header writer, DC-group-major TOC permutation, self-contained
+    section production. One instance serves both the single-host
+    generator (:func:`encode_lossless_streaming`) and the multi-host
+    DC-band-sharded encoder (:mod:`libjxl_tpu.parallel.multihost`) —
+    identical per-section bytes by construction."""
+
+    def __init__(self, h, w, nch, dtype, options: EncodeOptions):
+        self.options = options
+        self.nch = nch
+        self.bits = 16 if dtype == np.uint16 else 8
+        self.meta, self.header_bytes = _modular_headers(
+            np.empty((h, w) if nch == 1 else (h, w, nch), dtype), options)
+        bw = BitWriter()
+        fh = FrameHeader(encoding=FrameEncoding.MODULAR,
+                         color_transform=ColorTransform.NONE,
+                         group_size_shift=options.group_size_shift)
+        fh.loop_filter.gab = False
+        fh.loop_filter.epf_iters = 0
+        fh.is_last = True
+        fh.visit(FieldWriter(bw), self.meta)
+        self.frame_bw = bw
+        self.fd = fd = FrameDimensions(w, h, fh.group_dim)
+        self.use_rct = options.use_rct and nch >= 3
+        self.transforms = [Transform(id=TransformId.RCT, begin_c=0,
+                                     rct_type=6)] if self.use_rct else []
+        self.tree_fixed = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT,
+                                    0, 1)]
+        # section permutation (DC-group-major file order)
+        num_dc, num_g = fd.num_dc_groups, fd.num_groups
+        n_sections = 2 + num_dc + num_g
+        perm = np.zeros(n_sections, np.int64)
+        new_ix = 0
+        perm[0] = new_ix
+        new_ix += 1
+        gxs, gys = fd.xsize_groups, fd.ysize_groups
+        for dcy in range(fd.ysize_dc_groups):
+            for dcx in range(fd.xsize_dc_groups):
+                dc_ix = dcy * fd.xsize_dc_groups + dcx
+                perm[1 + dc_ix] = new_ix
+                new_ix += 1
+                for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
+                    for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
+                        perm[2 + num_dc + gy * gxs + gx] = new_ix
+                        new_ix += 1
+        perm[1 + num_dc] = new_ix   # AC global is last in the file
+        new_ix += 1
+        assert new_ix == n_sections
+        self.perm = perm
+
+    def dc_global_section(self) -> bytes:
+        sw = BitWriter()
+        sw.write(1, 1)              # DequantMatrices::DecodeDC all_default
+        sw.write(1, 0)              # no global tree: groups self-contained
+        gh = GroupHeader(use_global_tree=False, transforms=self.transforms)
+        gh.write(sw)
+        sw.zero_pad_to_byte()
+        return sw.to_bytes()
+
+    def group_section(self, band, band_y0, gy: int, gx: int) -> bytes:
+        """Self-contained AC-group section: local tree + codes + tokens."""
+        fd, nch, options = self.fd, self.nch, self.options
+        y0 = gy * fd.group_dim - band_y0
+        x0 = gx * fd.group_dim
+        sub_px = band[y0:y0 + fd.group_dim, x0:x0 + fd.group_dim]
+        sub = ModularImage(sub_px.shape[1], sub_px.shape[0], self.bits)
+        for c in range(nch):
+            sub.channel.append(Channel(sub_px[:, :, c].astype(np.int32)))
+        if self.use_rct:
+            fwd_rct(sub, 0, 6)
+        sid = stream_id_modular_ac(fd, gy * fd.xsize_groups + gx, 0)
+        if options.effort >= 5:
+            from libjxl_tpu.modular.enc_ma import (
+                learn_tree, tokenize_with_tree,
+            )
+            tree = learn_tree(
+                [(ci, sub.channel[ci].plane) for ci in range(nch)],
+                max_leaves=24)
+            arr = tokenize_with_tree(
+                [(ci, sub.channel[ci].plane) for ci in range(nch)],
+                tree, sid)
+        else:
+            tree = self.tree_fixed
+            arrs = [tokens_to_array(encode_modular_channel_tokens(
+                sub, ci, sid, tree, GroupHeader().wp_header))
+                for ci in range(nch)]
+            arrs = [a for a in arrs if len(a)]
+            arr = np.concatenate(arrs) if arrs else \
+                np.zeros((0, 2), dtype=np.int64)
+        num_ctx = (len(tree) + 1) // 2
+        codes = build_entropy_codes([arr], num_ctx)
+        ssw = BitWriter()
+        GroupHeader(use_global_tree=False).write(ssw)
+        write_tree(ssw, tree)
+        write_entropy_codes(ssw, codes)
+        if arr.size:
+            write_tokens(ssw, arr, codes)
+        ssw.zero_pad_to_byte()
+        return ssw.to_bytes()
+
+    def dc_band_sections(self, pixels, dcy: int) -> list:
+        """All file-order sections of one DC-group row band (bounded
+        pixel state: only rows [dcy*2048, dcy*2048+2048) are read)."""
+        fd = self.fd
+        band_y0 = dcy * fd.dc_group_dim
+        band = np.asarray(pixels[band_y0:band_y0 + fd.dc_group_dim])
+        if band.ndim == 2:
+            band = band[:, :, None]
+        gxs, gys = fd.xsize_groups, fd.ysize_groups
+        out = []
+        for dcx in range(fd.xsize_dc_groups):
+            out.append(b"")         # DC group: no shift>=3 channels
+            for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
+                for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
+                    out.append(self.group_section(band, band_y0, gy, gx))
+        return out
+
+    def assemble(self, file_sections: list):
+        """TOC + section bytes, given the complete file-order list
+        (dc_global first, AC-global b'' last)."""
+        from libjxl_tpu.core.toc import write_toc_permuted
+        write_toc_permuted(self.frame_bw, [len(s) for s in file_sections],
+                           self.perm)
+        yield self.frame_bw.to_bytes()
+        for s in file_sections:
+            if s:
+                yield s
+
+
 def encode_lossless_streaming(pixels: np.ndarray,
                               options: EncodeOptions | None = None):
     """Spec streaming encode (enc_frame.cc:2045 EncodeFrameStreaming,
@@ -698,124 +829,13 @@ def encode_lossless_streaming(pixels: np.ndarray,
         # single group: one-shot encode is already streaming-shaped
         yield encode_lossless(np.asarray(pixels[0:h]), options)
         return
-    meta, header_bytes = _modular_headers(
-        np.empty((h,) + first.shape[1:], first.dtype), options)
-    yield header_bytes
-
-    # ---- frame header (mirrors _modular_frame_bytes) --------------------
-    bw = BitWriter()
-    fh = FrameHeader(encoding=FrameEncoding.MODULAR,
-                     color_transform=ColorTransform.NONE,
-                     group_size_shift=options.group_size_shift)
-    fh.loop_filter.gab = False
-    fh.loop_filter.epf_iters = 0
-    fh.is_last = True
-    fh.visit(FieldWriter(bw), meta)
-    fd = FrameDimensions(w, h, fh.group_dim)
-
-    use_rct = options.use_rct and nch >= 3
-    transforms = [Transform(id=TransformId.RCT, begin_c=0, rct_type=6)] \
-        if use_rct else []
-    tree_fixed = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
-
-    # ---- section permutation (DC-group-major file order) ----------------
-    num_dc, num_g = fd.num_dc_groups, fd.num_groups
-    n_sections = 2 + num_dc + num_g
-    perm = np.zeros(n_sections, np.int64)
-    file_order = []                  # logical index per file position
-    new_ix = 0
-    perm[0] = new_ix
-    new_ix += 1
-    file_order.append(0)
-    gxs, gys = fd.xsize_groups, fd.ysize_groups
-    for dcy in range(fd.ysize_dc_groups):
-        for dcx in range(fd.xsize_dc_groups):
-            dc_ix = dcy * fd.xsize_dc_groups + dcx
-            perm[1 + dc_ix] = new_ix
-            new_ix += 1
-            file_order.append(1 + dc_ix)
-            for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
-                for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
-                    g = gy * gxs + gx
-                    logical = 2 + num_dc + g
-                    perm[logical] = new_ix
-                    new_ix += 1
-                    file_order.append(logical)
-    perm[1 + num_dc] = new_ix       # AC global is last in the file
-    new_ix += 1
-    file_order.append(1 + num_dc)
-    assert new_ix == n_sections
-
-    # ---- DC global: transforms signaled, NO global tree ------------------
-    sw = BitWriter()
-    sw.write(1, 1)                  # DequantMatrices::DecodeDC all_default
-    sw.write(1, 0)                  # no global tree: groups self-contained
-    gh = GroupHeader(use_global_tree=False, transforms=transforms)
-    gh.write(sw)
-    sw.zero_pad_to_byte()
-    dc_global = sw.to_bytes()
-
-    def group_section(band, gy: int, gx: int) -> bytes:
-        """Self-contained AC-group section: local tree + codes + tokens."""
-        y0 = gy * fd.group_dim - band_y0
-        x0 = gx * fd.group_dim
-        sub_px = band[y0:y0 + fd.group_dim, x0:x0 + fd.group_dim]
-        sub = ModularImage(sub_px.shape[1], sub_px.shape[0], bits)
-        for c in range(nch):
-            sub.channel.append(Channel(sub_px[:, :, c].astype(np.int32)))
-        if use_rct:
-            fwd_rct(sub, 0, 6)
-        sid = stream_id_modular_ac(fd, gy * gxs + gx, 0)
-        if options.effort >= 5:
-            from libjxl_tpu.modular.enc_ma import (
-                learn_tree, tokenize_with_tree,
-            )
-            tree = learn_tree(
-                [(ci, sub.channel[ci].plane) for ci in range(nch)],
-                max_leaves=24)
-            arr = tokenize_with_tree(
-                [(ci, sub.channel[ci].plane) for ci in range(nch)],
-                tree, sid)
-        else:
-            tree = tree_fixed
-            arrs = [tokens_to_array(encode_modular_channel_tokens(
-                sub, ci, sid, tree, GroupHeader().wp_header))
-                for ci in range(nch)]
-            arrs = [a for a in arrs if len(a)]
-            arr = np.concatenate(arrs) if arrs else \
-                np.zeros((0, 2), dtype=np.int64)
-        num_ctx = (len(tree) + 1) // 2
-        codes = build_entropy_codes([arr], num_ctx)
-        ssw = BitWriter()
-        GroupHeader(use_global_tree=False).write(ssw)
-        write_tree(ssw, tree)
-        write_entropy_codes(ssw, codes)
-        if arr.size:
-            write_tokens(ssw, arr, codes)
-        ssw.zero_pad_to_byte()
-        return ssw.to_bytes()
-
-    # ---- per-DC-group band encode (bounded pixel state) ------------------
-    file_sections = [dc_global]
-    bits = 16 if first.dtype == np.uint16 else 8
-    for dcy in range(fd.ysize_dc_groups):
-        band_y0 = dcy * fd.dc_group_dim
-        band = np.asarray(pixels[band_y0:band_y0 + fd.dc_group_dim])
-        if band.ndim == 2:
-            band = band[:, :, None]
-        for dcx in range(fd.xsize_dc_groups):
-            file_sections.append(b"")    # DC group: no shift>=3 channels
-            for gy in range(dcy * 8, min(gys, dcy * 8 + 8)):
-                for gx in range(dcx * 8, min(gxs, dcx * 8 + 8)):
-                    file_sections.append(group_section(band, gy, gx))
-    file_sections.append(b"")            # AC global: nothing for modular
-
-    from libjxl_tpu.core.toc import write_toc_permuted
-    write_toc_permuted(bw, [len(s) for s in file_sections], perm)
-    yield bw.to_bytes()
-    for s in file_sections:
-        if s:
-            yield s
+    lay = _StreamingLayout(h, w, nch, first.dtype, options)
+    yield lay.header_bytes
+    file_sections = [lay.dc_global_section()]
+    for dcy in range(lay.fd.ysize_dc_groups):
+        file_sections.extend(lay.dc_band_sections(pixels, dcy))
+    file_sections.append(b"")       # AC global: nothing for modular
+    yield from lay.assemble(file_sections)
 
 
 def encode_lossless_device(pixels: np.ndarray,
