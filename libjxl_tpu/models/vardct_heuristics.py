@@ -63,67 +63,38 @@ def front_device(pixels_u8, distance: float, use_gab: bool,
     return qf, xyb_p, pre_gab
 
 
-def _thresholds_np(nby, nbx):
-    from libjxl_tpu.vardct.enc_acs import _thresholds
-    return _thresholds(nby, nbx, True)
 
 
-@functools.partial(jax.jit, static_argnames=("strategies", "lam",
-                                             "scale", "inv_gs"))
-def _grids_jit(y_plane, raw_quant, tables, thres, strategies: tuple,
-               lam: float, scale: float, inv_gs: float):
-    from libjxl_tpu.models.vardct_pipeline import _adjust_quant_bias
+@functools.partial(jax.jit, static_argnames=("strategies", "scale",
+                                             "distance"))
+def _grids_jit(xyb, raw_quant, tables, strategies: tuple,
+               scale: float, distance: float):
+    from libjxl_tpu.vardct.enc_acs import (
+        compute_mask1x1, strategy_rate_loss,
+    )
 
-    hp = jax.lax.Precision.HIGHEST
-    H, W = y_plane.shape
+    mask1x1 = compute_mask1x1(xyb[1], xp=jnp)
     out = []
     for i, s in enumerate(strategies):
-        nby, nbx = COVERED_Y[s], COVERED_X[s]
-        rows, cols = nby * 8, nbx * 8
-        gy, gx = H // rows, W // cols
-        win = y_plane[:gy * rows, :gx * cols].reshape(
-            gy, rows, gx, cols).transpose(0, 2, 1, 3).reshape(
-            gy * gx, rows, cols)
-        mr = jnp.asarray(dct_matrix(rows), jnp.float32)
-        mc = jnp.asarray(dct_matrix(cols), jnp.float32)
-        coef = jnp.einsum("ux,nxz,vz->nuv", mr, win, mc, precision=hp)
-        qfw = raw_quant[:gy * nby, :gx * nbx].reshape(
-            gy, nby, gx, nbx).transpose(0, 2, 1, 3).reshape(
-            gy * gx, -1).max(axis=1).astype(jnp.float32)
-        table = tables[i]
-        stored = (jnp.swapaxes(coef, 1, 2) if rows >= cols else
-                  coef).reshape(gy * gx, -1)
-        th = thres[i]
-        val = stored * (scale / table)[None, :] * qfw[:, None]
-        q = jnp.where(jnp.abs(val) >= th[None, :], jnp.round(val), 0.0)
-        covered = nby * nbx
-        pos = jnp.arange(stored.shape[1]) >= covered
-        aq = jnp.abs(q) * pos[None, :]
-        nzbits = jnp.where(aq > 0, jnp.log2(aq + 1) * 2.0 + 1.2, 0.02)
-        rate = (nzbits * pos[None, :]).sum(axis=1) + 12.0
-        dq = _adjust_quant_bias(q, 1) * table[None, :] * \
-            (inv_gs / qfw)[:, None]
-        err = (dq - stored) * pos[None, :]
-        cost = rate + lam * (err * err).sum(axis=1)
-        out.append(cost.reshape(gy, gx))
+        out.append(strategy_rate_loss(
+            xyb, raw_quant, tables[i], scale, int(s), mask1x1,
+            distance, xp=jnp))
     return tuple(out)
 
 
-def acs_grids_device(y_plane_dev, raw_quant: np.ndarray, matrices,
+def acs_grids_device(xyb_dev, raw_quant: np.ndarray, matrices,
                      quantizer, distance: float,
                      strategies: tuple) -> dict:
-    """Compute the per-strategy aligned-position cost grids on device;
-    returns {strategy: np grid} for choose_acs's merge pass."""
-    lam = 5.5 / (distance * distance)
+    """Compute the per-strategy (rate, loss) grids on device; returns
+    {strategy: (rate, loss) np grids} for choose_acs's merge pass
+    (same xp-generic 3-channel cost as the host:
+    enc_acs.strategy_rate_loss)."""
     tables = tuple(
-        jnp.asarray(matrices.table_for_strategy(s)[1].reshape(-1),
-                    jnp.float32) for s in strategies)
-    thres = tuple(
-        jnp.asarray(_thresholds_np(COVERED_Y[s], COVERED_X[s]),
-                    jnp.float32) for s in strategies)
-    grids = _grids_jit(y_plane_dev, jnp.asarray(raw_quant), tables,
-                       thres, tuple(int(s) for s in strategies),
-                       float(lam), float(quantizer.scale),
-                       float(quantizer.inv_global_scale))
-    return {int(s): np.asarray(g, np.float64)
-            for s, g in zip(strategies, grids)}
+        tuple(jnp.asarray(matrices.table_for_strategy(s)[c].reshape(-1),
+                          jnp.float32) for c in range(3))
+        for s in strategies)
+    grids = _grids_jit(xyb_dev, jnp.asarray(raw_quant), tables,
+                       tuple(int(s) for s in strategies),
+                       float(quantizer.scale), float(distance))
+    return {int(s): (np.asarray(r, np.float64), np.asarray(l, np.float64))
+            for s, (r, l) in zip(strategies, grids)}

@@ -63,6 +63,167 @@ def _rate_estimate(q: np.ndarray, covered: int) -> np.ndarray:
     return bits.sum(axis=1) + 12.0
 
 
+# 5x5 symmetric blur of the 1x1 masking field (Blur1x1Masking,
+# enc_adaptive_quantization.cc:634-662; quadrant c r R / r d L / R L D)
+def _mask1x1_kernel() -> np.ndarray:
+    k0, k1, k2, k3, k4 = (0.364911248, 0.05, 0.1688888021,
+                          0.221069183, 0.306563504)
+    norm = 1.0 / (1.0 + 4 * (k0 + k1 + k2 + k4 + 2 * k3))
+    c, r, R, d, D, L = (np.array(v) * norm
+                        for v in (1.0, k0, k2, k1, k4, k3))
+    ker = np.array([[D, L, R, L, D],
+                    [L, d, r, d, L],
+                    [R, r, c, r, R],
+                    [L, d, r, d, L],
+                    [D, L, R, L, D]])
+    return ker
+
+
+_MASK1X1_KER = _mask1x1_kernel()
+
+
+def compute_mask1x1(y_plane, xp=np):
+    """Per-pixel ringing-visibility weight: 1/(log1p|gamma-matched 1x1
+    Laplacian|+0.01), 5x5-blurred (enc_adaptive_quantization.cc
+    ComputeTile scalar_pixel1x1 :501-521 + Blur1x1Masking). Smooth
+    pixels weigh quantization error up to ~100x — the term that stops
+    big DCT blocks from ringing into flat areas."""
+    from libjxl_tpu.vardct.adaptive_quant import _ratio_cbrt_to_gamma
+    y = y_plane
+    up = xp.concatenate([y[:1], y[:-1]], axis=0)
+    dn = xp.concatenate([y[1:], y[-1:]], axis=0)
+    lf = xp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+    rt = xp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+    base = 0.25 * (up + dn + lf + rt)
+    gammac = _ratio_cbrt_to_gamma(y + 0.019, False, xp=xp)
+    diff = xp.log1p(xp.abs(gammac * (y - base)))
+    m = 1.0 / (diff + 0.01)
+    pad = xp.pad(m, 2, mode="reflect")
+    ker = _MASK1X1_KER
+    out = xp.zeros_like(m)
+    for dy in range(5):
+        for dx in range(5):
+            out = out + ker[dy, dx] * pad[dy:dy + m.shape[0],
+                                          dx:dx + m.shape[1]]
+    return out
+
+
+def acs_cost_params(distance: float):
+    """Distance-scaled rate/loss weights (enc_ac_strategy.cc:1111-1123)."""
+    bias = 0.13731742964354549
+    ratio = (distance + bias) / (1.0 + bias)
+    info_loss = 1.2 * ratio ** 0.33677806662454718
+    zeros_mul = 9.3089059022677905 * ratio ** 0.50990926717963703
+    cost_delta = 10.833273317067883 * ratio ** 0.36702940662370243
+    return cost_delta, zeros_mul, info_loss
+
+
+_MASKU_OFF = (12.0, 0.0, 4.0)        # masku_lut, enc_ac_strategy.cc:450
+_CH_MUL = (8.2, 1.0, 1.03)           # kChannelMul^(1/8), :478-482
+
+
+def strategy_rate_loss(xyb, raw_quant, tables3, scale: float,
+                       strategy: int, mask1x1, distance: float,
+                       cmap_x: float = 0.0, cmap_b: float = 1.0, xp=np):
+    """(cost, loss) grids over all aligned anchor positions of one
+    strategy, evaluated over ALL THREE channels with base-CfL
+    subtraction (EstimateEntropy, enc_ac_strategy.cc:364-510).
+
+    ``cost`` is the rate + Y-L2-distortion estimate the merge
+    multipliers scale; ``loss`` is the masked PIXEL-DOMAIN
+    information-loss term: the L8 norm of mask1x1-weighted
+    reconstruction error with the reference's per-channel weights (X
+    errors 8.2x) and the X-channel big-block ringing punisher
+    (:497-503). The L8 norm is what makes one ringing pixel condemn a
+    whole big block, and the X weighting is what stops merges across
+    red-green (colored) edges a Y-only cost cannot see — both were
+    missing in rounds 1-3 (+80% BD-rate on collages/screenshots).
+    xp-generic: numpy on host, jnp in the device grids program."""
+    lam = 5.5 / (distance * distance)
+    _, _, info_loss = acs_cost_params(distance)
+    nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
+    rows, cols = nby * 8, nbx * 8
+    H, W = xyb.shape[1:]
+    gy, gx = H // rows, W // cols
+    if gy == 0 or gx == 0:
+        return xp.zeros((0, 0)), xp.zeros((0, 0))
+    dt = xyb.dtype
+
+    def windows(plane):
+        return plane[:gy * rows, :gx * cols].reshape(
+            gy, rows, gx, cols).transpose(0, 2, 1, 3).reshape(
+            gy * gx, rows, cols)
+
+    mr = xp.asarray(dct_matrix(rows), dt)
+    mc = xp.asarray(dct_matrix(cols), dt)
+    qfw = raw_quant[:gy * nby, :gx * nbx].reshape(
+        gy, nby, gx, nbx).transpose(0, 2, 1, 3).reshape(
+        gy * gx, -1).astype(dt)
+    qf = qfw.max(axis=1)
+    covered = nby * nbx
+    size = covered * 64
+    if covered <= 2:
+        qn = qf * scale
+    else:
+        qn = ((qfw * scale) ** 16).mean(axis=1) ** (1.0 / 16.0)
+    mwin = windows(mask1x1)
+    w_x = 1.0 + min(3.0, covered / 8.0) if covered >= 2 else 1.0
+    pos = xp.arange(size) >= covered
+
+    def stored_of(plane):
+        coef = (mr @ windows(plane)) @ mc.T
+        return (xp.swapaxes(coef, 1, 2) if rows >= cols else
+                coef).reshape(gy * gx, -1)
+
+    st_y = stored_of(xyb[1])
+    rate = None
+    l8sum = None
+    cost_extra = None
+    for c, (st, cf) in enumerate((
+            (stored_of(xyb[0]), cmap_x), (st_y, 0.0),
+            (stored_of(xyb[2]), cmap_b))):
+        if cf != 0.0:
+            st = st - cf * st_y
+        table = xp.asarray(tables3[c], dt)
+        th = xp.asarray(_thresholds(nby, nbx, c == 1), dt)
+        val = st * (scale / table)[None, :] * qf[:, None]
+        q = xp.where(xp.abs(val) >= th[None, :], xp.round(val), 0.0)
+        aq = xp.abs(q) * pos[None, :]
+        nzbits = xp.where(aq > 0, xp.log2(aq + 1) * 2.0 + 1.2, 0.02)
+        rate_c = (nzbits * pos[None, :]).sum(axis=1)
+        err = (adjust_quant_bias_xp(q, xp) * table[None, :] *
+               (1.0 / (scale * qf))[:, None] - st) * pos[None, :]
+        err_rc = (xp.swapaxes(err.reshape(gy * gx, cols, rows), 1, 2)
+                  if rows >= cols else err.reshape(gy * gx, rows, cols))
+        err_px = (mr.T @ err_rc) @ mc
+        l8c = ((_CH_MUL[c] * (mwin + _MASKU_OFF[c]) * err_px) ** 8
+               ).sum(axis=(1, 2))
+        if c == 0:
+            # X-channel ringing punisher for big blocks (:497-503; w
+            # scales the already-8th-power loss sum, as the reference)
+            l8c = w_x * l8c
+        l8sum = l8c if l8sum is None else l8sum + l8c
+        if c == 1:
+            # only the Y rate + L2 feed the multiplied cost (the merge
+            # multipliers were calibrated against the Y-only estimate;
+            # full-weight chroma rate over-fragments smooth colored
+            # content, sky +43% BD). Chroma enters through the masked
+            # loss, where X errors carry the reference's 8.2x weight.
+            rate = rate_c
+            cost_extra = lam * (err * err).sum(axis=1)
+    cost = rate + 12.0 + cost_extra
+    loss = info_loss * (l8sum / size) ** 0.125 * size / qn
+    return cost.reshape(gy, gx), loss.reshape(gy, gx)
+
+
+def adjust_quant_bias_xp(q, xp):
+    """xp-generic adjust_quant_bias for channel Y (quantizer.cc:131)."""
+    if xp is np:
+        return adjust_quant_bias(q, 1)
+    from libjxl_tpu.models.vardct_pipeline import _adjust_quant_bias
+    return _adjust_quant_bias(q, 1)
+
+
 def _quantize_y(coef_stored, table_flat, qac, thres):
     val = coef_stored * (table_flat[None, :] * qac[:, None])
     return np.where(np.abs(val) >= thres[None, :], np.rint(val), 0.0)
@@ -81,10 +242,11 @@ def _thresholds(nblk_y, nblk_x, c_is_y: bool) -> np.ndarray:
     return th.reshape(-1)
 
 
-def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
+def choose_acs(xyb_planes: np.ndarray, raw_quant: np.ndarray, matrices,
                quantizer, distance: float, try_small: bool = False,
                try_64: bool = False, try_32: bool = True,
-               grids: dict | None = None):
+               grids: dict | None = None,
+               heterogeneous: bool | None = None):
     """RD selection on the Y channel. Returns (acs_raw, anchors,
     raw_quant') with merged regions given their anchor's max qf.
 
@@ -100,44 +262,54 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
     either, enc_ac_strategy.cc:925-930 commented out)."""
     yb8, xb8 = raw_quant.shape
     inv_gs = quantizer.inv_global_scale
-    lam = 5.5 / (distance * distance)     # distortion weight
+    lam = 5.5 / (distance * distance)     # distortion weight (small path)
 
-    def _grid_costs(strategy):
-        """Costs for ALL aligned anchor positions of one strategy in a
-        single batched pass (one einsum DCT over every region instead
-        of one tiny einsum per region_cost call)."""
-        from numpy.lib.stride_tricks import sliding_window_view
-        nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
-        rows, cols = nby * 8, nbx * 8
-        if y_plane.shape[0] < rows or y_plane.shape[1] < cols:
-            return np.zeros((0, 0))
-        win = sliding_window_view(y_plane, (rows, cols))[::rows, ::cols]
-        gy, gx = win.shape[:2]
-        coef = _batched_dct(win.reshape(gy * gx, rows, cols))
-        qf = sliding_window_view(raw_quant, (nby, nbx))[
-            ::nby, ::nbx].reshape(gy * gx, -1).max(1).astype(np.float64)
-        table = matrices.table_for_strategy(strategy)[1].reshape(-1)
-        stored = (np.swapaxes(coef, 1, 2) if rows >= cols else
-                  coef).reshape(gy * gx, -1)
-        th = _thresholds(nby, nbx, True)
-        val = stored * (quantizer.scale / table)[None, :] * qf[:, None]
-        q = np.where(np.abs(val) >= th[None, :], np.rint(val), 0.0)
-        covered = nby * nbx
-        rate = _rate_estimate(q, covered)
-        dq = adjust_quant_bias(q, 1) * table[None, :] * \
-            (inv_gs / qf)[:, None]
-        err = dq - stored
-        err[:, :covered] = 0.0             # LLF handled via DC
-        return (rate + lam * (err * err).sum(axis=1)).reshape(gy, gx)
+    # Per-merge-level RATE multipliers (enc_ac_strategy.cc:886-897
+    # entropy_mul16X8/16X16/16X32/32X32/64X32 and :862-866 mul8x8):
+    # hand-tuned in the reference against ringing next to sky; without
+    # them the entropy estimate systematically over-merges into large
+    # DCTs (seen as +80% BD-rate on multi-group photos, round 4).
+    # Engaged only for multi-group ("heterogeneous") frames: on single
+    # 256px tiles the unmultiplied estimator is better calibrated
+    # (corpus mean -3.6% r3) while mixed-content large frames need the
+    # guards (+82% -> +37% on a collage).
+    if heterogeneous is None:
+        heterogeneous = min(xyb_planes.shape[1:]) > 256
+    if heterogeneous:
+        mul8x8 = 1.0 - 0.4 / (distance + 1.4)
+        MUL16X8 = 1.21
+        MUL16X16 = 1.34
+        MUL16X32 = 1.49
+        MUL32X32 = 1.48
+        MUL64 = 2.25
+        loss_w = 1.0
+    else:
+        mul8x8 = MUL16X8 = MUL16X16 = MUL16X32 = MUL32X32 = 1.0
+        MUL64 = 2.25 / 1.48
+        loss_w = 0.0
+    xyb64 = np.asarray(xyb_planes, np.float64)
+    y_plane = xyb64[1]
+    mask1x1 = compute_mask1x1(y_plane)
 
     grid_cache = dict(grids) if grids else {}
 
-    def region_cost(strategy, by, bx):
+    def region_cost(strategy, by, bx, mul=1.0):
+        """mul * cost + loss at one aligned position (EstimateEntropy:
+        the level multiplier scales the bits estimate only; the masked
+        information-loss term is absolute, :508-509)."""
         g = grid_cache.get(strategy)
         if g is None:
-            g = grid_cache[strategy] = _grid_costs(strategy)
+            t = matrices.table_for_strategy(strategy)
+            g = grid_cache[strategy] = strategy_rate_loss(
+                xyb64, raw_quant,
+                tuple(t[c].reshape(-1) for c in range(3)),
+                quantizer.scale, strategy, mask1x1, distance)
+        rate, loss = g
         nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
-        return float(g[by // nby, bx // nbx])
+        if rate.size == 0:
+            return float("inf")
+        return mul * float(rate[by // nby, bx // nbx]) + \
+            loss_w * float(loss[by // nby, bx // nbx])
 
     acs = np.zeros((yb8, xb8), np.int32)
     anchors = np.zeros((yb8, xb8), bool)
@@ -163,18 +335,19 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
     def quad_layouts(y0, x0):
         """Candidate tilings of a 16x16 region (enc_ac_strategy.cc
         hierarchical merge: 8s, vertical/horizontal halves, full 16)."""
-        singles = [(region_cost(ACS_DCT8, y0 + dy, x0 + dx),
+        singles = [(mul8x8 * region_cost(ACS_DCT8, y0 + dy, x0 + dx),
                     [(ACS_DCT8, y0 + dy, x0 + dx)])
                    for dy in range(2) for dx in range(2)]
         j8 = (sum(c for c, _ in singles),
               [p for _, ps in singles for p in ps])
-        jv = (region_cost(ACS_DCT16X8, y0, x0) +
-              region_cost(ACS_DCT16X8, y0, x0 + 1),
+        jv = (region_cost(ACS_DCT16X8, y0, x0, MUL16X8) +
+              region_cost(ACS_DCT16X8, y0, x0 + 1, MUL16X8),
               [(ACS_DCT16X8, y0, x0), (ACS_DCT16X8, y0, x0 + 1)])
-        jh = (region_cost(ACS_DCT8X16, y0, x0) +
-              region_cost(ACS_DCT8X16, y0 + 1, x0),
+        jh = (region_cost(ACS_DCT8X16, y0, x0, MUL16X8) +
+              region_cost(ACS_DCT8X16, y0 + 1, x0, MUL16X8),
               [(ACS_DCT8X16, y0, x0), (ACS_DCT8X16, y0 + 1, x0)])
-        j16 = (region_cost(ACS_DCT16, y0, x0), [(ACS_DCT16, y0, x0)])
+        j16 = (region_cost(ACS_DCT16, y0, x0, MUL16X16),
+               [(ACS_DCT16, y0, x0)])
         return min((j8, jv, jh, j16), key=lambda t: t[0])
 
     cost32 = {}
@@ -190,13 +363,13 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
             cands = [jq]
             if try_32:      # decoding_speed tier 4 disables 32x32-class
                 cands += [
-                    (region_cost(ACS_DCT32X16, sy, sx) +
-                     region_cost(ACS_DCT32X16, sy, sx + 2),
+                    (region_cost(ACS_DCT32X16, sy, sx, MUL16X32) +
+                     region_cost(ACS_DCT32X16, sy, sx + 2, MUL16X32),
                      [(ACS_DCT32X16, sy, sx), (ACS_DCT32X16, sy, sx + 2)]),
-                    (region_cost(ACS_DCT16X32, sy, sx) +
-                     region_cost(ACS_DCT16X32, sy + 2, sx),
+                    (region_cost(ACS_DCT16X32, sy, sx, MUL16X32) +
+                     region_cost(ACS_DCT16X32, sy + 2, sx, MUL16X32),
                      [(ACS_DCT16X32, sy, sx), (ACS_DCT16X32, sy + 2, sx)]),
-                    (region_cost(ACS_DCT32, sy, sx),
+                    (region_cost(ACS_DCT32, sy, sx, MUL32X32),
                      [(ACS_DCT32, sy, sx)]),
                 ]
             best, layout = min(cands, key=lambda t: t[0])
@@ -206,9 +379,12 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                     place(strategy, by, bx)
     if try_64:
         # 64x64-level merges; candidate entropies carry the reference's
-        # big-block penalty (2.25 / 1.48 relative to the 32 level) to
-        # guard against ringing next to smooth gradients
-        mul64 = 2.25 / 1.48
+        # big-block penalty (entropy_mul64X32/64X64 = 2.25) to guard
+        # against ringing next to smooth gradients. cost32 values
+        # already include the level-specific multipliers, mirroring the
+        # reference's accumulation of multiplied estimates
+        # (enc_ac_strategy.cc:900-906 note).
+        mul64 = MUL64
         for ty in range(0, (yb8 // 8) * 8, 8):
             for tx in range(0, (xb8 // 8) * 8, 8):
                 quads = [(ty, tx), (ty, tx + 4), (ty + 4, tx),
@@ -216,11 +392,11 @@ def choose_acs(y_plane: np.ndarray, raw_quant: np.ndarray, matrices,
                 if any(q not in cost32 for q in quads):
                     continue
                 q00, q01, q10, q11 = (cost32[q] for q in quads)
-                c64 = mul64 * region_cost(ACS_DCT64, ty, tx)
-                cl = mul64 * region_cost(ACS_DCT64X32, ty, tx)
-                cr = mul64 * region_cost(ACS_DCT64X32, ty, tx + 4)
-                ct = mul64 * region_cost(ACS_DCT32X64, ty, tx)
-                cb = mul64 * region_cost(ACS_DCT32X64, ty + 4, tx)
+                c64 = region_cost(ACS_DCT64, ty, tx, mul64)
+                cl = region_cost(ACS_DCT64X32, ty, tx, mul64)
+                cr = region_cost(ACS_DCT64X32, ty, tx + 4, mul64)
+                ct = region_cost(ACS_DCT32X64, ty, tx, mul64)
+                cb = region_cost(ACS_DCT32X64, ty + 4, tx, mul64)
                 cost_vert = min(cl, q00 + q10) + min(cr, q01 + q11)
                 cost_horz = min(ct, q00 + q01) + min(cb, q10 + q11)
                 if c64 < cost_vert and c64 < cost_horz:

@@ -322,7 +322,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                                       np.float64)[:, :h, :w].copy()
             aux["xyb_cache"] = (xyb_p, xyb_pre_gab)
             aux["dev_qf"] = dev_qf
-            aux["y_plane_dev"] = xyb_p_d[1]
+            aux["y_plane_dev"] = xyb_p_d
     else:
         # the adaptive quant field uses PRE-gaborish values
         # (enc_heuristics.cc:1117 comment); sharpen after computing it
@@ -529,7 +529,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 # slower in the reference (enc_ac_strategy.cc:855
                 # `speed_tier > kHare -> return`)
                 acs_map, acs_anchors, raw_quant = choose_acs(
-                    xyb_p[1], raw_quant, matrices, quantizer, d,
+                    xyb_p, raw_quant, matrices, quantizer, d,
                     try_small=options.effort >= 5,
                     try_64=try_64, try_32=try_32, grids=grids)
             qac = quantizer.scale * raw_quant.astype(np.float64)
@@ -671,11 +671,43 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     gdb = fd.group_dim // 8
     if use_acs and num_passes > 1:
         raise ValueError("progressive + ACS search not combined yet")
+
+    # custom coefficient scan orders from zero statistics
+    # (enc_coeff_order.cc:66-74; not at <=falcon, not for tiny images)
+    used_orders = 0
+    order_perms: dict = {}
+    if (num_passes == 1 and options.effort >= 4 and
+            fd.num_groups >= 4):
+        # small streams skip custom orders: the permutation signaling
+        # (~0.1-0.3 kB) outweighs the token savings below ~4 groups
+        # (+1.3-2% BD measured), while 12-group images gain 5-15%
+        from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER as _SO
+        from libjxl_tpu.vardct.coeff_order import compute_custom_orders
+        zc: dict = {}
+        if use_acs:
+            for (by_, bx_), blk in blocks.items():
+                b = _SO[int(acs_map[by_, bx_])]
+                z = (np.asarray(blk["q"]) == 0).sum(axis=0)
+                if b in zc:
+                    zc[b] += z
+                else:
+                    zc[b] = z.astype(np.int64)
+        else:
+            zc[0] = (q_passes[0] == 0).sum(axis=(0, 1, 2)).astype(
+                np.int64)
+        used_orders, custom_orders, order_perms = \
+            compute_custom_orders(zc)
+        if used_orders & 1:
+            order = custom_orders[0]
+
     if use_acs:
         from libjxl_tpu.vardct.ac_strategy import STRATEGY_ORDER
         from libjxl_tpu.vardct.enc_acs import tokenize_varblocks_group
         orders = {STRATEGY_ORDER[int(sid)]: natural_order(int(sid))
                   for sid in np.unique(acs_map)}
+        if used_orders:
+            orders.update({b: o for b, o in custom_orders.items()
+                           if b in orders})
         for gy in range(fd.ysize_groups):
             for gx in range(fd.xsize_groups):
                 g = gy * fd.xsize_groups + gx
@@ -748,10 +780,17 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     if patches_dict is not None:
         # the atlas rides as a REFERENCE_ONLY modular-XYB frame right
         # before the main frame (RoundtripPatchFrame)
-        from libjxl_tpu.api.encoder import xyb_reference_frame_bytes
+        from libjxl_tpu.api.encoder import (
+            EncodeOptions, xyb_reference_frame_bytes,
+        )
         from libjxl_tpu.render.enc_patches import PATCH_FRAME_REF_ID
+        # the atlas inherits the frame effort (RoundtripPatchFrame keeps
+        # cparams and only pins Predictor::Gradient) — a learned MA tree
+        # on the atlas is worth ~3x density on collage content (r4)
         atlas_frame_bytes = xyb_reference_frame_bytes(
-            chans, meta, PATCH_FRAME_REF_ID)
+            chans, meta, PATCH_FRAME_REF_ID,
+            EncodeOptions(effort=max(3, options.effort), use_rct=False,
+                          palette=0, lz77=False))
         bw.write_bytes(atlas_frame_bytes)
 
     dc_frame_bytes = b""
@@ -963,8 +1002,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         nbits = max((fd.num_groups - 1).bit_length(), 0)
         if nbits:
             sw.write(nbits, 0)               # num_histograms - 1 = 0
+        from libjxl_tpu.vardct.coeff_order import encode_coeff_orders
         for p in range(num_passes):
-            write_u32(sw, K_ORDER_ENC, 0)    # used_orders = 0 (natural)
+            encode_coeff_orders(sw, used_orders if p == 0 else 0,
+                                order_perms)
             write_entropy_codes(sw, codes_per_pass[p])
 
     def ac_group(sw: BitWriter, g: int, p: int = 0) -> None:
