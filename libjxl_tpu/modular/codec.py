@@ -19,6 +19,7 @@ from libjxl_tpu.entropy.ans import (
 from libjxl_tpu.modular.image import Channel, ModularImage
 from libjxl_tpu.modular.predict import (
     EXTRA_PROPS_PER_CHANNEL, NUM_NONREF_PROPERTIES, PREDICTOR_GRADIENT,
+    PREDICTOR_LEFT, PREDICTOR_TOP,
     PREDICTOR_WEIGHTED, PREDICTOR_ZERO, WPHeader, WPState, clamped_gradient,
     compute_properties_scalar, predict_one, wrap32, _neighbors,
 )
@@ -404,24 +405,33 @@ def encode_modular_channel_tokens(image: ModularImage, chan_idx: int,
             packed = np.where(vals >= 0, vals * 2, -vals * 2 - 1)
             return np.stack([np.full(len(packed), ctx, dtype=np.int64),
                              packed], axis=1)
-        if node.predictor == PREDICTOR_GRADIENT and \
+        if node.predictor in (PREDICTOR_GRADIENT, PREDICTOR_LEFT,
+                              PREDICTOR_TOP) and \
                 node.predictor_offset == 0 and node.multiplier == 1:
-            # residuals via vectorized clamped gradient on decoded plane
+            # residuals via vectorized neighbors on the decoded plane
+            # (left at x==0 is the pixel above; top at y==0 is left —
+            # context_predict.h PixelsWithPosition semantics)
             left = np.zeros_like(plane)
             left[:, 1:] = plane[:, :-1]
             left[1:, 0] = plane[:-1, 0]
-            top = np.zeros_like(plane)
-            top[1:] = plane[:-1]
-            top[0] = left[0]
-            topleft = np.zeros_like(plane)
-            topleft[1:, 1:] = plane[:-1, :-1]
-            topleft[:, 0] = left[:, 0]
-            topleft[0, 1:] = left[0, 1:]
-            m = np.minimum(top, left)
-            M = np.maximum(top, left)
-            grad = top + left - topleft
-            guess = np.where(topleft < m, M,
-                             np.where(topleft > M, m, grad))
+            if node.predictor == PREDICTOR_LEFT:
+                guess = left
+            else:
+                top = np.zeros_like(plane)
+                top[1:] = plane[:-1]
+                top[0] = left[0]
+                if node.predictor == PREDICTOR_TOP:
+                    guess = top
+                else:
+                    topleft = np.zeros_like(plane)
+                    topleft[1:, 1:] = plane[:-1, :-1]
+                    topleft[:, 0] = left[:, 0]
+                    topleft[0, 1:] = left[0, 1:]
+                    m = np.minimum(top, left)
+                    M = np.maximum(top, left)
+                    grad = top + left - topleft
+                    guess = np.where(topleft < m, M,
+                                     np.where(topleft > M, m, grad))
             res = (plane - guess).reshape(-1).astype(
                 np.int32).astype(np.int64)
             packed = np.where(res >= 0, res * 2, -res * 2 - 1)

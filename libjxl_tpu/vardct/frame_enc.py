@@ -457,10 +457,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
             if options._dispatch_only:
                 # serving mode: return the in-flight device handles; the
-                # caller collects later with _predispatched (fetches start
-                # now so the link overlaps other images' host work)
+                # caller collects later with _predispatched (the fetch
+                # starts now so the link overlaps other images' host
+                # work). dense16 stays in HBM: it only crosses the link
+                # if the sparse payload overflowed (~never at d>=0.5),
+                # and it is ~15x the sparse payload's bytes.
                 packed.copy_to_host_async()
-                dense16.copy_to_host_async()
                 return packed, dense16
             q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
                 packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
