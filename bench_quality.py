@@ -66,12 +66,30 @@ def bd_rate(ours, ref) -> float:
     return float((2.0 ** np.mean(i1 - i2) - 1.0) * 100.0)
 
 
+def lossless_ratios(img, efforts):
+    """Per-effort size ratio ours / libjxl ``cjxl -d0`` (< 1 = we are
+    denser). The density blind spot of the BD-rate harness (VERDICT r3
+    weak #6); reference bar: doc/xl_overview.md:100-104."""
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils.oracle import oracle_encode
+
+    out = {}
+    for e in efforts:
+        ours = len(encode_lossless(img, EncodeOptions(effort=e)))
+        ref = len(oracle_encode(img, lossless=True, effort=e))
+        out[e] = (ours, ref)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-e", "--efforts", type=int, nargs="+",
                     default=[3, 5, 7])
     ap.add_argument("-d", "--distances", type=float, nargs="+",
                     default=[0.5, 1.0, 2.0, 4.0])
+    ap.add_argument("--lossless", action="store_true",
+                    help="size-ratio sweep vs cjxl -d0 instead of the "
+                         "BD-rate sweep")
     ap.add_argument("--corpus", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "corpus"))
     args = ap.parse_args()
@@ -90,6 +108,27 @@ def main():
 
     per_effort: dict = {e: [] for e in args.efforts}
     t0 = time.time()
+    if args.lossless:
+        efforts = args.efforts if args.efforts != [3, 5, 7] else \
+            [2, 5, 7, 9]
+        per_effort = {e: [] for e in efforts}
+        for path in sorted(glob.glob(os.path.join(args.corpus, "*.png"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            img = np.asarray(Image.open(path).convert("RGB"))
+            npix = img.shape[0] * img.shape[1]
+            for e, (ours, ref) in lossless_ratios(img, efforts).items():
+                per_effort[e].append(ours / ref)
+                print(json.dumps({
+                    "image": name, "effort": e,
+                    "size_ratio": round(ours / ref, 4),
+                    "ours_bpp": round(ours * 8 / npix, 4),
+                    "libjxl_bpp": round(ref * 8 / npix, 4)}))
+        summary = {f"e{e}_mean_size_ratio":
+                   round(float(np.mean(v)), 4)
+                   for e, v in per_effort.items() if v}
+        summary["elapsed_s"] = round(time.time() - t0, 1)
+        print(json.dumps({"summary": summary}))
+        return
     for path in sorted(glob.glob(os.path.join(args.corpus, "*.png"))):
         name = os.path.splitext(os.path.basename(path))[0]
         img = np.asarray(Image.open(path).convert("RGB"))

@@ -226,6 +226,12 @@ def encode_context_map(w: BitWriter, context_map, num_histograms: int
         for v in context_map:
             ww.write(bits_per_entry, int(v))
         candidates.append(ww)
+    if bits_per_entry <= 3 and len(context_map) <= 16:
+        # short maps: raw bits are within a byte or two of the entropy-
+        # coded candidates, and building 3-4 candidate ANS streams per
+        # map dominated the e3 host profile (~23 code builds/image)
+        w.append_writer(candidates[0])
+        return
     arr_raw = np.zeros((len(context_map), 2), dtype=np.int64)
     arr_raw[:, 1] = context_map
     arr_mtf = arr_raw.copy()
@@ -714,6 +720,12 @@ def _tokenize_rows(arr: np.ndarray, cfg: HybridUintConfig,
     return toks, nbits, bits
 
 
+def _trim_back(a: np.ndarray) -> np.ndarray:
+    """np.trim_zeros(trim="b") without its per-element Python loop."""
+    nz = np.nonzero(a)[0]
+    return a[:nz[-1] + 1] if nz.size else a[:0]
+
+
 def build_entropy_codes(token_arrays, num_contexts: int,
                         use_prefix_code: bool = False,
                         allow_clustering: bool = True,
@@ -734,7 +746,7 @@ def build_entropy_codes(token_arrays, num_contexts: int,
     # histogram per context of token values (+1 distance context for LZ77)
     eff_contexts = num_contexts + 1 if lz_on else num_contexts
     max_token = 0
-    hists = np.zeros((eff_contexts, 1 << alpha_bits), dtype=np.int64)
+    flats = []
     for arr in token_arrays:
         if arr.size == 0:
             continue
@@ -742,9 +754,16 @@ def build_entropy_codes(token_arrays, num_contexts: int,
         tok, _, _ = _tokenize_rows(arr, cfg, codes.lz77)
         if tok.size:
             max_token = max(max_token, int(tok.max()))
-        np.add.at(hists, (ctx, tok), 1)
+        flats.append(ctx * (1 << alpha_bits) + tok)
     if max_token >= (1 << alpha_bits):
         raise FormatError("token too large for alphabet")
+    # ONE bincount over the flattened (ctx, tok) indices of all streams:
+    # ~8x faster than np.add.at's unbuffered scatter, and one allocation
+    # instead of one per stream
+    hists = np.bincount(
+        np.concatenate(flats) if flats else np.zeros(0, np.int64),
+        minlength=eff_contexts << alpha_bits
+    ).reshape(eff_contexts, 1 << alpha_bits)
     # cluster histograms (entropy-distance greedy, enc_cluster.cc:136-300)
     if allow_clustering and eff_contexts > 1:
         context_map, clustered = cluster_histograms(hists, max_clusters)
@@ -761,7 +780,7 @@ def build_entropy_codes(token_arrays, num_contexts: int,
     if not use_prefix_code:
         codes.log_alpha_size = 8
     for h in clustered:
-        h = np.trim_zeros(h, trim="b")
+        h = _trim_back(h)
         if h.size == 0:
             h = np.array([1], dtype=np.int64)
         if use_prefix_code:
@@ -806,10 +825,10 @@ def write_entropy_codes(w: BitWriter, codes: EntropyEncodingData) -> None:
                           if not codes.use_prefix_code else PREFIX_MAX_BITS)
     if codes.use_prefix_code:
         for lengths in codes.prefix_lengths:
-            n = len(np.trim_zeros(np.asarray(lengths), trim="b"))
+            n = len(_trim_back(np.asarray(lengths)))
             encode_varlen_uint16(w, max(n, 1) - 1)
         for lengths in codes.prefix_lengths:
-            n = len(np.trim_zeros(np.asarray(lengths), trim="b"))
+            n = len(_trim_back(np.asarray(lengths)))
             if n > 1:
                 write_prefix_code(w, np.asarray(lengths)[:n])
     else:
@@ -872,7 +891,7 @@ def build_entropy_codes_from_histogram(hist: np.ndarray
     codes.num_histograms = 1
     codes.uint_configs = [HybridUintConfig(4, 2, 0)]
     codes.log_alpha_size = 8
-    h = np.trim_zeros(np.asarray(hist, dtype=np.int64), trim="b")
+    h = _trim_back(np.asarray(hist, dtype=np.int64))
     if h.size == 0:
         h = np.array([1], dtype=np.int64)
     norm = normalize_counts(h)
@@ -954,7 +973,7 @@ def build_prefix_codes_from_histogram(hist: np.ndarray
     codes.num_histograms = 1
     codes.uint_configs = [HybridUintConfig(4, 2, 0)]
     codes.log_alpha_size = PREFIX_MAX_BITS
-    h = np.trim_zeros(np.asarray(hist, dtype=np.int64), trim="b")
+    h = _trim_back(np.asarray(hist, dtype=np.int64))
     if h.size == 0:
         h = np.array([1], dtype=np.int64)
     lengths = build_prefix_lengths(h)

@@ -79,7 +79,10 @@ def _grids_jit(xyb, raw_quant, tables, strategies: tuple,
         out.append(strategy_rate_loss(
             xyb, raw_quant, tables[i], scale, int(s), mask1x1,
             distance, xp=jnp))
-    return tuple(out)
+    # ONE flat payload: 2*len(strategies) separate fetches each pay the
+    # ~25 ms relay latency; the grids are tiny (< 200 KB total)
+    return jnp.concatenate([g.reshape(-1)
+                            for pair in out for g in pair])
 
 
 def acs_grids_device(xyb_dev, raw_quant: np.ndarray, matrices,
@@ -88,13 +91,24 @@ def acs_grids_device(xyb_dev, raw_quant: np.ndarray, matrices,
     """Compute the per-strategy (rate, loss) grids on device; returns
     {strategy: (rate, loss) np grids} for choose_acs's merge pass
     (same xp-generic 3-channel cost as the host:
-    enc_acs.strategy_rate_loss)."""
+    enc_acs.strategy_rate_loss). All grids ride ONE d2h payload."""
     tables = tuple(
         tuple(jnp.asarray(matrices.table_for_strategy(s)[c].reshape(-1),
                           jnp.float32) for c in range(3))
         for s in strategies)
-    grids = _grids_jit(xyb_dev, jnp.asarray(raw_quant), tables,
-                       tuple(int(s) for s in strategies),
-                       float(quantizer.scale), float(distance))
-    return {int(s): (np.asarray(r, np.float64), np.asarray(l, np.float64))
-            for s, (r, l) in zip(strategies, grids)}
+    flat = np.asarray(_grids_jit(
+        xyb_dev, jnp.asarray(raw_quant), tables,
+        tuple(int(s) for s in strategies),
+        float(quantizer.scale), float(distance)), np.float64)
+    yb8, xb8 = raw_quant.shape
+    out = {}
+    off = 0
+    for s in strategies:
+        gy = yb8 // COVERED_Y[s]
+        gx = xb8 // COVERED_X[s]
+        n = gy * gx
+        rate = flat[off:off + n].reshape(gy, gx)
+        loss = flat[off + n:off + 2 * n].reshape(gy, gx)
+        off += 2 * n
+        out[int(s)] = (rate, loss)
+    return out

@@ -167,21 +167,28 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
         a32 = a.astype(jnp.int32).reshape(-1)
         return jax.lax.bitcast_convert_type(a32, jnp.uint8).reshape(-1)
 
-    # link format: SPARSE (idx, val) compaction of the quantized AC —
-    # at normal distances ~99% of entries are zero, so this is ~10x
-    # less wire than even an int8 plane; the dense plane rides as a
-    # second output that stays in HBM unless the cap overflows
+    # link format: per-(block, channel) nonzero COUNTS (u8) + one u16
+    # per nonzero (in-block position << 10 | zigzag value) — the flat
+    # index is recoverable from the counts, so this is ~2.5x less wire
+    # than (i32 idx, i16 val) pairs. Values outside [-512, 511] (or a
+    # count overflowing the cap) flip the dense fallback, which stays
+    # in HBM unless needed
     flat = q_ac.reshape(-1)
+    nzmask = flat != 0
     cap = _nnz_cap(yb, xb)
-    nz_idx = jnp.nonzero(flat != 0, size=cap,
-                         fill_value=-1)[0].astype(jnp.int32)
-    nz_val = jnp.where(nz_idx >= 0, flat[jnp.maximum(nz_idx, 0)],
-                       0).astype(jnp.int16)
-    n_nz = jnp.sum(flat != 0).astype(jnp.int32)
+    nz_idx = jnp.nonzero(nzmask, size=cap, fill_value=-1)[0]
+    nz_val = jnp.where(nz_idx >= 0, flat[jnp.maximum(nz_idx, 0)], 0)
+    zig = jnp.where(nz_val >= 0, nz_val * 2, -nz_val * 2 - 1)
+    n_nz = jnp.sum(nzmask).astype(jnp.int32)
+    overflow = (jnp.max(zig) > 1023) | (n_nz > cap)
+    n_signal = jnp.where(overflow, jnp.int32(cap + 1), n_nz)
+    u16 = (((nz_idx & 63) << 10) |
+           jnp.minimum(zig, 1023)).astype(jnp.uint16)
+    counts = jnp.sum(nzmask.reshape(-1, 64), axis=1).astype(jnp.uint8)
     packed = jnp.concatenate([
-        as_bytes(n_nz.reshape(1)), as_bytes(q_dc),
-        as_bytes(ytox), as_bytes(ytob), as_bytes(nz_idx),
-        jax.lax.bitcast_convert_type(nz_val, jnp.uint8).reshape(-1)])
+        as_bytes(n_signal.reshape(1)), as_bytes(q_dc),
+        as_bytes(ytox), as_bytes(ytob), counts,
+        jax.lax.bitcast_convert_type(u16, jnp.uint8).reshape(-1)])
     dense16 = jnp.clip(q_ac, -32768, 32767).reshape(-1).astype(jnp.int16)
     return packed, dense16
 
@@ -248,10 +255,10 @@ def encode_lossy_frame_device_sharded(pixels: np.ndarray,
 
 
 def _nnz_cap(yb: int, xb: int) -> int:
-    """Sparse-payload capacity: ~4 nonzero AC coefficients per block
+    """Sparse-payload capacity: ~3 nonzero AC coefficients per block
     covers normal-distance content with slack (measured ~1/block at
     d1.0); overflow falls back to fetching the dense int16 plane."""
-    return max(16384, yb * xb * 4)
+    return max(16384, yb * xb * 3)
 
 
 def unpack_lossy_outputs(packed, dense16, yb: int, xb: int, ty_n: int,
@@ -262,27 +269,32 @@ def unpack_lossy_outputs(packed, dense16, yb: int, xb: int, ty_n: int,
     overflowed its capacity."""
     buf = np.asarray(packed)
     nq = yb * xb * 3 * 64
+    nbc = yb * xb * 3
     cap = _nnz_cap(yb, xb)
     off = 0
     n_nz = int(buf[off:off + 4].view(np.int32)[0])
     off += 4
-    q_dc = buf[off:off + 4 * yb * xb * 3].view(np.int32) \
+    q_dc = buf[off:off + 4 * nbc].view(np.int32) \
         .reshape(yb, xb, 3).copy()
-    off += 4 * yb * xb * 3
+    off += 4 * nbc
     ytox = buf[off:off + 4 * ty_n * tx_n].view(np.int32) \
         .reshape(ty_n, tx_n).copy()
     off += 4 * ty_n * tx_n
     ytob = buf[off:off + 4 * ty_n * tx_n].view(np.int32) \
         .reshape(ty_n, tx_n).copy()
     off += 4 * ty_n * tx_n
-    if n_nz > cap:
+    if n_nz > cap:     # value or capacity overflow: dense fallback
         q = np.asarray(dense16).astype(np.int32)
     else:
-        nz_idx = buf[off:off + 4 * cap].view(np.int32)[:n_nz]
-        off += 4 * cap
-        nz_val = buf[off:off + 2 * cap].view(np.int16)[:n_nz]
+        counts = buf[off:off + nbc].astype(np.int64)
+        off += nbc
+        u16 = buf[off:off + 2 * cap].view(np.uint16)[:n_nz] \
+            .astype(np.int64)
+        blockch = np.repeat(np.arange(nbc, dtype=np.int64), counts)
+        zig = u16 & 1023
+        val = np.where(zig & 1, -((zig + 1) >> 1), zig >> 1)
         q = np.zeros(nq, np.int32)
-        q[nz_idx] = nz_val
+        q[blockch * 64 + (u16 >> 10)] = val
     return q.reshape(yb, xb, 3, 64), q_dc, ytox, ytob
 
 

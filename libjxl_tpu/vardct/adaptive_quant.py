@@ -172,12 +172,27 @@ def adaptive_quant_field(xyb, distance: float, rescale: float = 1.0,
 
 
 def initial_quant_dc(distance: float) -> float:
-    """(enc_adaptive_quantization.cc:1250-1263)."""
-    k_dc_mul = 0.3
-    target_dc = max(0.5 * distance,
-                    min(distance,
-                        k_dc_mul * ((distance / k_dc_mul) ** K_DC_QUANT_POW)))
-    return min(K_DC_QUANT / target_dc, 50.0)
+    """DC quant level (enc_adaptive_quantization.cc:1250-1263 shape),
+    CALIBRATED against the system libjxl's effective DC quant
+    (quant_dc_int * global_scale / 2^16, measured over d in [0.1, 4],
+    round-4 notes): qdc = 1.12/d up to d=2 with a measured knee at
+    d in (2, 4]. The reference-tree formula lands ~1.37x finer at d=2,
+    which bloated smooth-gradient DC streams ~40% (sky +30% BD-rate)."""
+    d = max(distance, 1e-4)
+    if d <= 2.0:
+        return min(1.12 / d, 50.0)
+    # measured knee: qdc(3) = 0.3787, qdc(4) = 0.3215; log-log interp,
+    # reference 0.83-power tail beyond the last measured point
+    import math
+    pts = ((2.0, 0.56), (3.0, 0.3787), (4.0, 0.3215))
+    if d >= 4.0:
+        return 0.3215 * (4.0 / d) ** K_DC_QUANT_POW
+    for (d0, q0), (d1, q1) in zip(pts, pts[1:]):
+        if d <= d1:
+            t = (math.log(d) - math.log(d0)) / \
+                (math.log(d1) - math.log(d0))
+            return math.exp(math.log(q0) * (1 - t) + math.log(q1) * t)
+    return 0.3215
 
 
 def compute_scale_from_quant(quant_dc: float, quant_ac: float,

@@ -269,12 +269,23 @@ def choose_acs(xyb_planes: np.ndarray, raw_quant: np.ndarray, matrices,
     # hand-tuned in the reference against ringing next to sky; without
     # them the entropy estimate systematically over-merges into large
     # DCTs (seen as +80% BD-rate on multi-group photos, round 4).
-    # Engaged only for multi-group ("heterogeneous") frames: on single
-    # 256px tiles the unmultiplied estimator is better calibrated
-    # (corpus mean -3.6% r3) while mixed-content large frames need the
-    # guards (+82% -> +37% on a collage).
+    # Engaged for multi-group frames (r4 calibration: large textures
+    # over-merge without them, large_wood +6 -> +19 measured) and for
+    # SYNTHETIC-EDGE content at any size (graphics, screenshots):
+    # median |dY/dx| is near 0 there (flat fills dominate, even after
+    # gaborish sharpening) with a heavy hard-step tail, and the
+    # unguarded estimator merges across those edges (+23% BD on
+    # graphics). Small photographic tiles keep the r3-calibrated
+    # unmultiplied estimator (which the multipliers over-fragment:
+    # photo_face -6.7 -> +2.1 measured r4).
     if heterogeneous is None:
-        heterogeneous = min(xyb_planes.shape[1:]) > 256
+        if min(xyb_planes.shape[1:]) > 256:
+            heterogeneous = True
+        else:
+            gx = np.abs(np.diff(np.asarray(xyb_planes[1], np.float32),
+                                axis=1))
+            heterogeneous = (float(np.median(gx)) < 5e-3 and
+                             float((gx > 0.25).mean()) > 0.02)
     if heterogeneous:
         mul8x8 = 1.0 - 0.4 / (distance + 1.4)
         MUL16X8 = 1.21
@@ -289,7 +300,15 @@ def choose_acs(xyb_planes: np.ndarray, raw_quant: np.ndarray, matrices,
         loss_w = 0.0
     xyb64 = np.asarray(xyb_planes, np.float64)
     y_plane = xyb64[1]
-    mask1x1 = compute_mask1x1(y_plane)
+    # mask1x1 is only needed for host grid-cache misses; when the
+    # device program supplied every strategy's grids (e5+ serving
+    # path), computing it here costs ~0.5 s/MP for nothing
+    _mask_cell: list = []
+
+    def _mask():
+        if not _mask_cell:
+            _mask_cell.append(compute_mask1x1(y_plane))
+        return _mask_cell[0]
 
     grid_cache = dict(grids) if grids else {}
 
@@ -303,7 +322,7 @@ def choose_acs(xyb_planes: np.ndarray, raw_quant: np.ndarray, matrices,
             g = grid_cache[strategy] = strategy_rate_loss(
                 xyb64, raw_quant,
                 tuple(t[c].reshape(-1) for c in range(3)),
-                quantizer.scale, strategy, mask1x1, distance)
+                quantizer.scale, strategy, _mask(), distance)
         rate, loss = g
         nby, nbx = COVERED_Y[strategy], COVERED_X[strategy]
         if rate.size == 0:

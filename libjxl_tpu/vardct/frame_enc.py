@@ -318,8 +318,11 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         xyb_p = np.asarray(xyb_p_d, np.float64)
         xyb_pre_gab = None          # AQ field already computed on device
         if aux is not None:
-            aux["opsin"] = np.asarray(pre_gab_d,
-                                      np.float64)[:, :h, :w].copy()
+            # keep the DEVICE handle: every consumer (EPF candidate
+            # search, resampled-loop scoring) either jnp.asarrays it or
+            # fetches on demand — the eager ~9 MB f64 pull cost ~300 ms
+            # of relay per e7 encode
+            aux["opsin"] = pre_gab_d[:, :h, :w]
             aux["xyb_cache"] = (xyb_p, xyb_pre_gab)
             aux["dev_qf"] = dev_qf
             aux["y_plane_dev"] = xyb_p_d
@@ -456,13 +459,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 jnp.asarray(np.asarray(mul_dc), jnp.float32),
                 h=h, w=w, yb=yb, xb=xb, x_qm_mul=x_qm_mul)
             if options._dispatch_only:
-                # serving mode: return the in-flight device handles; the
-                # caller collects later with _predispatched (the fetch
-                # starts now so the link overlaps other images' host
-                # work). dense16 stays in HBM: it only crosses the link
-                # if the sparse payload overflowed (~never at d>=0.5),
-                # and it is ~15x the sparse payload's bytes.
-                packed.copy_to_host_async()
+                # serving mode: return the in-flight device handles;
+                # encode_lossy_many coalesces the packed payloads into
+                # one stacked fetch (or starts per-image async fetches
+                # when shapes differ). dense16 stays in HBM: it only
+                # crosses the link if the sparse payload overflowed
+                # (~never at d>=0.5), and it is ~15x the sparse bytes.
                 return packed, dense16
             q_ac, q_dc, ytox_map, ytob_map = unpack_lossy_outputs(
                 packed, dense16, yb, xb, cdiv(yb, 8), cdiv(xb, 8))
@@ -1465,6 +1467,24 @@ def encode_lossy_many(images, options: LossyOptions | None = None,
         disp = copy.copy(options)
         disp._dispatch_only = True
         pending = [encode_lossy(im, disp) for im in images]
+        # single-fetch coalesce: stack same-shape packed payloads on
+        # device and pull ONE array — each separate d2h pays ~25 ms
+        # fixed relay latency, so K fetches -> 1 is the big win on the
+        # serving path (the per-image dense16 fallback stays in HBM)
+        try:
+            import jax.numpy as jnp
+            shapes = {tuple(p[0].shape) for p in pending
+                      if hasattr(p[0], "shape")}
+            if len(shapes) == 1 and len(pending) > 1:
+                stacked = np.asarray(jnp.stack([p[0] for p in pending]))
+                pending = [(stacked[i], p[1])
+                           for i, p in enumerate(pending)]
+            else:
+                for p in pending:
+                    if hasattr(p[0], "copy_to_host_async"):
+                        p[0].copy_to_host_async()
+        except Exception:  # noqa: BLE001  (host-only arrays)
+            pass
 
         def _finish(args):
             im, p = args

@@ -35,10 +35,12 @@ def main():
     opts = LossyOptions(distance=1.0, effort=3, use_device=True)
     encode_lossy(imgs[0], opts)  # warm
 
-    # total
-    t0 = time.perf_counter()
-    encode_lossy_many(imgs, opts)
-    total = time.perf_counter() - t0
+    # total (best of 2: first pass may compile the stacked-fetch program)
+    total = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        encode_lossy_many(imgs, opts)
+        total = min(total, time.perf_counter() - t0)
     print(f"total encode_lossy_many 8x0.786MP: {total*1000:.1f} ms "
           f"-> {8*0.786432/total:.2f} MP/s")
 
