@@ -108,6 +108,34 @@ def bench_device_encode() -> float:
     return round(n * n_img * 1.048576 / dt, 1)
 
 
+def bench_encode_host_splice() -> float:
+    """Lossless encode HOST stage alone (VERDICT r3 item 3): header
+    emit + native per-group stream splice on pre-fetched pack words —
+    no device dispatch, no relay. Decomposes the e2e axis: projected
+    PCIe-host rate = 1/(1/host + 1/device_encode) with the two stages
+    overlapped across a serving batch."""
+    from libjxl_tpu.api.encoder import (
+        EncodeOptions, _prefix_assemble, _prefix_pass1, _prefix_pass2,
+    )
+
+    imgs = [make_image(200 + s) for s in range(8)]
+    opts = EncodeOptions(use_device=True, entropy="prefix-device")
+    st = _prefix_pass2(_prefix_pass1(None, opts, batch=imgs))
+    # pre-fetch every device-resident piece so the timed splice is
+    # pure host work
+    st["words_slices"] = [np.asarray(s) for s in st["words_slices"]]
+    if st.get("chunk_bits_dev") is not None:
+        st["chunk_bits_dev"] = np.asarray(st["chunk_bits_dev"])
+    outs = _prefix_assemble(st)
+    assert all(len(o) > 0 for o in outs)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _prefix_assemble(st)
+        dt = min(dt, time.perf_counter() - t0)
+    return round(8 * 1.048576 / dt, 1)
+
+
 def _tpu_healthy(timeout_s: int = 90) -> bool:
     """Probe the device in a SUBPROCESS: a dead axon relay hangs any
     in-process jax call uninterruptibly, which would hang the whole
@@ -199,12 +227,28 @@ def measure() -> dict:
         except Exception:  # noqa: BLE001
             pass
     try:
+        extra["encode_host_splice_mpps"] = bench_encode_host_splice()
+        _save_cache(record)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
         from bench_decode import (
             bench_decode_device_mpps, bench_decode_e7_mpps,
-            bench_decode_mpps,
+            bench_decode_host_entropy_mpps, bench_decode_mpps,
+            bench_relay_overhead,
         )
         extra["decode_mpps"] = bench_decode_mpps()
         extra["decode_device_mpps"] = bench_decode_device_mpps()
+        _save_cache(record)
+        extra["decode_host_entropy_mpps"] = \
+            bench_decode_host_entropy_mpps()
+        extra.update(bench_relay_overhead())
+        # serving decode overlaps host entropy and device recon across
+        # the batch; on a PCIe host (no relay) the slower stage is the
+        # wall
+        h, d = extra["decode_host_entropy_mpps"], \
+            extra["decode_device_mpps"]
+        extra["decode_projected_pcie_mpps"] = round(min(h, d), 1)
         _save_cache(record)
         extra["decode_e7_mpps"] = bench_decode_e7_mpps()
         _save_cache(record)

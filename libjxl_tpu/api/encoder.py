@@ -62,6 +62,16 @@ class EncodeOptions:
     distance: float = 0.0          # >0: LOSSY modular — squeeze-residual
                                    # quantization (cjxl -m -d N;
                                    # enc_modular.cc QuantizeChannel)
+    faster_decoding: int = 0       # decoding-speed tier: >= 2 drops to
+                                   # 128px groups so the decoder's group
+                                   # parallelism quadruples
+                                   # (enc_frame.cc GetGroupSizeShift)
+
+    def __post_init__(self):
+        if self.faster_decoding >= 2 or (
+                self.faster_decoding >= 1 and self.squeeze and
+                self.distance == 0.0):
+            self.group_size_shift = 0
 
 
 def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
@@ -100,14 +110,16 @@ def encode_lossless(pixels: np.ndarray,
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
-    if options.effort >= 7 and _try_both_palette:
-        # high-effort candidate product (enc_ans.cc kOptimal spirit):
-        # the learned-tree encode competes against the pure-LZ77 Zero-
-        # predictor mode ("No predictor requires LZ77",
-        # enc_ans.cc:1372-1380) — raw sample sequences repeat exactly
-        # on tiled/screenshot content where prediction residuals break
-        # at tile seams — and, at e9, against palette on/off; the
-        # smallest stream wins.
+    if options.effort >= 5 and _try_both_palette:
+        # candidate product (enc_ans.cc kOptimal spirit): the learned-
+        # tree encode competes against the pure-LZ77 Zero-predictor
+        # mode ("No predictor requires LZ77", enc_ans.cc:1372-1380) —
+        # raw sample sequences repeat exactly on tiled/screenshot
+        # content where prediction residuals break at tile seams — and,
+        # at e9, against palette on/off; the smallest stream wins. The
+        # zero-tree candidate runs from e5: it costs ~2% of the learned
+        # encode (no tree learning) and wins 3x on screenshots
+        # (measured r4: 8431 -> 2760 B vs libjxl e5's 6560).
         import dataclasses
         cands = [options, dataclasses.replace(options, _zero_tree=True)]
         if options.effort >= 9 and options.palette:

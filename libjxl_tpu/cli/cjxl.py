@@ -56,6 +56,40 @@ def main(argv=None) -> int:
                    help="decoding-speed tier 0-4: trade density for "
                         "faster decode (fewer filter passes, capped "
                         "histograms)")
+    p.add_argument("--epf", type=int, default=-1, choices=(-1, 0, 1, 2, 3),
+                   help="force the edge-preserving-filter iteration "
+                        "count (-1 = auto from distance)")
+    p.add_argument("--gaborish", type=int, default=-1,
+                   choices=(-1, 0, 1),
+                   help="force gaborish smoothing on/off (-1 = auto)")
+    p.add_argument("--dots", type=int, default=-1, choices=(-1, 0, 1),
+                   help="force dot detection on/off (-1 = auto at "
+                        "low quality)")
+    p.add_argument("--group_order", type=int, default=0, choices=(0, 1),
+                   help="1: write sections center-first with a "
+                        "permuted TOC (progressive-friendly order)")
+    p.add_argument("--center_x", type=int, default=-1,
+                   help="--group_order center x (-1 = frame center)")
+    p.add_argument("--center_y", type=int, default=-1,
+                   help="--group_order center y (-1 = frame center)")
+    p.add_argument("-x", "--dec-hints", action="append", default=[],
+                   metavar="key=value",
+                   help="input hints, e.g. -x color_space="
+                        "RGB_D65_SRG_Rel_Lin (color_description.cc "
+                        "format)")
+    p.add_argument("--override_bitdepth", type=int, default=0,
+                   help="sign the stream with this bit depth instead "
+                        "of the input's (0 = keep)")
+    p.add_argument("--brotli_effort", type=int, default=9,
+                   help="brotli quality 0-11 for brotli-coded payloads "
+                        "(JPEG metadata, Exif)")
+    p.add_argument("--streaming_output", action="store_true",
+                   help="lossless: emit via the spec streaming encoder "
+                        "(DC-group-major permuted TOC, bounded memory)")
+    p.add_argument("--ec_resampling", type=int, default=1,
+                   choices=(1, 2, 4, 8),
+                   help="encode extra channels (alpha) at 1/r scale "
+                        "(requires -r; decoder upsamples)")
     p.add_argument("--num_threads", type=int, default=0,
                    help="host worker threads for per-group work "
                         "(0 = auto)")
@@ -83,6 +117,19 @@ def main(argv=None) -> int:
             ThreadRunner, set_default_runner,
         )
         set_default_runner(ThreadRunner(args.num_threads))
+    if args.brotli_effort != 9:
+        from libjxl_tpu.utils import brotli
+        brotli.set_default_quality(args.brotli_effort)
+    color_encoding = None
+    for hint in args.dec_hints:
+        key, _, val = hint.partition("=")
+        if key == "color_space":
+            from libjxl_tpu.extras.color_description import (
+                parse_color_description,
+            )
+            color_encoding = parse_color_description(val)
+        else:
+            p.error(f"unknown -x hint {key!r} (supported: color_space)")
 
     # JPEG input defaults to lossless recompression (cjxl_main.cc behavior)
     with open(args.input, "rb") as f:
@@ -136,13 +183,26 @@ def main(argv=None) -> int:
             return 0
 
     img = load_image(args.input)
+    if args.override_bitdepth:
+        if args.override_bitdepth > 8 and img.dtype == "uint8":
+            img = img.astype("uint16") << (args.override_bitdepth - 8)
+        # samples are reinterpreted at the signaled depth
+        # (cjxl_main.cc --override_bitdepth semantics)
     t0 = time.perf_counter()
     if args.lossless or args.distance == 0 or args.modular:
         from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
-        data = encode_lossless(img, EncodeOptions(
+        eo = EncodeOptions(
             effort=args.effort, use_device=args.device,
+            faster_decoding=args.faster_decoding,
             distance=0.0 if (args.lossless or args.distance == 0)
-            else args.distance))
+            else args.distance)
+        if color_encoding is not None:
+            eo.color_encoding = color_encoding
+        if args.streaming_output:
+            from libjxl_tpu.api.encoder import encode_lossless_streaming
+            data = b"".join(encode_lossless_streaming(img, eo))
+        else:
+            data = encode_lossless(img, eo)
     else:
         from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
         lo = LossyOptions(
@@ -152,11 +212,21 @@ def main(argv=None) -> int:
             photon_noise_iso=args.photon_noise_iso,
             faster_decoding=args.faster_decoding,
             progressive=args.progressive,
-            progressive_dc=args.progressive_dc)
+            progressive_dc=args.progressive_dc,
+            epf=args.epf, gaborish=args.gaborish,
+            group_order=args.group_order,
+            center_x=args.center_x, center_y=args.center_y,
+            ec_resampling=args.ec_resampling)
+        if color_encoding is not None:
+            lo.color_encoding = color_encoding
         if args.noise == 1:
             lo.noise = "auto"
         if args.patches == 0:
             lo.patches = False
+        if args.dots == 0:
+            lo.dots = False
+        elif args.dots == 1:
+            lo.dots = True
         data = encode_lossy(img, lo)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:

@@ -32,6 +32,10 @@ class RuntimeConfig:
     # (row bands + ppermute halo exchange, parallel/shard_filters.py);
     # output is bit-identical to the single-device filters.
     shard_decode: bool = False
+    # decode() switches to the banded low-memory decoder above this
+    # many pixels (low_memory_render_pipeline.cc spirit): pixel
+    # intermediates stay bounded by ~3 group rows. 64 MP default.
+    auto_band_pixels: int = 64 << 20
 
 
 config = RuntimeConfig()

@@ -40,7 +40,19 @@ def available() -> bool:
     return _enc is not None and _dec is not None
 
 
-def compress(data: bytes, quality: int = 9) -> bytes:
+_default_quality = 9
+
+
+def set_default_quality(q: int) -> None:
+    """cjxl --brotli_effort (0-11): quality for brotli-coded payloads
+    (jbrd JPEG metadata, compressed ICC)."""
+    global _default_quality
+    _default_quality = max(0, min(11, int(q)))
+
+
+def compress(data: bytes, quality: int | None = None) -> bytes:
+    if quality is None:
+        quality = _default_quality
     _load()
     if _enc is None:
         raise RuntimeError("brotli encoder unavailable")

@@ -46,6 +46,9 @@ from libjxl_tpu.color.xyb import linear_to_xyb, srgb_to_linear
 class LossyOptions:
     distance: float = 1.0
     effort: int = 3
+    ec_resampling: int = 1       # extra channels at 1/r (cjxl
+                                 # --ec_resampling; must equal
+                                 # resampling when both are set)
     resampling: int = 0          # 1/2/4/8 encode at 1/r scale + signal
                                  # upsampling; 0 = auto (2x at d>=10 with
                                  # the reference's distance adjustment,
@@ -64,6 +67,18 @@ class LossyOptions:
     splines = None               # render.splines.Splines to embed
     patches = None               # None=auto (detect at effort>=7),
                                  # False=off (enc_patch_dictionary.cc)
+    dots = None                  # None=auto (with patches at d>=3),
+                                 # False=off, True=force
+                                 # (enc_dot_dictionary.cc / cjxl --dots)
+    epf: int = -1                # -1=auto from distance; 0-3 force the
+                                 # EPF iteration count (cjxl --epf)
+    gaborish: int = -1           # -1=auto (on at e>=5); 0/1 force
+                                 # (cjxl --gaborish)
+    group_order: int = 0         # 1: center-first section order via a
+                                 # permuted TOC (cjxl --group_order;
+                                 # enc_frame.cc PermuteGlobalTOC)
+    center_x: int = -1           # --center_x/--center_y: group-order
+    center_y: int = -1           # center (-1 = frame center)
     noise = None                 # 8-entry strength LUT, or "auto" to
                                  # estimate from the image (enc_noise.cc)
     photon_noise_iso: float = 0.0  # >0: synthesize the grain a 35mm
@@ -162,8 +177,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             d = d * 0.25 + 0.25
     elif resample not in (1, 2, 4, 8):
         raise ValueError("resampling must be 1, 2, 4 or 8")
+    ec_resample = int(getattr(options, "ec_resampling", 1) or 1)
     if resample > 1 and alpha is not None:
-        raise ValueError("resampling with extra channels not supported")
+        if ec_resample != resample:
+            raise ValueError(
+                "resampling with extra channels needs ec_resampling == "
+                "resampling (pass --ec_resampling; independent EC scales "
+                "are not supported)")
+        # encode alpha at 1/r too and signal extra_channel_upsampling
+        # (enc_frame.cc DownsampleImage on extra channels)
+        from libjxl_tpu.render.enc_downsample import downsample_box
+        alpha = np.rint(downsample_box(alpha.astype(np.float64),
+                                       resample)).astype(np.int32)
     float_samples = False
     if pixels.dtype == np.uint16:
         bits_per_sample = 16
@@ -274,9 +299,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             subtract_patches,
         )
         found = find_text_like_patches(np.asarray(xyb, np.float32))
-        if d >= 3.0:
+        if options.dots is True or (options.dots is None and d >= 3.0):
             # dots only pay off at low quality (enc_params.h:194
-            # kMinButteraugliForDots; enc_dot_dictionary.cc:44)
+            # kMinButteraugliForDots; enc_dot_dictionary.cc:44) unless
+            # forced (cjxl --dots 1)
             from libjxl_tpu.render.enc_dots import find_dots
             found.extend(find_dots(xyb))
         if found:
@@ -297,6 +323,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     # (enc_heuristics.cc:1134-1144; LoopFilterFromParams)
     use_gab = (options.effort >= 5 and d > 0.5 and
                options.faster_decoding < 4)
+    if options.gaborish >= 0:            # cjxl --gaborish 0/1 override
+        use_gab = bool(options.gaborish)
     aux = options._aux
     dev_qf = None
     if use_dev:
@@ -660,7 +688,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             raw_quant=raw_quant, acs=acs_map, anchors=acs_anchors,
             ytox=ytox_map, ytob=ytob_map, x_qm_scale=x_qm_scale,
             gab=use_gab,
-            epf_iters=_epf_iters_for(d, options.faster_decoding),
+            epf_iters=(options.epf if options.epf >= 0 else
+                       _epf_iters_for(d, options.faster_decoding)),
             fd=fd, sharpness=options._sharpness_field,
             has_features=(patches_dict is not None or
                           options.splines is not None or
@@ -832,6 +861,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     fh = FrameHeader(encoding=FrameEncoding.VARDCT,
                      color_transform=ColorTransform.XYB)
     fh.upsampling = resample
+    if alpha is not None and resample > 1:
+        fh.extra_channel_upsampling = (ec_resample,)
     fh.is_last = options._is_last
     fh.animation_frame.duration = options._duration
     from libjxl_tpu.core.frame_header import FrameFlags
@@ -851,7 +882,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     fh.loop_filter.gab = use_gab
     # EPF iterations from distance (enc_frame.cc:333-342): 3 passes
     # (incl. EPF0's 5x5 diamond) from d >= 4
-    fh.loop_filter.epf_iters = _epf_iters_for(d, options.faster_decoding)
+    fh.loop_filter.epf_iters = options.epf if options.epf >= 0 \
+        else _epf_iters_for(d, options.faster_decoding)
     meta.nonserialized_xsize = full_w
     meta.nonserialized_ysize = full_h
     fh.visit(FieldWriter(bw), meta)
@@ -1071,7 +1103,41 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                     (lambda sw, g=g, p=p: ac_group(sw, g, p), "ac")))
 
     toc0 = bw.bits_written
-    write_toc(bw, [len(s) for s in sections])
+    if options.group_order == 1 and len(sections) > 1:
+        # center-first section order (cjxl --group_order/--center_*;
+        # enc_frame.cc PermuteGlobalTOC): globals stay first, DC and AC
+        # group sections are laid out by distance of the group center
+        # from the requested point; the Lehmer-coded TOC permutation
+        # maps the decoder back to spec order
+        cx = options.center_x if options.center_x >= 0 else w // 2
+        cy = options.center_y if options.center_y >= 0 else h // 2
+
+        def center_order(n_groups, gdim, xsg):
+            def dist(g):
+                gx_, gy_ = g % xsg, g // xsg
+                mx = min(max(cx, gx_ * gdim), gx_ * gdim + gdim - 1)
+                my = min(max(cy, gy_ * gdim), gy_ * gdim + gdim - 1)
+                return (mx - cx) ** 2 + (my - cy) ** 2
+            return sorted(range(n_groups), key=dist)
+
+        dc_ord = center_order(fd.num_dc_groups, fd.group_dim * 8,
+                              fd.xsize_dc_groups)
+        ac_ord = center_order(fd.num_groups, fd.group_dim,
+                              fd.xsize_groups)
+        file_logical = [0] + [1 + g for g in dc_ord] + \
+            [1 + fd.num_dc_groups]
+        base = 2 + fd.num_dc_groups
+        for p_ in range(num_passes):
+            file_logical += [base + p_ * fd.num_groups + g
+                             for g in ac_ord]
+        perm = np.zeros(len(sections), np.int64)
+        for pos, logical in enumerate(file_logical):
+            perm[logical] = pos
+        sections = [sections[i] for i in file_logical]
+        from libjxl_tpu.core.toc import write_toc_permuted
+        write_toc_permuted(bw, [len(s) for s in sections], perm)
+    else:
+        write_toc(bw, [len(s) for s in sections])
     if _stats.active() is not None:
         from libjxl_tpu.vardct.ac_strategy import NAMES as _ACS_NAMES
         _stats.record("toc", bw.bits_written - toc0)
@@ -1121,6 +1187,30 @@ def _tile_dist_map(diffmap: np.ndarray, acs: np.ndarray,
     return out
 
 
+def _prelearn_dc_trees(state: dict, aux: dict, effort: int) -> None:
+    """Learn the DC-group MA trees DURING the butteraugli loop: the
+    quantized DC never changes across iterations (the field only steers
+    AC), so the ~0.7 s/MP tree learn runs concurrently with the device
+    loop steps instead of serializing into the final emit (which reads
+    aux["dc_trees"] as its cache)."""
+    fd = state["fd"]
+    q_dc = state["q_dc"]
+    yb, xb = fd.ysize_blocks, fd.xsize_blocks
+    cache = aux.setdefault("dc_trees", {})
+    for g in range(fd.num_dc_groups):
+        gx = g % fd.xsize_dc_groups
+        gy = g // fd.xsize_dc_groups
+        x0, y0 = gx * fd.group_dim, gy * fd.group_dim
+        bwd = min(fd.group_dim, xb - x0)
+        bhd = min(fd.group_dim, yb - y0)
+        img = ModularImage(bwd, bhd, 32)
+        for src_c in (1, 0, 2):
+            img.channel.append(Channel(
+                q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
+        cache[g] = _dc_stream_tree(img, 1 + g, PREDICTOR_GRADIENT,
+                                   effort, kind="dc")
+
+
 def _encode_lossy_iterated(pixels: np.ndarray,
                            options: LossyOptions) -> bytes:
     """FindBestQuantization (enc_adaptive_quantization.cc:929-1115):
@@ -1163,6 +1253,15 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     state = aux.pop("recon_state")
     if state["has_features"]:
         return _encode_lossy_iterated_legacy(pixels, options, aux)
+    # DC trees learn concurrently with the loop (DC is field-invariant)
+    import threading
+    if options.effort >= 5 and not options.progressive_dc:
+        dc_learn = threading.Thread(
+            target=_prelearn_dc_trees, args=(state, aux, options.effort),
+            daemon=True)
+        dc_learn.start()
+    else:
+        dc_learn = None
     qf = aux["qf_field"].copy()
     init_qf = qf.copy()
     qf_ratio = max(init_qf.max() / max(init_qf.min(), 1e-9), 1.0)
@@ -1247,6 +1346,8 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     emit._in_iteration = True
     if field is not None:
         emit._sharpness_field = field
+    if dc_learn is not None:
+        dc_learn.join()       # emit reads aux["dc_trees"]
     return encode_lossy(pixels, emit)
 
 

