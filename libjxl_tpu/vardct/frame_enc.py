@@ -1187,30 +1187,6 @@ def _tile_dist_map(diffmap: np.ndarray, acs: np.ndarray,
     return out
 
 
-def _prelearn_dc_trees(state: dict, aux: dict, effort: int) -> None:
-    """Learn the DC-group MA trees DURING the butteraugli loop: the
-    quantized DC never changes across iterations (the field only steers
-    AC), so the ~0.7 s/MP tree learn runs concurrently with the device
-    loop steps instead of serializing into the final emit (which reads
-    aux["dc_trees"] as its cache)."""
-    fd = state["fd"]
-    q_dc = state["q_dc"]
-    yb, xb = fd.ysize_blocks, fd.xsize_blocks
-    cache = aux.setdefault("dc_trees", {})
-    for g in range(fd.num_dc_groups):
-        gx = g % fd.xsize_dc_groups
-        gy = g // fd.xsize_dc_groups
-        x0, y0 = gx * fd.group_dim, gy * fd.group_dim
-        bwd = min(fd.group_dim, xb - x0)
-        bhd = min(fd.group_dim, yb - y0)
-        img = ModularImage(bwd, bhd, 32)
-        for src_c in (1, 0, 2):
-            img.channel.append(Channel(
-                q_dc[y0:y0 + bhd, x0:x0 + bwd, src_c].copy()))
-        cache[g] = _dc_stream_tree(img, 1 + g, PREDICTOR_GRADIENT,
-                                   effort, kind="dc")
-
-
 def _encode_lossy_iterated(pixels: np.ndarray,
                            options: LossyOptions) -> bytes:
     """FindBestQuantization (enc_adaptive_quantization.cc:929-1115):
@@ -1253,15 +1229,6 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     state = aux.pop("recon_state")
     if state["has_features"]:
         return _encode_lossy_iterated_legacy(pixels, options, aux)
-    # DC trees learn concurrently with the loop (DC is field-invariant)
-    import threading
-    if options.effort >= 5 and not options.progressive_dc:
-        dc_learn = threading.Thread(
-            target=_prelearn_dc_trees, args=(state, aux, options.effort),
-            daemon=True)
-        dc_learn.start()
-    else:
-        dc_learn = None
     qf = aux["qf_field"].copy()
     init_qf = qf.copy()
     qf_ratio = max(init_qf.max() / max(init_qf.min(), 1e-9), 1.0)
@@ -1346,8 +1313,6 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     emit._in_iteration = True
     if field is not None:
         emit._sharpness_field = field
-    if dc_learn is not None:
-        dc_learn.join()       # emit reads aux["dc_trees"]
     return encode_lossy(pixels, emit)
 
 
