@@ -399,7 +399,9 @@ def _modular_frame_bytes(pixels, options, meta,
     # WP mode search (enc_modular.cc:1525-1541: 2 presets at kitten e8,
     # 5 at tortoise e9+), signaled through the stream's WPHeader
     wp_header = GroupHeader().wp_header
-    if options.effort >= 8:
+    if options.effort >= 8 and not options._zero_tree:
+        # a Zero-predictor tree never evaluates WP: searching and
+        # signaling a custom WP header would only add header bytes
         from libjxl_tpu.modular.predict import (
             search_wp_mode, wp_mode_header,
         )
@@ -609,7 +611,10 @@ def _modular_frame_bytes(pixels, options, meta,
         mults = ([_mult([img.channel[i] for i in global_chans])]
                  + [_mult(s.channel) for s in dc_subs]
                  + [_mult(s.channel) for s in ac_subs])
-        if options.effort < 8 or options.effort >= 9:
+        if options.effort < 8 or options.effort >= 9 or options._zero_tree:
+            # the zero-tree candidate always competes RLE against the
+            # hash-chain search: its candidate set must be a superset of
+            # the e5 ladder's, or e8 can lose to e5 on run-heavy content
             lz = LZ77Params(enabled=True)
             t_arrs = [lz77_rle_transform(a, num_ctx, lz,
                                          distance_multiplier=1)

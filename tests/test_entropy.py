@@ -212,9 +212,15 @@ def test_lossless_e8_lz77_denser_on_repetitive(rng):
     img = np.concatenate(
         [np.concatenate([glyphs[g] for g in rng.integers(0, 8, 20)],
                         axis=1) for _ in range(12)], axis=0)
+    e2 = encode_lossless(img, EncodeOptions(effort=2, palette=0))
     e5 = encode_lossless(img, EncodeOptions(effort=5, palette=0))
     e8 = encode_lossless(img, EncodeOptions(effort=8, palette=0))
-    assert len(e8) < 0.5 * len(e5)   # e5: RLE-only LZ77, no candidates
+    # e5+ runs the pure-LZ77 zero-tree candidate, so e5 is already
+    # dense on tiled content; the invariants are (a) the e8 candidate
+    # set is a superset of e5's, so e8 never loses to e5, and (b) the
+    # LZ77 match search beats the e2 RLE-only path decisively.
+    assert len(e8) <= len(e5)
+    assert len(e8) < 0.5 * len(e2)
     dec = decode(e8)
     assert np.array_equal(dec, img)
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
