@@ -101,15 +101,71 @@ def _image_from_pixels(pixels: np.ndarray) -> tuple[ModularImage, int, int]:
     return img, bits, nch
 
 
+def _prepare_lossless_patches(pixels: np.ndarray, options):
+    """Patch dictionary for the lossless path (enc_modular.cc:710-717):
+    detect repeated text/glyph shapes, encode the integer diff atlas as
+    a REFERENCE_ONLY modular frame, subtract the occurrences from the
+    color planes. Returns (pdict, atlas_bytes, subtracted (h,w,c) int32)
+    or None."""
+    from libjxl_tpu.core.frame_header import FrameType
+    from libjxl_tpu.render.enc_patches import (
+        PATCH_FRAME_REF_ID, find_lossless_patches, subtract_patches_int,
+    )
+    num_extra = 1 if pixels.shape[2] in (2, 4) else 0
+    found = find_lossless_patches(pixels, num_extra)
+    if found is None:
+        return None
+    pdict, atlas_int = found
+    meta, _ = _modular_headers(pixels, options)
+    ah, aw = atlas_int.shape[1:]
+    bits = 16 if pixels.dtype == np.uint16 else 8
+    atlas_img = ModularImage(aw, ah, bits)
+    for c in range(3):
+        atlas_img.channel.append(Channel(atlas_int[c].copy(),
+                                         component=c))
+    for _ in range(num_extra):
+        # zero-filled placeholder extra channels (RoundtripPatchFrame:
+        # frame channel count must match the codestream metadata)
+        atlas_img.channel.append(Channel(np.zeros((ah, aw), np.int32)))
+
+    def customize(fh):
+        fh.frame_type = FrameType.REFERENCE_ONLY
+        fh.save_as_reference = PATCH_FRAME_REF_ID
+        fh.save_before_color_transform = True
+        fh.custom_size_or_origin = True
+        fh.frame_origin_x0 = fh.frame_origin_y0 = 0
+        fh.frame_xsize, fh.frame_ysize = aw, ah
+
+    import dataclasses
+    aopt = dataclasses.replace(options, preview=None, squeeze=False,
+                               distance=0.0, _zero_tree=False)
+    atlas_bytes = _modular_frame_bytes(atlas_img, aopt, meta,
+                                       is_last=False, customize=customize)
+    sub = np.moveaxis(pixels[:, :, :3], -1, 0).astype(np.int32)
+    subtract_patches_int(sub, pdict, atlas_int)
+    out = np.empty(pixels.shape[:2] + (pixels.shape[2],), np.int32)
+    out[:, :, :3] = np.moveaxis(sub, 0, -1)
+    if pixels.shape[2] > 3:
+        out[:, :, 3:] = pixels[:, :, 3:]
+    return pdict, atlas_bytes, out
+
+
 def encode_lossless(pixels: np.ndarray,
                     options: EncodeOptions | None = None, *,
-                    _try_both_palette: bool = True) -> bytes:
+                    _try_both_palette: bool = True,
+                    _patches=None) -> bytes:
     """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
     options = options or EncodeOptions()
     if options.use_device:
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
         return encode_lossless_device(pixels, options)
+    if (_patches is None and options.effort >= 5 and not options.squeeze
+            and getattr(options, "distance", 0.0) == 0
+            and isinstance(pixels, np.ndarray) and pixels.ndim == 3
+            and pixels.shape[2] >= 3
+            and pixels.dtype in (np.uint8, np.uint16)):
+        _patches = _prepare_lossless_patches(pixels, options) or False
     if options.effort >= 5 and _try_both_palette:
         # candidate product (enc_ans.cc kOptimal spirit): the learned-
         # tree encode competes against the pure-LZ77 Zero-predictor
@@ -133,21 +189,25 @@ def encode_lossless(pixels: np.ndarray,
             # winner with recording on
             with _stats.suppress():
                 outs = [encode_lossless(pixels, c,
-                                        _try_both_palette=False)
+                                        _try_both_palette=False,
+                                        _patches=_patches)
                         for c in cands]
             best = min(range(len(outs)), key=lambda i: len(outs[i]))
             return encode_lossless(pixels, cands[best],
-                                   _try_both_palette=False)
+                                   _try_both_palette=False,
+                                   _patches=_patches)
         if len(cands) > 1:
             # candidates are independent full encodes — thread them
             # (numpy + native release the GIL for most of the work)
             from libjxl_tpu.parallel.runner import default_runner
             outs = list(default_runner().map(
                 lambda c: encode_lossless(pixels, c,
-                                          _try_both_palette=False),
+                                          _try_both_palette=False,
+                                          _patches=_patches),
                 cands))
         else:
-            outs = [encode_lossless(pixels, c, _try_both_palette=False)
+            outs = [encode_lossless(pixels, c, _try_both_palette=False,
+                                    _patches=_patches)
                     for c in cands]
         return min(outs, key=len)
     meta, header_bytes = _modular_headers(pixels, options)
@@ -162,7 +222,17 @@ def encode_lossless(pixels: np.ndarray,
         popt = dataclasses.replace(options, preview=None, effort=2)
         out.extend(_modular_frame_bytes(np.asarray(options.preview),
                                         popt, meta, is_last=False))
-    out.extend(_modular_frame_bytes(pixels, options, meta))
+    if _patches:
+        pdict, atlas_bytes, sub = _patches
+        out.extend(atlas_bytes)
+        bits = 16 if pixels.dtype == np.uint16 else 8
+        img = ModularImage(sub.shape[1], sub.shape[0], bits)
+        for c in range(sub.shape[2]):
+            img.channel.append(Channel(sub[:, :, c].copy(), component=c))
+        out.extend(_modular_frame_bytes(img, options, meta,
+                                        patches=pdict))
+    else:
+        out.extend(_modular_frame_bytes(pixels, options, meta))
     return bytes(out)
 
 
@@ -324,7 +394,7 @@ def _search_rct(img: ModularImage, effort: int) -> int:
 def _modular_frame_bytes(pixels, options, meta,
                          is_last: bool = True, duration: int = 0,
                          origin: tuple | None = None,
-                         customize=None) -> bytes:
+                         customize=None, patches=None) -> bytes:
     """One modular frame: FrameHeader + TOC + sections (byte-aligned).
 
     ``origin=(x0, y0)`` emits a cropped sub-frame at that position
@@ -354,6 +424,9 @@ def _modular_frame_bytes(pixels, options, meta,
         fh.frame_xsize, fh.frame_ysize = w, h
     if customize is not None:
         customize(fh)
+    if patches is not None:
+        from libjxl_tpu.core.frame_header import FrameFlags
+        fh.flags |= FrameFlags.PATCHES
     fh.visit(FieldWriter(bw), meta)
 
     fd = FrameDimensions(w, h, fh.group_dim)
@@ -544,6 +617,12 @@ def _modular_frame_bytes(pixels, options, meta,
     # ---- sections --------------------------------------------------------
     def dc_global_section(codes, global_arr) -> bytes:
         sw = BitWriter()
+        if patches is not None:
+            # image features precede the dequant matrices in DC global
+            # (dec_frame.cc ProcessDCGlobal order)
+            from libjxl_tpu.render.enc_patches import serialize_patches
+            serialize_patches(sw, patches,
+                              len(meta.extra_channel_info))
         sw.write(1, 1)          # DequantMatrices::DecodeDC all_default
         sw.write(1, 1)          # has global tree
         write_tree(sw, tree)

@@ -25,6 +25,12 @@ import numpy as np
 # PatchColorspaceInfo(is_xyb=true) (enc_patch_dictionary.cc:185-225)
 K_DEQUANT = np.array([0.01615, 0.08875, 0.1922], np.float32)
 K_WEIGHTS = np.array([30.0, 3.0, 1.0], np.float32)
+# PatchColorspaceInfo(is_xyb=false): the reference works on [0..1]
+# floats with dequant {20,22,20}/255 and weights {0.017,0.02,0.017}*255;
+# expressed per 8-bit integer step those are {20,22,20} and
+# {0.017,0.02,0.017} (lossless detection runs on the raw int planes)
+K_DEQUANT_RGB8 = np.array([20.0, 22.0, 20.0], np.float32)
+K_WEIGHTS_RGB8 = np.array([0.017, 0.02, 0.017], np.float32)
 PATCH_SIDE = 4
 MAX_PATCH_SIZE = 32
 K_SIMILAR_THRESHOLD = 0.8
@@ -44,11 +50,11 @@ class FoundPatch:
     qpixels: bytes = b""                # dedup key (int8-quantized)
 
 
-def _weighted_dist(a, b):
+def _weighted_dist(a, b, weights=K_WEIGHTS):
     """Channel-weighted L1 color distance; a/b are (3, ...) arrays."""
-    return (np.abs(a - b) * K_WEIGHTS[:, None]).sum(axis=0) \
+    return (np.abs(a - b) * weights[:, None]).sum(axis=0) \
         if a.ndim == 2 else \
-        (np.abs(a - b) * K_WEIGHTS.reshape(3, 1, 1)).sum(axis=0)
+        (np.abs(a - b) * weights.reshape(3, 1, 1)).sum(axis=0)
 
 
 def _find_seeds(xyb: np.ndarray) -> np.ndarray:
@@ -84,7 +90,8 @@ def _find_seeds(xyb: np.ndarray) -> np.ndarray:
     return seeds
 
 
-def _flood_background(xyb: np.ndarray, seeds: np.ndarray):
+def _flood_background(xyb: np.ndarray, seeds: np.ndarray,
+                      weights=K_WEIGHTS):
     """Grow the background from seed blocks by masked dilation.
 
     Every background pixel carries the color of the seed-region source
@@ -119,7 +126,7 @@ def _flood_background(xyb: np.ndarray, seeds: np.ndarray):
             if not cand.any():
                 continue
             sc = src_color[:, ys, xs]
-            dist = _weighted_dist(sc, xyb[:, yd, xd])
+            dist = _weighted_dist(sc, xyb[:, yd, xd], weights)
             man = (np.abs(yy[yd, xd] - src_y[ys, xs]) +
                    np.abs(xx[yd, xd] - src_x[ys, xs]))
             ok = cand & (dist <= K_SIMILAR_THRESHOLD) & \
@@ -145,7 +152,8 @@ def _flood_background(xyb: np.ndarray, seeds: np.ndarray):
     return is_bg, src_color
 
 
-def find_text_like_patches(xyb: np.ndarray) -> list[FoundPatch]:
+def find_text_like_patches(xyb: np.ndarray, weights=K_WEIGHTS,
+                           dequant=K_DEQUANT) -> list[FoundPatch]:
     """Vectorized mirror of FindTextLikePatches
     (enc_patch_dictionary.cc:231-617). ``xyb`` is the (3, H, W) opsin
     image. Returns deduplicated patches with >=2 occurrences."""
@@ -153,7 +161,7 @@ def find_text_like_patches(xyb: np.ndarray) -> list[FoundPatch]:
     seeds = _find_seeds(xyb)
     if not seeds.any():
         return []
-    is_bg, background = _flood_background(xyb, seeds)
+    is_bg, background = _flood_background(xyb, seeds, weights)
     fg = ~is_bg
     if not fg.any():
         return []
@@ -193,7 +201,7 @@ def find_text_like_patches(xyb: np.ndarray) -> list[FoundPatch]:
                 elif all_similar:
                     a = background[:, ny, nx]
                     b = background[:, border_ref[0], border_ref[1]]
-                    if float((np.abs(a - b) * K_WEIGHTS).sum()) > \
+                    if float((np.abs(a - b) * weights).sum()) > \
                             K_VERY_SIMILAR:
                         all_similar = False
         if border_ref is None or not all_similar:
@@ -208,12 +216,12 @@ def find_text_like_patches(xyb: np.ndarray) -> list[FoundPatch]:
         xlo = max(min_x - 2, 0)
         xhi = min(max_x + 3, W)
         region = xyb[:, ylo:yhi, xlo:xhi]
-        if not (_weighted_dist(region, ref.reshape(3, 1, 1)) <=
+        if not (_weighted_dist(region, ref.reshape(3, 1, 1), weights) <=
                 K_HAS_SIMILAR).any():
             continue
         diff = (xyb[:, min_y:max_y + 1, min_x:max_x + 1] -
                 ref.reshape(3, 1, 1)).astype(np.float32)
-        q = np.trunc(diff / K_DEQUANT.reshape(3, 1, 1))
+        q = np.trunc(diff / dequant.reshape(3, 1, 1))
         if (np.abs(q) > 127).any():         # doesn't fit int8
             continue
         if (np.abs(q) < K_MIN_PEAK).all():  # all-flat patch: skip
@@ -380,3 +388,41 @@ def subtract_patches(xyb: np.ndarray, pdict, atlas_decoded: np.ndarray
         patch = atlas_decoded[:, rp.y0:rp.y0 + rp.ysize,
                               rp.x0:rp.x0 + rp.xsize]
         xyb[:, p.y:p.y + rp.ysize, p.x:p.x + rp.xsize] -= patch
+
+
+def find_lossless_patches(pixels: np.ndarray, num_extra: int = 0):
+    """Integer-domain patch detection for the modular lossless path
+    (enc_modular.cc:710-717 calls FindBestPatchDictionary with
+    is_xyb=false on the pre-RCT color image, then SubtractFrom).
+
+    ``pixels`` is the (h, w, c>=3) uint8/uint16 image. Returns
+    ``(pdict, atlas_int)`` — the patch dictionary plus the (3, ah, aw)
+    int32 atlas of exact pixel diffs — or None when nothing repeats.
+    Unlike the XYB path, no quantization is involved: the atlas stores
+    the integer difference patch-vs-background, the main frame encodes
+    ``orig - drawn_diff`` and the decoder's kAdd blend restores the
+    original exactly (all values stay on the 1/maxval float grid)."""
+    h, w, nch = pixels.shape
+    maxval = 65535 if pixels.dtype == np.uint16 else 255
+    scale = maxval / 255.0
+    planes = np.moveaxis(pixels[:, :, :3], -1, 0).astype(np.float32)
+    info = find_text_like_patches(
+        planes, weights=K_WEIGHTS_RGB8 / scale,
+        dequant=(K_DEQUANT_RGB8 * scale).astype(np.float32))
+    if not info:
+        return None
+    info, atlas, positions = pack_patches(info)
+    pdict = build_patch_dictionary(info, positions, num_extra)
+    atlas_int = np.rint(atlas).astype(np.int32)
+    return pdict, atlas_int
+
+
+def subtract_patches_int(planes: np.ndarray, pdict,
+                         atlas_int: np.ndarray) -> None:
+    """In-place integer mirror of PatchDictionaryEncoder::SubtractFrom
+    for the lossless path; ``planes`` is (3, h, w) int32."""
+    for p in pdict.patches:
+        rp = pdict.refs[p.ref_idx]
+        patch = atlas_int[:, rp.y0:rp.y0 + rp.ysize,
+                          rp.x0:rp.x0 + rp.xsize]
+        planes[:, p.y:p.y + rp.ysize, p.x:p.x + rp.xsize] -= patch
