@@ -484,28 +484,6 @@ def _modular_frame_bytes(pixels, options, meta,
         if mode:
             wp_header = wp_mode_header(mode)
     learned = options.effort >= 5 and not options._zero_tree
-    if options._zero_tree:
-        from libjxl_tpu.modular.predict import PREDICTOR_ZERO
-        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)]
-    elif learned:
-        # MA tree learning (enc_ma.cc LearnTree): contexts + per-leaf
-        # predictors chosen by entropy on the actual image
-        from libjxl_tpu.modular.enc_ma import learn_tree
-        # sample budget by tier (enc_modular.cc options.nb_repeats
-        # spirit): e5/e6 learn on a subsample — measured <0.2% density
-        # cost for ~2x tree-learning time on 1 MP inputs
-        tree = learn_tree([(i, img.channel[i].plane)
-                           for i in range(len(img.channel))],
-                          max_leaves=48 if options.effort < 8 else 96,
-                          sample_limit=(1 << 16 if options.effort <= 6
-                                        else 1 << 17
-                                        if options.effort <= 8
-                                        else 1 << 18),
-                          wp_header=wp_header
-                          if not wp_header.is_all_default() else None)
-    else:
-        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
-    num_ctx = (len(tree) + 1) // 2
 
     # Stream channel assignment (dec_modular.cc DecodeGlobalInfo/Group):
     # the prefix of channels with w,h <= group_dim goes to the global
@@ -567,6 +545,52 @@ def _modular_frame_bytes(pixels, options, meta,
         return slice_sub((gx * fd.group_dim, gy * fd.group_dim,
                           fd.group_dim, fd.group_dim), 0, 2)
 
+    empty = np.zeros((0, 2), dtype=np.int64)
+    dc_subs = [dc_group_sub(g) for g in range(fd.num_dc_groups)] \
+        if group_chans else []
+    ac_subs = [ac_group_sub(g) for g in range(fd.num_groups)] \
+        if group_chans else []
+
+    if options._zero_tree:
+        from libjxl_tpu.modular.predict import PREDICTOR_ZERO
+        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_ZERO, 0, 1)]
+    elif learned:
+        # MA tree learning (enc_ma.cc LearnTree / ComputeTree): ONE
+        # global tree, but the samples come from the per-group streams
+        # exactly as they will be tokenized (local coordinates, stream
+        # id as the group-id property, per-stream channel references) —
+        # enc_modular.cc:1859 stream-per-group tree learning.
+        from libjxl_tpu.modular.enc_ma import learn_tree_streams
+        streams = []
+        if global_chans:
+            streams.append((stream_id_global(),
+                            [(ci, img.channel[ci].plane)
+                             for ci in global_chans]))
+        for g, sub in enumerate(dc_subs):
+            if sub.channel:
+                streams.append((stream_id_modular_dc(fd, g),
+                                [(ci, sub.channel[ci].plane)
+                                 for ci in range(len(sub.channel))]))
+        for g, sub in enumerate(ac_subs):
+            if sub.channel:
+                streams.append((stream_id_modular_ac(fd, g, 0),
+                                [(ci, sub.channel[ci].plane)
+                                 for ci in range(len(sub.channel))]))
+        # sample budget by tier (enc_modular.cc options.nb_repeats
+        # spirit): e5/e6 learn on a subsample — measured <0.2% density
+        # cost for ~2x tree-learning time on 1 MP inputs
+        tree = learn_tree_streams(
+            streams,
+            max_leaves=48 if options.effort < 8 else 96,
+            sample_limit=(1 << 17 if options.effort <= 6
+                          else 1 << 18 if options.effort <= 8
+                          else 1 << 19),
+            wp_header=wp_header
+            if not wp_header.is_all_default() else None)
+    else:
+        tree = [TreeNode(-1, 0, 0, 0, PREDICTOR_GRADIENT, 0, 1)]
+    num_ctx = (len(tree) + 1) // 2
+
     global_toks = []
     if learned and global_chans:
         # ONE call over the whole channel list: prev-channel reference
@@ -584,11 +608,6 @@ def _modular_frame_bytes(pixels, options, meta,
             global_toks.append(tokens_to_array(t))
     global_arr = (np.concatenate(global_toks) if global_toks
                   else np.zeros((0, 2), dtype=np.int64))
-    empty = np.zeros((0, 2), dtype=np.int64)
-    dc_subs = [dc_group_sub(g) for g in range(fd.num_dc_groups)] \
-        if group_chans else []
-    ac_subs = [ac_group_sub(g) for g in range(fd.num_groups)] \
-        if group_chans else []
     def _dc_tok(g):
         sub = dc_subs[g]
         return stream_tokens(sub, stream_id_modular_dc(fd, g)) \

@@ -241,8 +241,25 @@ def _cost(tokens, nbits) -> float:
 
 def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
                group_id: int = 0, wp_header=None):
-    """channels: list of (chan_idx, plane). Returns (tree_nodes,
-    leaf predictor list) in the decode tree layout."""
+    """channels: list of (chan_idx, plane) forming ONE stream. Returns
+    tree nodes in the decode tree layout."""
+    return learn_tree_streams([(group_id, channels)], max_leaves,
+                              sample_limit, wp_header)
+
+
+def learn_tree_streams(streams, max_leaves: int = 64,
+                       sample_limit: int = 1 << 18, wp_header=None):
+    """Learn ONE global MA tree from samples drawn from the actual
+    per-group streams (enc_modular.cc ComputeTree / enc_ma.cc
+    TreeSamples): ``streams`` is a list of (stream_id, [(chan_idx,
+    plane), ...]) exactly as each stream will later be tokenized.
+    Properties are computed per stream — local x/y coordinates, the
+    stream id as the group-id property, prev-channel references scoped
+    to the stream — so the learned splits see the same property
+    distributions the tokenizer (and decoder) will produce. Learning on
+    whole-image planes instead systematically misroutes contexts on
+    multi-group frames (global y splits at >= group_dim are dead, W/N
+    continuity across group seams is assumed but absent)."""
     cand = _candidate_predictors()
     split_props = _split_props()
 
@@ -253,18 +270,23 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     # dropped) are taken at an even stride per plane shape, so
     # same-size channels stay row-aligned for the reference
     # properties; the y property is rewritten with the true rows.
-    total = sum(p.size for _, p in channels)
+    total = sum(p.size for _, chs in streams for _, p in chs)
     sels: dict = {}
 
-    def _row_sel(h: int, w: int):
-        key = (h, w)
+    def _row_sel(h: int, w: int, salt: int):
+        key = (h, w, salt)
         if key in sels:
             return sels[key]
         blk = 16
         nblk = -(-h // blk)
         want = max(1, int(nblk * min(1.0, 1.5 * sample_limit / total)))
         stride = max(1, nblk // want)
-        starts = list(range(0, h, blk * stride))
+        # stagger the chosen blocks across streams (salt): with many
+        # short per-group planes and a small budget, always taking
+        # block 0 would sample ONLY each group's top rows, whose
+        # border-degenerate top-neighbors don't represent the stream
+        phase = salt % stride
+        starts = [b * blk for b in range(phase, nblk, stride)] or [0]
         sels[key] = starts
         return starts
 
@@ -273,40 +295,42 @@ def learn_tree(channels, max_leaves: int = 64, sample_limit: int = 1 << 18,
     for pred in cand:
         resid_by_pred[pred] = []
     full = total <= sample_limit * 2
-    if full:
-        chan_planes = [p for _, p in channels]
-        subs = [(ci, p, None, None) for ci, p in channels]
-    else:
-        blk = 16
-        subs = []
-        for ci, p in channels:
-            h, w = p.shape
-            starts = _row_sel(h, w)
-            segs, keep, ytrue = [], [], []
-            for y0 in starts:
-                halo = min(2, y0)
-                rows = min(blk, h - y0)
-                segs.append(p[y0 - halo:y0 + rows])
-                keep.extend([False] * halo + [True] * rows)
-                ytrue.extend(range(y0 - halo, y0 + rows))
-            subs.append((ci, np.concatenate(segs, axis=0),
-                         np.asarray(keep), np.asarray(ytrue, np.int64)))
-        chan_planes = [s[1] for s in subs]
-    for pos, (chan_idx, plane, keep, ytrue) in enumerate(subs):
-        props, nb = property_planes(plane, chan_idx, group_id, wp_header)
-        props.update(ref_property_planes(chan_planes, pos))
-        if ytrue is not None:
-            props[2] = np.broadcast_to(ytrue[:, None], plane.shape)
-        if keep is None:
-            flat = {k: v.ravel() for k, v in props.items()}
+    for snum, (sid, channels) in enumerate(streams):
+        if full:
+            chan_planes = [p for _, p in channels]
+            subs = [(ci, p, None, None) for ci, p in channels]
         else:
-            flat = {k: v[keep].ravel() for k, v in props.items()}
-        props_all.append(flat)
-        for pred in cand:
-            r = (plane.astype(np.int64) -
-                 predictions(nb, pred)).astype(np.int32).astype(np.int64)
-            resid_by_pred[pred].append(
-                r.ravel() if keep is None else r[keep].ravel())
+            blk = 16
+            subs = []
+            for ci, p in channels:
+                h, w = p.shape
+                starts = _row_sel(h, w, snum)
+                segs, keep, ytrue = [], [], []
+                for y0 in starts:
+                    halo = min(2, y0)
+                    rows = min(blk, h - y0)
+                    segs.append(p[y0 - halo:y0 + rows])
+                    keep.extend([False] * halo + [True] * rows)
+                    ytrue.extend(range(y0 - halo, y0 + rows))
+                subs.append((ci, np.concatenate(segs, axis=0),
+                             np.asarray(keep), np.asarray(ytrue, np.int64)))
+            chan_planes = [s[1] for s in subs]
+        for pos, (chan_idx, plane, keep, ytrue) in enumerate(subs):
+            props, nb = property_planes(plane, chan_idx, sid, wp_header)
+            props.update(ref_property_planes(chan_planes, pos))
+            if ytrue is not None:
+                props[2] = np.broadcast_to(ytrue[:, None], plane.shape)
+            if keep is None:
+                flat = {k: v.ravel() for k, v in props.items()}
+            else:
+                flat = {k: v[keep].ravel() for k, v in props.items()}
+            props_all.append(flat)
+            for pred in cand:
+                r = (plane.astype(np.int64) -
+                     predictions(nb, pred)).astype(
+                         np.int32).astype(np.int64)
+                resid_by_pred[pred].append(
+                    r.ravel() if keep is None else r[keep].ravel())
     props = {k: np.concatenate([f[k] for f in props_all])
              for k in props_all[0]}
     resid = {p: np.concatenate(v) for p, v in resid_by_pred.items()}

@@ -239,3 +239,41 @@ def test_e7_bd_rate_match_or_beat_corpus():
                 "large_sky": 12.0, "large_wood": 10.0}
     for name, cap in ceilings.items():
         assert rates[name] <= cap, (name, rates[name], rates)
+
+
+def test_lossless_e5_e7_density_beats_libjxl_corpus():
+    """Full-corpus lossless density gate (round-5 headline): the
+    size-ratio mean vs `cjxl -d0` at the same effort must stay <= 1.00
+    at e5 AND e7 *including* the four multi-group large_* images, and
+    no single image may exceed 1.05. Requires the lossless patch
+    dictionary (enc_patch_dictionary.cc analog) and stream-sampled MA
+    tree learning (enc_modular.cc:1859, enc_ma.cc:503) to engage on
+    multi-group frames; decode must stay bit-exact."""
+    import glob
+    import os
+
+    import pytest
+    from PIL import Image
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_lossless
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_encode
+    if not oracle_available():
+        pytest.skip("libjxl not found")
+
+    corpus = os.path.join(os.path.dirname(__file__), "corpus")
+    ratios = {5: {}, 7: {}}
+    for path in sorted(glob.glob(os.path.join(corpus, "*.png"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        for eff in (5, 7):
+            ours = encode_lossless(img, EncodeOptions(effort=eff))
+            ref = oracle_encode(img, lossless=True, effort=eff)
+            ratios[eff][name] = len(ours) / len(ref)
+            assert np.array_equal(decode(ours), img), (name, eff)
+    for eff in (5, 7):
+        vals = ratios[eff]
+        mean = float(np.mean(list(vals.values())))
+        assert mean <= 1.00, (eff, mean, vals)
+        for name, r in vals.items():
+            assert r <= 1.05, (eff, name, r, vals)
