@@ -57,21 +57,37 @@ class ThreadRunner:
             self._local.idx = idx
         return idx % self.num_threads
 
+    def _on_worker(self) -> bool:
+        return getattr(self._local, "in_pool", False)
+
+    def _mark(self, fn):
+        # pool workers are dedicated threads: flag them permanently so
+        # NESTED run/map calls execute inline instead of queueing into
+        # the same pool — outer tasks waiting on inner futures that can
+        # never be scheduled is a hard deadlock once the outer fan-out
+        # reaches the worker count (seen: e9's 4 candidate encodes each
+        # blocking on their per-group tokenize map)
+        def call(it):
+            self._local.in_pool = True
+            return fn(it)
+        return call
+
     def run(self, n_tasks: int, fn, init=None) -> None:
         if init is not None:
             init(self.num_threads)
-        if n_tasks <= 1:
+        if n_tasks <= 1 or self._on_worker():
             for i in range(n_tasks):
                 fn(i, 0)
             return
         list(self._pool.map(
-            lambda i: fn(i, self._thread_index()), range(n_tasks)))
+            self._mark(lambda i: fn(i, self._thread_index())),
+            range(n_tasks)))
 
     def map(self, fn, items):
         items = list(items)
-        if len(items) <= 1:
+        if len(items) <= 1 or self._on_worker():
             return [fn(it) for it in items]
-        return list(self._pool.map(fn, items))
+        return list(self._pool.map(self._mark(fn), items))
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=False)
