@@ -37,6 +37,12 @@ def main(argv=None) -> int:
                         "(0 = auto: 2x at very low quality)")
     p.add_argument("-p", "--progressive", action="store_true",
                    help="3-pass qprogressive AC (VarDCT)")
+    p.add_argument("--progressive_ac", action="store_true",
+                   help="spectral progressive AC: VLF/LF/full passes "
+                        "(cjxl --progressive_ac)")
+    p.add_argument("--qprogressive_ac", action="store_true",
+                   help="2-pass quantization-shift progressive AC "
+                        "(cjxl --qprogressive_ac)")
     p.add_argument("--progressive_dc", type=int, default=0,
                    help="1: DC rides a separate LF frame")
     p.add_argument("--intensity_target", type=float, default=0.0,
@@ -212,6 +218,8 @@ def main(argv=None) -> int:
             photon_noise_iso=args.photon_noise_iso,
             faster_decoding=args.faster_decoding,
             progressive=args.progressive,
+            progressive_ac=args.progressive_ac,
+            qprogressive_ac=args.qprogressive_ac,
             progressive_dc=args.progressive_dc,
             epf=args.epf, gaborish=args.gaborish,
             group_order=args.group_order,

@@ -85,6 +85,11 @@ class LossyOptions:
                                    # sensor at this ISO would have
                                    # (enc_photon_noise.cc)
     progressive: bool = False    # 3-pass qprogressive AC (shifts 2,1,0)
+    progressive_ac: bool = False   # spectral progressive AC: VLF/LF/full
+                                   # passes (num_coefficients 2/3/8,
+                                   # enc_frame.cc:264-271)
+    qprogressive_ac: bool = False  # 2-pass quant-shift AC (shift 1,0;
+                                   # enc_frame.cc:272-277)
     progressive_dc: int = 0      # 1: DC rides a separate LF (DC_FRAME)
                                  # at dc_level 1 (enc_frame.cc
                                  # progressive_dc; decoder
@@ -526,7 +531,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             return q.astype(np.int32)
 
         # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
-        use_acs = options.effort >= 5
+        # progressive pass splitting operates on the 8x8 grid: variable
+        # blocks stay off when a multi-pass mode is requested (the
+        # reference supports both; tracked as a combinable follow-up)
+        use_acs = options.effort >= 5 and not (
+            options.progressive or options.progressive_ac or
+            options.qprogressive_ac)
         if use_acs:
             if aux is not None and options._in_iteration and \
                     "acs" in aux:
@@ -638,7 +648,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             q_ac = np.stack([q_x, q_y, q_b], axis=2)       # (yb, xb, 3, 64)
 
     # ---- progressive pass split (enc_progressive_split.cc:30-80) --------
-    pass_shifts = (2, 1, 0) if options.progressive else (0,)
+    # precedence mirrors SetProgressiveMode (enc_frame.cc:278-289):
+    # custom (-p composite) > qprogressive > spectral progressive
+    spectral_bands = None
+    if options.progressive:
+        pass_shifts = (2, 1, 0)
+    elif options.qprogressive_ac:
+        pass_shifts = (1, 0)
+    elif options.progressive_ac:
+        pass_shifts = (0, 0, 0)
+        spectral_bands = (2, 3, 8)   # dc_vlf_lf_full_ac num_coefficients
+    else:
+        pass_shifts = (0,)
 
     def _sr0(v, shift):
         neg = (v < 0).astype(np.int64)
@@ -649,6 +670,19 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         q_passes = [q_ac]
     elif q_ac is None:
         raise ValueError("progressive + ACS search not combined yet")
+    elif spectral_bands is not None:
+        # spectral split: pass p carries the coefficients whose
+        # max(row, col) falls in its band; the decoder sums the passes
+        # (all shift 0). The DC slot is skipped by the AC scan order,
+        # so masking it in or out is irrelevant.
+        ii, jj = np.indices((8, 8))
+        band = np.maximum(ii, jj).reshape(64)
+        q_passes = []
+        prev_nc = 0
+        for nc in spectral_bands:
+            m = ((band >= prev_nc) & (band < nc)).astype(q_ac.dtype)
+            q_passes.append((q_ac * m).astype(np.int32))
+            prev_nc = nc
     else:
         q_passes = []
         prev_shift = 0
@@ -879,6 +913,21 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         fh.passes.num_passes = 3
         fh.passes.shift = (2, 1, 0)
         fh.passes.num_downsample = 0
+    elif options.qprogressive_ac:
+        # progressive_passes_dc_quant_ac_full_ac: pass 0 suitable for
+        # 2x-downsampled display (enc_frame.cc:272-277)
+        fh.passes.num_passes = 2
+        fh.passes.shift = (1, 0)
+        fh.passes.num_downsample = 1
+        fh.passes.downsample = (2,)
+        fh.passes.last_pass = (0,)
+    elif options.progressive_ac:
+        # progressive_passes_dc_vlf_lf_full_ac (enc_frame.cc:264-271)
+        fh.passes.num_passes = 3
+        fh.passes.shift = (0, 0, 0)
+        fh.passes.num_downsample = 2
+        fh.passes.downsample = (4, 2)
+        fh.passes.last_pass = (0, 1)
     fh.loop_filter.gab = use_gab
     # EPF iterations from distance (enc_frame.cc:333-342): 3 passes
     # (incl. EPF0's 5x5 diamond) from d >= 4

@@ -558,3 +558,46 @@ def test_decode_many_varblock_device_batch(rng):
     for a, b in zip(host, dev):
         assert a.shape == b.shape
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_progressive_ac_and_qprogressive_ac_modes():
+    """--progressive_ac (spectral VLF/LF/full passes, shift 0, with
+    downsample markers 4/2) and --qprogressive_ac (2-pass shift 1/0)
+    as SEPARATE modes (enc_frame.cc:264-289 SetProgressiveMode): both
+    must decode to the same quality class as the single-pass stream,
+    agree with the system decoder, and signal the expected Passes
+    header."""
+    from libjxl_tpu.api.codestream import parse_codestream
+    from libjxl_tpu.api.container import extract_codestream
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:256, 0:320]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 12, (256, 320, 3))
+           ).clip(0, 255).astype(np.uint8)
+    base = decode(encode_lossy(img, LossyOptions(distance=1.0,
+                                                 effort=3)))
+    cases = {
+        "progressive_ac": dict(num_passes=3, shift=(0, 0, 0),
+                               downsample=(4, 2)),
+        "qprogressive_ac": dict(num_passes=2, shift=(1, 0),
+                                downsample=(2,)),
+    }
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    for flag, want in cases.items():
+        data = encode_lossy(img, LossyOptions(
+            distance=1.0, effort=3, **{flag: True}))
+        _, frames = parse_codestream(extract_codestream(data))
+        ps = frames[0].header.passes
+        assert ps.num_passes == want["num_passes"], flag
+        assert tuple(ps.shift) == want["shift"], flag
+        assert tuple(ps.downsample) == want["downsample"], flag
+        dec = decode(data)
+        rmse = float(np.sqrt(np.mean(
+            (dec.astype(np.float64) - base.astype(np.float64)) ** 2)))
+        assert rmse < 3.0, (flag, rmse)
+        if oracle_available():
+            ref = oracle_decode(data).pixels
+            assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
