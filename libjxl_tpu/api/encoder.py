@@ -156,6 +156,10 @@ def encode_lossless(pixels: np.ndarray,
                     _patches=None) -> bytes:
     """Encode an (h, w, c) uint8/uint16 array to a JXL codestream."""
     options = options or EncodeOptions()
+    if isinstance(pixels, np.ndarray) and pixels.dtype.byteorder == ">":
+        # big-endian view (16-bit PNM memmap from open_image_chunked):
+        # normalize just the slice being encoded
+        pixels = pixels.astype(pixels.dtype.newbyteorder("="))
     if options.use_device:
         if options.entropy == "prefix-device":
             return encode_lossless_device_prefix(pixels, options)
@@ -894,6 +898,10 @@ class _StreamingLayout:
         fd = self.fd
         band_y0 = dcy * fd.dc_group_dim
         band = np.asarray(pixels[band_y0:band_y0 + fd.dc_group_dim])
+        if band.dtype.byteorder == ">":
+            # 16-bit PNM memmap (open_image_chunked): normalize the
+            # band slice only — the full image stays on disk
+            band = band.astype(band.dtype.newbyteorder("="))
         if band.ndim == 2:
             band = band[:, :, None]
         gxs, gys = fd.xsize_groups, fd.ysize_groups
@@ -936,6 +944,7 @@ def encode_lossless_streaming(pixels: np.ndarray,
     streaming tier makes the same restriction)."""
     options = options or EncodeOptions()
     first = np.asarray(pixels[0:1])
+    native_dt = first.dtype.newbyteorder("=")
     h = len(pixels)
     w = first.shape[1]
     nch = 1 if first.ndim == 2 else first.shape[2]
@@ -944,7 +953,7 @@ def encode_lossless_streaming(pixels: np.ndarray,
         # single group: one-shot encode is already streaming-shaped
         yield encode_lossless(np.asarray(pixels[0:h]), options)
         return
-    lay = _StreamingLayout(h, w, nch, first.dtype, options)
+    lay = _StreamingLayout(h, w, nch, native_dt, options)
     yield lay.header_bytes
     file_sections = [lay.dc_global_section()]
     for dcy in range(lay.fd.ysize_dc_groups):

@@ -89,6 +89,10 @@ def main(argv=None) -> int:
     p.add_argument("--brotli_effort", type=int, default=9,
                    help="brotli quality 0-11 for brotli-coded payloads "
                         "(JPEG metadata, Exif)")
+    p.add_argument("--streaming_input", action="store_true",
+                   help="memory-map binary PNM input and feed the "
+                        "encoder row bands on demand (ChunkedPNM, "
+                        "extras/dec/pnm.cc); other formats load whole")
     p.add_argument("--streaming_output", action="store_true",
                    help="lossless: emit via the spec streaming encoder "
                         "(DC-group-major permuted TOC, bounded memory)")
@@ -188,7 +192,11 @@ def main(argv=None) -> int:
                       f"bytes ({dt:.2f} s)", file=sys.stderr)
             return 0
 
-    img = load_image(args.input)
+    if args.streaming_input:
+        from libjxl_tpu.extras.io import open_image_chunked
+        img = open_image_chunked(args.input)
+    else:
+        img = load_image(args.input)
     if args.override_bitdepth:
         if args.override_bitdepth > 8 and img.dtype == "uint8":
             img = img.astype("uint16") << (args.override_bitdepth - 8)

@@ -138,6 +138,30 @@ def _write_pgx(img: np.ndarray) -> bytes:
     return header + body
 
 
+def open_image_chunked(path: str) -> np.ndarray:
+    """Memory-mapped pixel view for binary PNM inputs (the reference's
+    ChunkedPNM streaming input, lib/extras/dec/pnm.cc): P5/P6 rasters
+    have a fixed stride, so the file maps directly as an (h, w, c)
+    array and the OS pages rows in as the streaming encoder slices
+    them — the whole image is never resident. Other formats fall back
+    to a full load."""
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head[:2] not in (b"P5", b"P6"):
+        return load_image(path)
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s",
+                 head)
+    if not m:
+        return load_image(path)
+    kind, w, h, maxval = (m.group(1), int(m.group(2)), int(m.group(3)),
+                          int(m.group(4)))
+    nch = 3 if kind == b"P6" else 1
+    dt = np.dtype(np.uint8) if maxval < 256 else np.dtype(">u2")
+    mm = np.memmap(path, dtype=dt, mode="r", offset=m.end(),
+                   shape=(h, w, nch))
+    return mm
+
+
 def load_image(path: str) -> np.ndarray:
     """Decode a PNG/PNM/PAM/PFM/PGX/JPEG/... file to (h, w, c)
     uint8/uint16 (float32 for PFM/EXR)."""

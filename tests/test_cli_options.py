@@ -133,3 +133,34 @@ def test_auto_banded_decode():
     finally:
         config.auto_band_pixels = old
     assert np.array_equal(banded, whole)
+
+
+def test_streaming_input_chunked_pnm(tmp_path):
+    """--streaming_input: binary PNM rides as a memory-mapped view
+    (ChunkedPNM, extras/dec/pnm.cc) into the band-streaming encoder;
+    8- and 16-bit (big-endian raster) must roundtrip bit-exact."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.extras.io import _write_pnm, open_image_chunked
+
+    rng = np.random.default_rng(7)
+    for dt, mx in ((np.uint8, 255), (np.uint16, 65535)):
+        img = rng.integers(0, mx + 1, (300, 280, 3)).astype(dt)
+        img[:, :, 1] = img[:, :, 0]
+        pnm = tmp_path / f"in_{dt.__name__}.ppm"
+        out = tmp_path / f"out_{dt.__name__}.jxl"
+        pnm.write_bytes(_write_pnm(img))
+        mm = open_image_chunked(str(pnm))
+        assert isinstance(mm, np.memmap)
+        r = subprocess.run(
+            [sys.executable, "-m", "libjxl_tpu.cli.cjxl", str(pnm),
+             str(out), "--lossless", "-e", "2", "--streaming_input",
+             "--streaming_output", "-q"],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        dec = decode(out.read_bytes())
+        assert np.array_equal(dec.squeeze(), img.squeeze())
