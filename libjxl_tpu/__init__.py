@@ -13,7 +13,7 @@ _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                        _os.pardir, ".jax_cache")
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.abspath(_cache))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 try:  # late import: honor the env vars even if jax is already loaded

@@ -97,3 +97,70 @@ def wrap_container(codestream: bytes, level: int | None = None,
         out.append(box(btype, payload))
     out.append(box(b"jxlc", codestream))
     return b"".join(out)
+
+
+def encode_frame_index_box(entries, tnum: int = 1000,
+                           tden: int = 1) -> bytes:
+    """``jxli`` frame-index payload (encode.cc:668-741
+    EncodeFrameIndexBox; layout doc encode_internal.h:40-76):
+    LEB128 NF, BE32 TNUM/TDEN, then per indexed frame the codestream
+    byte offset OFFi (delta vs the previously indexed frame), the
+    start tick Ti and the frame-count delta Fi, all LEB128.
+
+    ``entries``: [(to_be_indexed, duration_ticks, codestream_offset)]
+    for every frame, first frame included (it is always recorded)."""
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    nf = sum(1 for i, e in enumerate(entries) if i == 0 or e[0])
+    out = bytearray(varint(nf))
+    out += struct.pack(">II", tnum, tden)
+    prev_prev = -1
+    prev = 0
+    t_prev = 0
+    t = 0
+    for i in range(1, len(entries)):
+        if entries[i][0]:
+            offi = entries[prev][2]
+            if prev_prev != -1:
+                offi -= entries[prev_prev][2]
+            out += varint(offi) + varint(t_prev) + varint(i - prev)
+            prev_prev = prev
+            prev = i
+            t_prev = t
+            t += entries[i][1]
+    i = len(entries)
+    offi = entries[prev][2]
+    if prev_prev != -1:
+        offi -= entries[prev_prev][2]
+    out += varint(offi) + varint(t_prev) + varint(i - prev)
+    return bytes(out)
+
+
+def decode_frame_index_box(payload: bytes):
+    """Parse a ``jxli`` payload back to (tnum, tden,
+    [(OFFi_delta, Ti, Fi)]) for jxlinfo display."""
+    pos = 0
+
+    def varint():
+        nonlocal pos
+        v = shift = 0
+        while True:
+            b = payload[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    nf = varint()
+    tnum, tden = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    recs = [(varint(), varint(), varint()) for _ in range(nf)]
+    return tnum, tden, recs

@@ -756,7 +756,8 @@ def _modular_frame_bytes(pixels, options, meta,
 def encode_animation(frames, durations=None,
                      options: EncodeOptions | None = None,
                      tps: tuple = (10, 1), num_loops: int = 0,
-                     per_frame_options: list | None = None) -> bytes:
+                     per_frame_options: list | None = None,
+                     frame_indexing: str | None = None) -> bytes:
     """Encode a modular animation: a list of (h, w, c) frames with
     per-frame durations in ticks (``tps`` = ticks per second as
     numerator/denominator; frame_header.h duration semantics).
@@ -767,7 +768,12 @@ def encode_animation(frames, durations=None,
     container stays non-XYB (the reference likewise forbids lossless
     frames in an xyb_encoded codestream, encode.cc:1573-1576), and each
     frame's distance selects lossless (0) or squeeze-residual lossy
-    modular coding."""
+    modular coding.
+
+    ``frame_indexing``: cjxl --frame_indexing pattern ('1'/'0' per
+    frame, first char must be '1'): emits a container with a ``jxli``
+    frame-index box recording codestream offsets of the marked
+    keyframes (encode_internal.h:40-76, encode.cc:1128-1133)."""
     options = options or EncodeOptions()
     if not frames:
         raise ValueError("animation needs at least one frame")
@@ -782,11 +788,27 @@ def encode_animation(frames, durations=None,
     if durations is None:
         durations = [1] * len(frames)
     out = bytearray(header_bytes)
+    offsets = []
     for i, (f, d) in enumerate(zip(frames, durations)):
         o = per_frame_options[i] if per_frame_options else options
+        offsets.append(len(out))
         out.extend(_modular_frame_bytes(f, o, meta,
                                         is_last=(i == len(frames) - 1),
                                         duration=int(d)))
+    if frame_indexing:
+        if len(frame_indexing) != len(frames) or \
+                frame_indexing[0] != "1" or \
+                set(frame_indexing) - {"0", "1"}:
+            raise ValueError("frame_indexing must be a '0'/'1' string "
+                             "per frame starting with '1'")
+        from libjxl_tpu.api.container import (
+            encode_frame_index_box, wrap_container,
+        )
+        jxli = encode_frame_index_box(
+            [(frame_indexing[i] == "1", int(durations[i]), offsets[i])
+             for i in range(len(frames))], tps[0], tps[1])
+        return wrap_container(bytes(out),
+                              extra_boxes=[(b"jxli", jxli)])
     return bytes(out)
 
 

@@ -100,6 +100,10 @@ def main(argv=None) -> int:
                    choices=(1, 2, 4, 8),
                    help="encode extra channels (alpha) at 1/r scale "
                         "(requires -r; decoder upsamples)")
+    p.add_argument("--frame_indexing", type=str, default="",
+                   help="'0'/'1' pattern per animation frame (first "
+                        "must be 1): store a jxli frame-index box "
+                        "with keyframe codestream offsets")
     p.add_argument("--num_threads", type=int, default=0,
                    help="host worker threads for per-group work "
                         "(0 = auto)")
@@ -174,7 +178,8 @@ def main(argv=None) -> int:
                 data = encode_animation(
                     frames, durations_ms,
                     EncodeOptions(effort=args.effort),
-                    tps=(1000, 1), num_loops=loops)
+                    tps=(1000, 1), num_loops=loops,
+                    frame_indexing=args.frame_indexing or None)
             else:
                 from libjxl_tpu.vardct.frame_enc import (
                     LossyOptions, encode_lossy_animation,

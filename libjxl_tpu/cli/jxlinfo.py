@@ -27,6 +27,18 @@ def main(argv=None) -> int:
         for box in parse_boxes(data):
             print(f"  box {box.type.decode('latin1')!r:8} "
                   f"{len(box.data)} bytes")
+            if box.type == b"jxli":
+                from libjxl_tpu.api.container import \
+                    decode_frame_index_box
+                tnum, tden, recs = decode_frame_index_box(box.data)
+                print(f"    frame index: {len(recs)} keyframes, "
+                      f"tick {tnum}/{tden}")
+                off = 0
+                prev_delta = 0
+                for k, (offi, ti, fi) in enumerate(recs):
+                    off = offi if k == 0 else off + offi
+                    print(f"    #{k}: codestream offset {off}, "
+                          f"start tick {ti}, +{fi} frame(s)")
     codestream = extract_codestream(data)
     meta, frames = parse_codestream(codestream)
     m = meta.m

@@ -347,3 +347,41 @@ def test_grayscale_multiframe_compositing(rng):
         from libjxl_tpu.utils.oracle import oracle_decode
         ref = oracle_decode(data, num_channels=1)
         assert np.array_equal(ref.pixels[:, :, 0], frames[1][:, :, 0])
+
+
+def test_jxli_frame_index_box():
+    """--frame_indexing: the animation container carries a ``jxli``
+    frame-index box (encode.cc:668-741, encode_internal.h:40-76) whose
+    records point at the codestream offsets of the marked keyframes;
+    the stream stays decodable by us and the system decoder."""
+    import numpy as np
+
+    from libjxl_tpu.api.container import (
+        decode_frame_index_box, extract_codestream, parse_boxes,
+    )
+    from libjxl_tpu.api.decoder import decode_frames
+    from libjxl_tpu.api.encoder import EncodeOptions, encode_animation
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+              for _ in range(4)]
+    data = encode_animation(frames, [2, 3, 4, 5],
+                            EncodeOptions(effort=2), tps=(10, 1),
+                            frame_indexing="1011")
+    boxes = {b.type: b for b in parse_boxes(data)}
+    assert b"jxli" in boxes and b"jxlc" in boxes
+    tnum, tden, recs = decode_frame_index_box(boxes[b"jxli"].data)
+    assert (tnum, tden) == (10, 1)
+    assert len(recs) == 3          # frames 0, 2, 3 ('1011')
+    # the first record's offset must point at frame 0 (headers end)
+    cs = extract_codestream(data)
+    off0 = recs[0][0]
+    assert 0 < off0 < len(cs)
+    _, decs = decode_frames(data)
+    assert len(decs) == 4
+    q = np.rint(np.asarray(decs[0].pixels)[:, :, :3] * 255
+                ).astype(np.uint8)
+    assert np.array_equal(q, frames[0])
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        assert oracle_decode(data).pixels.shape == (64, 80, 3)
