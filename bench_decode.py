@@ -96,9 +96,10 @@ def bench_decode_host_entropy_mpps() -> float:
     _device_decode_inputs(data)       # warm: native build
     n = 24
     dt = float("inf")
+    nw = os.cpu_count() or 4
     for _ in range(3):
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(3) as ex:
+        with ThreadPoolExecutor(nw) as ex:
             list(ex.map(_device_decode_inputs, [data] * n))
         dt = min(dt, time.perf_counter() - t0)
     return round(n * 0.786432 / dt, 2)

@@ -267,6 +267,9 @@ def encode_context_map(w: BitWriter, context_map, num_histograms: int
 def decode_histograms(r: BitReader, num_contexts: int,
                       disallow_lz77: bool = False) -> ANSCode:
     """(dec_ans.cc:295-340)."""
+    res = _decode_histograms_fast(r, num_contexts, disallow_lz77)
+    if res is not None:
+        return res
     code = ANSCode()
     code.lz77.read(r)
     if code.lz77.enabled:
@@ -310,6 +313,49 @@ def decode_histograms(r: BitReader, num_contexts: int,
             code.alias_freqs.append(freq)
     if r.overflow:
         raise FormatError("truncated entropy header")
+    return code
+
+
+def _decode_histograms_fast(r: BitReader, num_contexts: int,
+                            disallow_lz77: bool):
+    """Native one-call histogram-set decode (jxlt_decode_histograms):
+    the LZ77 params / context map / uint configs / per-cluster ANS
+    histograms are sequential bit-level parsing that dominated the
+    host decode prelude in Python. Returns None to fall back (native
+    unavailable, prefix codes, nested-LZ77 context map, or corrupt
+    stream — the Python path re-parses to raise the exact error)."""
+    from libjxl_tpu.utils import native
+    res = native.decode_histograms_native(
+        r._data, r.bits_consumed, num_contexts, disallow_lz77)
+    if res is None:
+        return None
+    (end, lz77, ctx_map, num_histograms, log_alpha, cfgs, counts,
+     alphas) = res
+    code = ANSCode()
+    code.lz77.enabled = bool(lz77[0])
+    n_ctx = num_contexts
+    if code.lz77.enabled:
+        code.lz77.min_symbol = int(lz77[1])
+        code.lz77.min_length = int(lz77[2])
+        code.lz77.length_uint_config = HybridUintConfig(
+            int(lz77[3]), int(lz77[4]), int(lz77[5]))
+        n_ctx += 1
+    code.lz77.distance_context = int(lz77[6])
+    code.context_map = ctx_map[:n_ctx].copy()
+    code.use_prefix_code = False
+    code.log_alpha_size = log_alpha
+    code.uint_configs = [
+        HybridUintConfig(int(cfgs[3 * h]), int(cfgs[3 * h + 1]),
+                         int(cfgs[3 * h + 2]))
+        for h in range(num_histograms)]
+    from libjxl_tpu.entropy.alias import build_alias_table
+    for h in range(num_histograms):
+        cts = counts[320 * h:320 * h + int(alphas[h])]
+        sym, off, freq = build_alias_table(cts.tolist(), log_alpha)
+        code.alias_symbols.append(sym)
+        code.alias_offsets.append(off)
+        code.alias_freqs.append(freq)
+    r.skip(end - r.bits_consumed)
     return code
 
 

@@ -58,6 +58,16 @@ TreeNode.context = _bi.property(TreeNode._context)
 def decode_tree(r: BitReader, tree_size_limit: int = K_MAX_TREE_SIZE
                 ) -> list[TreeNode]:
     """Full tree decode: histograms + node stream (dec_ma.cc:163-182)."""
+    from libjxl_tpu.utils import native
+    res = native.decode_tree_native(r._data, r.bits_consumed,
+                                    tree_size_limit)
+    if res is not None:
+        nodes, end_bit = res
+        tree = [TreeNode(int(a), int(b), int(c), int(d), int(e), int(f),
+                         int(g)) for a, b, c, d, e, f, g in nodes]
+        validate_tree(tree)
+        r.skip(end_bit - r.bits_consumed)
+        return tree
     code = decode_histograms(r, K_NUM_TREE_CONTEXTS)
     reader = ANSSymbolReader(code, r)
     tree = _decode_tree_nodes(r, reader, tree_size_limit)

@@ -226,7 +226,9 @@ def sparsify_i32(buf: np.ndarray, n_threads: int = 0):
             ctypes.c_void_p, ctypes.c_void_p]
         lib.jxlt_sparsify_i32_bound = True
     if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+        import threading
+        n_threads = 1 if threading.current_thread() is not \
+            threading.main_thread() else (os.cpu_count() or 1)
     out_idx = np.empty(flat.size, np.int32)
     out_val = np.empty(flat.size, np.int32)
     nnz = lib.jxlt_sparsify_i32(flat.ctypes.data, flat.size, n_threads,
@@ -640,3 +642,79 @@ def modular_generic_decode(data, start_bit: int, state: int, code,
         reader.copy_pos = int(lz_state[1])
         reader.num_to_copy = int(lz_state[2])
     return int(end), int(st[0])
+
+
+_DEC_HIST_BOUND = False
+
+
+def decode_histograms_native(data, start_bit: int, num_contexts: int,
+                             disallow_lz77: bool):
+    """One-call DecodeHistograms (native/jxl_host.cc
+    jxlt_decode_histograms): returns (end_bit, lz77_arr, ctx_map,
+    num_histograms, log_alpha, uint_cfgs, counts, alpha_sizes) or None
+    when the stream needs the Python path (prefix codes, nested LZ77)
+    or the native module is unavailable."""
+    global _DEC_HIST_BOUND
+    if not available():
+        return None
+    import ctypes
+
+    lib = get_lib()
+    if not _DEC_HIST_BOUND:
+        lib.jxlt_decode_histograms.restype = ctypes.c_int64
+        lib.jxlt_decode_histograms.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32] + [ctypes.c_void_p] * 6
+        _DEC_HIST_BOUND = True
+    buf = np.frombuffer(data, np.uint8)
+    lz77 = np.zeros(7, np.int32)
+    ctx_map = np.zeros(num_contexts + 1, np.int32)
+    info = np.zeros(2, np.int32)
+    cfgs = np.zeros(3 * 256, np.int32)
+    counts = np.empty(320 * 256, np.int32)
+    alphas = np.zeros(256, np.int32)
+    end = lib.jxlt_decode_histograms(
+        buf.ctypes.data, buf.size, start_bit, num_contexts,
+        1 if disallow_lz77 else 0, lz77.ctypes.data, ctx_map.ctypes.data,
+        info.ctypes.data, cfgs.ctypes.data, counts.ctypes.data,
+        alphas.ctypes.data)
+    if end < 0:
+        return None
+    return (end, lz77, ctx_map, int(info[0]), int(info[1]), cfgs,
+            counts, alphas)
+
+
+_DEC_TREE_BOUND = False
+
+
+def decode_tree_native(data, start_bit: int, max_nodes: int):
+    """Full MA-tree decode (jxlt_decode_tree): histogram set + node
+    stream in one call. Returns (nodes (n,7) int32, end_bit) or None
+    for the Python path."""
+    global _DEC_TREE_BOUND
+    if not available():
+        return None
+    import ctypes
+
+    lib = get_lib()
+    if not _DEC_TREE_BOUND:
+        lib.jxlt_decode_tree.restype = ctypes.c_int64
+        lib.jxlt_decode_tree.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
+        _DEC_TREE_BOUND = True
+    buf = np.frombuffer(data, np.uint8)
+    cap = 1 << 12
+    while True:
+        nodes = np.empty((cap, 7), np.int32)
+        end_bit = np.zeros(1, np.int64)
+        n = lib.jxlt_decode_tree(buf.ctypes.data, buf.size, start_bit,
+                                 max_nodes, nodes.ctypes.data, cap,
+                                 end_bit.ctypes.data)
+        if n == -3 and cap < (1 << 26):   # legal tree bigger than cap
+            cap *= 16
+            continue
+        if n < 0:
+            return None
+        return nodes[:n], int(end_bit[0])

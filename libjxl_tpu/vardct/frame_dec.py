@@ -486,7 +486,16 @@ class VarDCTFrameDecoder:
                          if self.num_histograms > 1 else 0)
         shift = self.fh.passes.shift[0] if self.fh.passes.shift else 0
         if n_threads <= 0:
-            n_threads = min(n, os.cpu_count() or 1)
+            import threading
+            if threading.current_thread() is not threading.main_thread():
+                # called from a stream-batch worker (decode_many /
+                # serving): the outer pool already owns the cores —
+                # nested std::thread fan-out thrashes (measured: 3
+                # workers x 4 inner threads dropped the host entropy
+                # stage from ~200 to 73 MP/s on a 4-core host)
+                n_threads = 1
+            else:
+                n_threads = min(n, os.cpu_count() or 1)
         err = lib.jxlt_ac_frame_decode(
             data.ctypes.data, offs.ctypes.data, lens.ctypes.data,
             start_bits.ctypes.data, n, gx0.ctypes.data, gy0.ctypes.data,

@@ -1717,3 +1717,416 @@ EXPORT int64_t jxlt_modular_generic_decode(
   }
   return src.bitpos;
 }
+
+// ---------------------------------------------------------------------------
+// DecodeHistograms (dec_ans.cc:295-340) as one native call: LZ77 params,
+// context map (dec_context_map.cc:48-95, incl. the nested single-context
+// ANS code + inverse MTF), per-cluster hybrid-uint configs and ANS
+// histograms (dec_ans.cc:58-191). Returns the end bit position, or a
+// negative error: -100 = feature needs the Python path (prefix codes /
+// nested LZ77), other negatives = corrupt stream (caller re-parses in
+// Python to raise the precise FormatError).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// logcount static prefix code (dec_ans.cc:110-125): 7-bit peek ->
+// (bits consumed, logcount+1). Index pattern repeats with period 16.
+static const uint8_t kLogBits[128] = {
+    3, 7, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 5, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 6, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 5, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 7, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 5, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 6, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4,
+    3, 5, 3, 4, 3, 3, 3, 4, 3, 4, 3, 4, 3, 3, 3, 4};
+static const uint8_t kLogSym[128] = {
+    10, 12, 7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 0,  7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 11, 7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 0,  7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 13, 7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 0,  7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 11, 7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2,
+    10, 0,  7, 3, 6, 8, 9, 5, 10, 4, 7, 1, 6, 8, 9, 2};
+
+static inline int64_t HdVarU8(AnsDec& r) {
+  if (r.Read(1)) {
+    int nb = (int)r.Read(3);
+    if (!nb) return 1;
+    return (int64_t)r.Read(nb) + ((int64_t)1 << nb);
+  }
+  return 0;
+}
+
+static inline int HdCeilLog2(int64_t x) {
+  int n = 0;
+  while (((int64_t)1 << n) < x) n++;
+  return n;
+}
+
+static int HdReadUintConfig(AnsDec& r, int log_alpha, int32_t* cfg3) {
+  int split = (int)r.Read(HdCeilLog2(log_alpha + 1));
+  int msb = 0, lsb = 0;
+  if (split != log_alpha) {
+    msb = (int)r.Read(HdCeilLog2(split + 1));
+    if (msb > split) return -1;
+    lsb = (int)r.Read(HdCeilLog2(split - msb + 1));
+  }
+  if (lsb + msb > split) return -1;
+  cfg3[0] = split;
+  cfg3[1] = msb;
+  cfg3[2] = lsb;
+  return 0;
+}
+
+static inline int HdPopPrecision(int logcount, int shift) {
+  int rr = shift - ((kAnsLogTabSize - logcount) >> 1);
+  if (logcount < rr) rr = logcount;
+  return rr > 0 ? rr : 0;
+}
+
+// Decode one histogram into counts[]; returns length (trailing zeros
+// possible) or negative on corruption. counts must hold >= 320 ints.
+static int64_t HdReadHistogram(AnsDec& r, int32_t* counts) {
+  const int64_t rng = (int64_t)1 << kAnsLogTabSize;
+  if (r.Read(1)) {  // simple
+    int n_sym = (int)r.Read(1) + 1;
+    int64_t syms[2] = {0, 0};
+    for (int i = 0; i < n_sym; ++i) syms[i] = HdVarU8(r);
+    int64_t len = (syms[0] > syms[1] ? syms[0] : syms[1]) + 1;
+    for (int64_t i = 0; i < len; ++i) counts[i] = 0;
+    if (n_sym == 1) {
+      counts[syms[0]] = (int32_t)rng;
+    } else {
+      if (syms[0] == syms[1]) return -1;
+      counts[syms[0]] = (int32_t)r.Read(kAnsLogTabSize);
+      counts[syms[1]] = (int32_t)(rng - counts[syms[0]]);
+    }
+    return len;
+  }
+  if (r.Read(1)) {  // flat
+    int64_t alpha = HdVarU8(r) + 1;
+    if (alpha > rng) return -1;
+    // CreateFlatHistogram semantics: evenly split 4096 over alpha
+    int64_t base = rng / alpha, rem = rng % alpha;
+    for (int64_t i = 0; i < alpha; ++i)
+      counts[i] = (int32_t)(base + (i < rem ? 1 : 0));
+    return alpha;
+  }
+  // general code
+  int upper = 0;
+  {
+    int64_t ub = kAnsLogTabSize + 1;
+    while ((1 << (upper + 1)) <= ub) upper++;  // floor(log2(13)) = 3
+  }
+  int log = 0;
+  while (log < upper) {
+    if (r.Read(1) == 0) break;
+    log++;
+  }
+  int64_t shift = (int64_t)(r.Read(log) | ((uint64_t)1 << log)) - 1;
+  if (shift > kAnsLogTabSize + 1) return -1;
+  int64_t length = HdVarU8(r) + 3;
+  if (length > 300) return -1;
+  int32_t logcounts[304];
+  int32_t same[304];
+  for (int64_t i = 0; i < length; ++i) {
+    logcounts[i] = 0;
+    same[i] = 0;
+  }
+  int omit_log = -1;
+  int64_t omit_pos = -1;
+  for (int64_t i = 0; i < length;) {
+    uint32_t idx;
+    {  // 7-bit peek (AnsDec has no Peek; read without advancing)
+      int64_t byte = r.bitpos >> 3;
+      uint64_t v = 0;
+      int64_t avail = r.nbytes - byte;
+      if (avail > 0) memcpy(&v, r.data + byte, avail >= 8 ? 8 : avail);
+      idx = (uint32_t)((v >> (r.bitpos & 7)) & 127);
+    }
+    int bits = kLogBits[idx];
+    int value = kLogSym[idx];
+    r.bitpos += bits;
+    logcounts[i] = value - 1;
+    if (logcounts[i] == kAnsLogTabSize) {
+      int64_t rle = HdVarU8(r);
+      same[i] = (int32_t)(rle + 5);
+      i += rle + 4;
+      continue;
+    }
+    if (logcounts[i] > omit_log) {
+      omit_log = logcounts[i];
+      omit_pos = i;
+    }
+    i++;
+  }
+  if (omit_pos < 0) return -1;
+  if (omit_pos + 1 < length && logcounts[omit_pos + 1] == kAnsLogTabSize)
+    return -1;
+  int64_t total = 0, prev = 0, numsame = 0;
+  for (int64_t i = 0; i < length; ++i) {
+    counts[i] = 0;
+    if (same[i]) {
+      numsame = same[i] - 1;
+      prev = i > 0 ? counts[i - 1] : 0;
+    }
+    if (numsame > 0) {
+      counts[i] = (int32_t)prev;
+      numsame--;
+    } else {
+      int code = logcounts[i];
+      if (i == omit_pos || code < 0) continue;
+      if (shift == 0 || code == 0) {
+        counts[i] = (int32_t)((int64_t)1 << code);
+      } else {
+        int bitcount = HdPopPrecision(code, (int)shift);
+        counts[i] = (int32_t)(((int64_t)1 << code) +
+                              ((int64_t)r.Read(bitcount)
+                               << (code - bitcount)));
+      }
+    }
+    total += counts[i];
+  }
+  int64_t om = rng - total;
+  if (om <= 0) return -1;
+  counts[omit_pos] = (int32_t)om;
+  return length;
+}
+
+}  // namespace
+
+// See header comment. Outputs:
+//   lz77_out[7]: enabled, min_symbol, min_length, len_cfg split/msb/lsb,
+//                distance_context
+//   ctx_map_out: num_contexts (+1 when LZ77) int32 entries
+//   info_out[2]: num_histograms, log_alpha_size
+//   uint_cfgs_out: 3 per histogram (<= 256 histograms)
+//   counts_out: 320 int32 per histogram (zero-padded)
+//   alpha_out: per-histogram alphabet length
+EXPORT int64_t jxlt_decode_histograms(
+    const uint8_t* data, int64_t nbytes, int64_t start_bit,
+    int64_t num_contexts, int32_t disallow_lz77, int32_t* lz77_out,
+    int32_t* ctx_map_out, int32_t* info_out, int32_t* uint_cfgs_out,
+    int32_t* counts_out, int32_t* alpha_out) {
+  AnsDec r{data, nbytes, start_bit, 0};
+  // ---- LZ77Params (dec_ans.cc LZ77Params::VisitFields) ----
+  int enabled = (int)r.Read(1);
+  int64_t min_symbol = 224, min_length = 3;
+  lz77_out[3] = lz77_out[4] = lz77_out[5] = 0;
+  if (enabled) {
+    if (disallow_lz77) return -2;
+    uint32_t sel = (uint32_t)r.Read(2);
+    min_symbol = sel == 0 ? 224
+                 : sel == 1 ? 512
+                 : sel == 2 ? 4096
+                            : (int64_t)r.Read(15) + 8;
+    sel = (uint32_t)r.Read(2);
+    min_length = sel == 0 ? 3
+                 : sel == 1 ? 4
+                 : sel == 2 ? (int64_t)r.Read(2) + 5
+                            : (int64_t)r.Read(8) + 9;
+    num_contexts += 1;
+    if (HdReadUintConfig(r, 8, lz77_out + 3) < 0) return -1;
+  }
+  lz77_out[0] = enabled;
+  lz77_out[1] = (int32_t)min_symbol;
+  lz77_out[2] = (int32_t)min_length;
+  // ---- context map (dec_context_map.cc:48-95) ----
+  int64_t num_histograms = 1;
+  if (num_contexts > 1) {
+    if (r.Read(1)) {  // simple
+      int bpe = (int)r.Read(2);
+      for (int64_t i = 0; i < num_contexts; ++i)
+        ctx_map_out[i] = bpe ? (int32_t)r.Read(bpe) : 0;
+    } else {
+      int use_mtf = (int)r.Read(1);
+      // nested single-context code
+      if (r.Read(1)) return -100;  // nested LZ77: python path
+      if (r.Read(1)) return -100;  // nested prefix code: python path
+      int n_log_alpha = (int)r.Read(2) + 5;
+      int32_t ncfg[3];
+      if (HdReadUintConfig(r, n_log_alpha, ncfg) < 0) return -1;
+      int32_t ncounts[320];
+      int64_t nlen = HdReadHistogram(r, ncounts);
+      if (nlen < 0) return -1;
+      if (nlen > ((int64_t)1 << n_log_alpha)) return -1;
+      std::vector<int32_t> nsym(4096), noff(4096),
+          nfreq((size_t)1 << n_log_alpha);
+      if (jxlt_build_alias_table(ncounts, nlen, n_log_alpha, nsym.data(),
+                                 noff.data(), nfreq.data()) < 0)
+        return -1;
+      r.state = (uint32_t)r.Read(32);
+      for (int64_t i = 0; i < num_contexts; ++i) {
+        uint32_t tok = r.ReadSym(nsym.data(), noff.data(), nfreq.data());
+        int64_t v;
+        uint32_t split = 1u << ncfg[0];
+        if (tok < split) {
+          v = tok;
+        } else {
+          int msb = ncfg[1], lsb = ncfg[2];
+          uint32_t nb = ncfg[0] - (msb + lsb) + ((tok - split) >> (msb + lsb));
+          if (nb > 31) return -1;
+          uint32_t low = tok & ((1u << lsb) - 1);
+          uint32_t t2 = tok >> lsb;
+          uint32_t extra = (uint32_t)r.Read((int)nb);
+          v = (int64_t)((((((1u << msb) | (t2 & ((1u << msb) - 1))) << nb) |
+                          extra)
+                         << lsb) |
+                        low);
+        }
+        if (v >= 256) return -1;
+        ctx_map_out[i] = (int32_t)v;
+      }
+      if (r.state != (0x13u << 16)) return -1;
+      if (use_mtf) {
+        uint8_t mtf[256];
+        for (int i = 0; i < 256; ++i) mtf[i] = (uint8_t)i;
+        for (int64_t i = 0; i < num_contexts; ++i) {
+          int idx = ctx_map_out[i];
+          uint8_t v = mtf[idx];
+          ctx_map_out[i] = v;
+          for (int j = idx; j > 0; --j) mtf[j] = mtf[j - 1];
+          mtf[0] = v;
+        }
+      }
+    }
+    int32_t mx = 0;
+    uint8_t used[256] = {0};
+    for (int64_t i = 0; i < num_contexts; ++i) {
+      if (ctx_map_out[i] < 0 || ctx_map_out[i] > 255) return -1;
+      used[ctx_map_out[i]] = 1;
+      if (ctx_map_out[i] > mx) mx = ctx_map_out[i];
+    }
+    num_histograms = mx + 1;
+    for (int64_t i = 0; i < num_histograms; ++i)
+      if (!used[i]) return -1;  // incomplete context map
+  } else {
+    ctx_map_out[0] = 0;
+  }
+  lz77_out[6] = ctx_map_out[num_contexts - 1];
+  // ---- code tables ----
+  if (r.Read(1)) return -100;  // prefix codes: python path
+  int log_alpha = (int)r.Read(2) + 5;
+  info_out[0] = (int32_t)num_histograms;
+  info_out[1] = log_alpha;
+  for (int64_t h = 0; h < num_histograms; ++h)
+    if (HdReadUintConfig(r, log_alpha, uint_cfgs_out + 3 * h) < 0)
+      return -1;
+  const int64_t max_alpha = (int64_t)1 << log_alpha;
+  for (int64_t h = 0; h < num_histograms; ++h) {
+    int32_t* cts = counts_out + 320 * h;
+    for (int i = 0; i < 320; ++i) cts[i] = 0;
+    int64_t len = HdReadHistogram(r, cts);
+    if (len < 0) return -1;
+    if (len > max_alpha) return -1;
+    alpha_out[h] = (int32_t)len;
+  }
+  if (r.overflow) return -1;
+  return r.bitpos;
+}
+
+// ---------------------------------------------------------------------------
+// Full MA-tree decode (dec_ma.cc:107-182): histogram set (6 tree
+// contexts) + the ANS-coded node stream, one native call. Fills
+// nodes_out rows of [property, splitval, lchild/context, rchild,
+// predictor, offset, multiplier]; returns node count (>=0) with
+// *end_bit_out set, or negative (-100 = python path needed).
+// ---------------------------------------------------------------------------
+EXPORT int64_t jxlt_decode_tree(const uint8_t* data, int64_t nbytes,
+                                int64_t start_bit, int64_t max_nodes,
+                                int32_t* nodes_out, int64_t cap_nodes,
+                                int64_t* end_bit_out) {
+  const int64_t kNumTreeCtx = 6;
+  int32_t lz77[7];
+  int32_t ctx_map[8];
+  int32_t info[2];
+  std::vector<int32_t> cfgs(3 * 256);
+  std::vector<int32_t> counts(320 * 256);
+  std::vector<int32_t> alphas(256);
+  int64_t hist_end = jxlt_decode_histograms(
+      data, nbytes, start_bit, kNumTreeCtx, /*disallow_lz77=*/0,
+      lz77, ctx_map, info, cfgs.data(), counts.data(), alphas.data());
+  if (hist_end < 0) return hist_end;
+  if (lz77[0]) return -100;  // LZ77-coded tree: python path (windowed)
+  int num_histo = info[0];
+  int log_alpha = info[1];
+  std::vector<int32_t> sym((size_t)num_histo * 4096),
+      off((size_t)num_histo * 4096),
+      freq((size_t)num_histo << log_alpha);
+  for (int h = 0; h < num_histo; ++h) {
+    if (jxlt_build_alias_table(counts.data() + 320 * h, alphas[h],
+                               log_alpha, sym.data() + (size_t)h * 4096,
+                               off.data() + (size_t)h * 4096,
+                               freq.data() + ((size_t)h << log_alpha)) < 0)
+      return -1;
+  }
+  AnsDec r{data, nbytes, hist_end, 0};
+  r.state = (uint32_t)r.Read(32);
+  auto read_uint = [&](int ctx) -> int64_t {
+    int h = ctx_map[ctx];
+    uint32_t tok =
+        r.ReadSym(sym.data() + (size_t)h * 4096,
+                  off.data() + (size_t)h * 4096,
+                  freq.data() + ((size_t)h << log_alpha));
+    const int32_t* c3 = cfgs.data() + 3 * h;
+    uint32_t split = 1u << c3[0];
+    if (tok < split) return tok;
+    int msb = c3[1], lsb = c3[2];
+    uint32_t nb = c3[0] - (msb + lsb) + ((tok - split) >> (msb + lsb));
+    if (nb > 31) return -1;
+    uint32_t low = tok & ((1u << lsb) - 1);
+    uint32_t t2 = tok >> lsb;
+    uint32_t extra = (uint32_t)r.Read((int)nb);
+    return (int64_t)((((((1u << msb) | (t2 & ((1u << msb) - 1))) << nb) |
+                       extra)
+                      << lsb) |
+                     low);
+  };
+  int64_t n = 0, leaf_id = 0, to_decode = 1;
+  while (to_decode > 0) {
+    if (n >= cap_nodes && n <= max_nodes) return -3;  // grow buffer
+    if (n > max_nodes || r.overflow) return -1;
+    to_decode--;
+    int64_t prop1 = read_uint(1);  // K_PROPERTY_CTX
+    if (prop1 < 0 || prop1 > 256) return -1;
+    int32_t* row = nodes_out + 7 * n;
+    if (prop1 == 0) {  // leaf
+      int64_t pred = read_uint(2);         // K_PREDICTOR_CTX
+      if (pred < 0 || pred >= 16) return -1;
+      int64_t uoff = read_uint(3);         // K_OFFSET_CTX
+      if (uoff < 0) return -1;
+      int64_t offset = (uoff & 1) ? -((uoff + 1) >> 1) : (uoff >> 1);
+      int64_t mlog = read_uint(4);         // K_MULTIPLIER_LOG_CTX
+      if (mlog < 0 || mlog >= 31) return -1;
+      int64_t mbits = read_uint(5);        // K_MULTIPLIER_BITS_CTX
+      if (mbits < 0 || mbits >= (((int64_t)1 << (31 - mlog)) - 1))
+        return -1;
+      row[0] = -1;
+      row[1] = 0;
+      row[2] = (int32_t)leaf_id++;
+      row[3] = 0;
+      row[4] = (int32_t)pred;
+      row[5] = (int32_t)offset;
+      row[6] = (int32_t)((mbits + 1) << mlog);
+    } else {
+      int64_t usv = read_uint(0);          // K_SPLITVAL_CTX
+      if (usv < 0) return -1;
+      int64_t sv = (usv & 1) ? -((usv + 1) >> 1) : (usv >> 1);
+      row[0] = (int32_t)(prop1 - 1);
+      row[1] = (int32_t)sv;
+      row[2] = (int32_t)(n + to_decode + 1);
+      row[3] = (int32_t)(n + to_decode + 2);
+      row[4] = 0;
+      row[5] = 0;
+      row[6] = 1;
+      to_decode += 2;
+    }
+    n++;
+  }
+  if (r.state != (0x13u << 16)) return -1;
+  *end_bit_out = r.bitpos;
+  return n;
+}
