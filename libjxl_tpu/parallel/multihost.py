@@ -107,3 +107,56 @@ def _band_section_count(fd, dcy: int) -> int:
     """Sections one DC row band contributes (DC groups + AC groups)."""
     gys = min(fd.ysize_groups, dcy * 8 + 8) - dcy * 8
     return fd.xsize_dc_groups + gys * fd.xsize_groups
+
+
+def encode_lossy_multihost(pixels, options=None) -> bytes | None:
+    """Multi-host VarDCT encode over DCN: each process encodes its
+    round-robin share of DC-group row bands with the band-local
+    streaming layout (vardct/frame_enc.encode_lossy_streaming — per-band
+    AC histogram sets, enc_frame.cc:2074), and one ragged allgather
+    moves the section bytes + per-band entropy codes to process 0,
+    which writes headers, the merged ACGlobal and the permuted TOC.
+    Byte-identical to the single-process streaming encode."""
+    import pickle
+
+    import jax
+
+    from libjxl_tpu.core.geometry import FrameDimensions
+    from libjxl_tpu.vardct.frame_enc import (
+        LossyOptions, _lossy_band_sections, _merged_stream_ac_global,
+        _stream_assemble, _stream_headers_and_frame,
+        _streaming_lossy_check,
+    )
+
+    options = options or LossyOptions()
+    pixels = np.asarray(pixels)
+    _streaming_lossy_check(pixels, options)
+    pid, nproc = jax.process_index(), jax.process_count()
+    bw, fd = _stream_headers_and_frame(pixels, options)
+    nbands = fd.ysize_dc_groups
+    sel_bits = (nbands - 1).bit_length() if nbands > 1 else 0
+    mine: list[bytes] = []
+    for dcy in range(nbands):
+        if dcy % nproc != pid:
+            continue
+        res = _lossy_band_sections(pixels, dcy, options, sel_bits)
+        mine.append(pickle.dumps(
+            (dcy, res["sections"], res["num_dc_groups"], res["codes"]),
+            protocol=4))
+    gathered = _process_allgather_bytes(mine)
+    if pid != 0:
+        return None
+    by_band = {}
+    for rows in gathered:
+        for blob in rows:
+            dcy, secs, nb_dc, codes = pickle.loads(blob)
+            by_band[dcy] = (secs, nb_dc, codes)
+    dc_global = by_band[0][0][0]
+    band_secs = []
+    codes_list = []
+    for dcy in range(nbands):
+        secs, nb_dc, codes = by_band[dcy]
+        band_secs.append((secs[1:1 + nb_dc], secs[2 + nb_dc:]))
+        codes_list.append(codes)
+    ac_global = _merged_stream_ac_global(codes_list, fd)
+    return _stream_assemble(bw, fd, dc_global, ac_global, band_secs)

@@ -110,6 +110,12 @@ class LossyOptions:
     _is_last = True              # frame-level: last frame in codestream
     _duration = 0                # frame duration in animation ticks
     _emit_headers = True         # False: emit only the frame sections
+    _stream_sel = None           # (sel, nbits): AC-group histogram-set
+                                 # selector for the streaming per-band
+                                 # histogram layout (enc_frame.cc:2074)
+    _sections_only = False       # internal: return the raw section
+                                 # list + entropy codes (the streaming/
+                                 # multi-host band producer)
 
 
 def _epf_iters_for(d: float, decoding_speed: int) -> int:
@@ -1094,7 +1100,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             write_entropy_codes(sw, codes_per_pass[p])
 
     def ac_group(sw: BitWriter, g: int, p: int = 0) -> None:
-        # histogram selector: 0 bits (num_histograms == 1)
+        # histogram selector (dec_frame.cc:481): 0 bits when
+        # num_histograms == 1; the streaming band layout passes the
+        # band's set index + the full-frame selector width
+        if options._stream_sel is not None:
+            sel, sel_bits = options._stream_sel
+            if sel_bits:
+                sw.write(sel_bits, sel)
         t = group_tokens[p][g]
         arr = t if isinstance(t, np.ndarray) else \
             tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
@@ -1132,7 +1144,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         _stats.record(parts[-1][1], sw.bits_written - b0)
         return sw.to_bytes()
 
-    single = fd.num_groups == 1 and num_passes == 1
+    single = (fd.num_groups == 1 and num_passes == 1 and
+              not options._sections_only)
     if single:
         # one section: DCGlobal | DCGroup | ACGlobal | ACGroup, continuous
         # bits, padded only at the very end (enc_frame.cc:1489-1492).
@@ -1150,6 +1163,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             for g in range(fd.num_groups):
                 sections.append(section(
                     (lambda sw, g=g, p=p: ac_group(sw, g, p), "ac")))
+
+    if options._sections_only:
+        # streaming/multi-host band producer: hand back the per-section
+        # bytes + this band's entropy codes; the caller assembles the
+        # frame (headers, merged AC global, permuted TOC)
+        return dict(sections=sections, codes=codes_per_pass[0],
+                    num_dc_groups=fd.num_dc_groups,
+                    num_groups=fd.num_groups)
 
     toc0 = bw.bits_written
     if options.group_order == 1 and len(sections) > 1:
@@ -1729,3 +1750,174 @@ def _tokenize_block(toks, qcoef, order, nz, bx, by, bctx: BlockCtxMap,
         left -= prev
         if left == 0:
             break
+
+
+def _lossy_band_sections(pixels, dcy: int, options, sel_bits: int):
+    """Produce one DC-group row band's self-contained sections
+    (streaming VarDCT; enc_frame.cc:2045-2160). Returns the dict from
+    encode_lossy(_sections_only): band DCGlobal + DC-group sections +
+    band ACGlobal (discarded) + AC-group sections, plus the band's
+    entropy codes. All products are block/tile-local at effort <= 4,
+    so encoding the cropped band equals the full-frame restriction."""
+    import copy
+    band = np.asarray(pixels[dcy * 2048:(dcy + 1) * 2048])
+    o = copy.copy(options)
+    o._sections_only = True
+    o._stream_sel = (dcy, sel_bits)
+    o._emit_headers = False
+    return encode_lossy(band, o)
+
+
+def _merged_stream_ac_global(codes_list, fd) -> bytes:
+    """ACGlobal with one histogram SET per DC-group row band
+    (enc_frame.cc:2074 shared.num_histograms): the per-band cluster
+    tables are concatenated and the context map covers
+    num_sets * num_ac_contexts contexts; each AC group section selects
+    its band's set with the TOC-independent selector bits."""
+    from libjxl_tpu.entropy.ans import (
+        EntropyEncodingData, write_entropy_codes,
+    )
+    from libjxl_tpu.vardct.coeff_order import encode_coeff_orders
+
+    sw = BitWriter()
+    sw.write(1, 1)                       # dequant matrices all default
+    nbits = max((fd.num_groups - 1).bit_length(), 0)
+    if nbits:
+        sw.write(nbits, len(codes_list) - 1)
+    encode_coeff_orders(sw, 0, {})       # natural orders (e<=4 tiers)
+    merged = EntropyEncodingData()
+    merged.use_prefix_code = False
+    merged.log_alpha_size = 8
+    merged.histo_shift = codes_list[0].histo_shift
+    cm = []
+    base = 0
+    for c in codes_list:
+        cm.append(np.asarray(c.context_map, np.int64) + base)
+        merged.counts.extend(c.counts)
+        merged.uint_configs.extend(c.uint_configs)
+        base += c.num_histograms
+    if base > 255:
+        raise ValueError("merged cluster count exceeds 256; lower "
+                         "max_clusters or band count")
+    merged.context_map = np.concatenate(cm).astype(np.int32)
+    merged.num_histograms = base
+    write_entropy_codes(sw, merged)
+    sw.zero_pad_to_byte()
+    return sw.to_bytes()
+
+
+def _streaming_lossy_check(pixels, options) -> None:
+    if options.effort > 4:
+        raise ValueError("streaming VarDCT encode supports effort <= 4 "
+                         "(band-local heuristics); got effort "
+                         f"{options.effort}")
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or \
+            pixels.dtype != np.uint8:
+        raise ValueError("streaming VarDCT encode expects (h, w, 3) "
+                         "uint8")
+    if options.use_device or options.resampling not in (0, 1) or \
+            options.progressive or options.progressive_ac or \
+            options.qprogressive_ac or options.progressive_dc or \
+            options.noise is not None or options.splines is not None:
+        raise ValueError("streaming VarDCT encode: unsupported option")
+
+
+def _stream_headers_and_frame(pixels, options):
+    """Codestream headers + frame header bits for the streaming layout;
+    mirrors encode_lossy's header branch for the supported option set."""
+    from libjxl_tpu.core.headers import (
+        CustomTransformData, ImageMetadata, SizeHeader, write_bundle,
+        write_signature,
+    )
+
+    h, w, _ = pixels.shape
+    bw = BitWriter()
+    meta = ImageMetadata(xyb_encoded=True,
+                         bit_depth=BitDepth(bits_per_sample=8),
+                         color_encoding=(options.color_encoding or
+                                         ColorEncoding.srgb(gray=False)))
+    write_signature(bw)
+    size = SizeHeader()
+    size.set(w, h)
+    write_bundle(bw, size)
+    write_bundle(bw, meta)
+    ctd = CustomTransformData()
+    ctd.xyb_encoded = True
+    write_bundle(bw, ctd)
+    bw.zero_pad_to_byte()
+    meta.nonserialized_xsize = w
+    meta.nonserialized_ysize = h
+    d = max(options.distance, 0.01)
+    fh = FrameHeader(encoding=FrameEncoding.VARDCT,
+                     color_transform=ColorTransform.XYB)
+    fh.is_last = True
+    x_qm_scale = 3
+    for step in (2.5, 5.5, 9.5):
+        if d > step:
+            x_qm_scale += 1
+    fh.x_qm_scale = x_qm_scale
+    fh.loop_filter.gab = False           # effort <= 4: no gaborish
+    fh.loop_filter.epf_iters = options.epf if options.epf >= 0 \
+        else _epf_iters_for(d, options.faster_decoding)
+    fh.visit(FieldWriter(bw), meta)
+    return bw, FrameDimensions(w, h, 256)
+
+
+def _stream_assemble(bw, fd, dc_global: bytes, ac_global: bytes,
+                     band_secs: list) -> bytes:
+    """TOC permutation (ComputePermutationForStreaming,
+    enc_frame.cc:1867) + section bytes: file order is [DCGlobal,
+    ACGlobal, band 0 sections, band 1 sections, ...]."""
+    from libjxl_tpu.core.toc import write_toc_permuted
+
+    num_dc = fd.num_dc_groups
+    n_sections = 2 + num_dc + fd.num_groups
+    perm = np.zeros(n_sections, np.int64)
+    file_sections = [dc_global, ac_global]
+    perm[0] = 0
+    perm[1 + num_dc] = 1
+    pos = 2
+    for dcy, (dcs, acs) in enumerate(band_secs):
+        for dcx, sec in enumerate(dcs):
+            perm[1 + dcy * fd.xsize_dc_groups + dcx] = pos
+            file_sections.append(sec)
+            pos += 1
+        g0 = dcy * 8 * fd.xsize_groups
+        for i, sec in enumerate(acs):
+            perm[2 + num_dc + g0 + i] = pos
+            file_sections.append(sec)
+            pos += 1
+    write_toc_permuted(bw, [len(s) for s in file_sections], perm)
+    out = bytearray(bw.to_bytes())
+    for s in file_sections:
+        out.extend(s)
+    return bytes(out)
+
+
+def encode_lossy_streaming(pixels: np.ndarray,
+                           options: LossyOptions | None = None) -> bytes:
+    """Spec streaming VarDCT encode (EncodeFrameStreaming,
+    enc_frame.cc:2045): DC-group row bands are encoded independently
+    with per-band AC histogram sets, laid out band-major behind a
+    Lehmer-coded TOC permutation. Encoder pixel state is bounded by one
+    2048-row band; the output of the multi-host sharded encoder
+    (parallel/multihost.encode_lossy_multihost) is byte-identical."""
+    options = options or LossyOptions()
+    pixels = np.asarray(pixels)
+    _streaming_lossy_check(pixels, options)
+    bw, fd = _stream_headers_and_frame(pixels, options)
+    nbands = fd.ysize_dc_groups
+    sel_bits = (nbands - 1).bit_length() if nbands > 1 else 0
+    dc_global = None
+    band_secs = []
+    codes_list = []
+    for dcy in range(nbands):
+        res = _lossy_band_sections(pixels, dcy, options, sel_bits)
+        secs = res["sections"]
+        nb_dc = res["num_dc_groups"]
+        if dcy == 0:
+            dc_global = secs[0]
+        band_secs.append((secs[1:1 + nb_dc], secs[2 + nb_dc:]))
+        codes_list.append(res["codes"])
+    ac_global = _merged_stream_ac_global(codes_list, fd)
+    return _stream_assemble(bw, fd, dc_global, ac_global, band_secs)

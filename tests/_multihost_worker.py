@@ -1,6 +1,7 @@
 """Subprocess worker for the multi-host (DCN) encode test: one JAX
 process in a 2-process Gloo cluster, encoding its share of DC-group
-bands (usage: _multihost_worker.py <port> <pid> <nproc> <out_path>)."""
+bands (usage: _multihost_worker.py <port> <pid> <nproc> <out_path>
+[vardct])."""
 import os
 import sys
 
@@ -23,11 +24,24 @@ from libjxl_tpu.parallel.multihost import (  # noqa: E402
     encode_lossless_multihost,
 )
 
+mode = sys.argv[5] if len(sys.argv) > 5 else "lossless"
 rng = np.random.default_rng(11)
-img = np.clip(np.cumsum(rng.integers(-2, 3, (2048 + 300, 320, 3)),
-                        axis=1), 0, 255).astype(np.uint8)
-opts = EncodeOptions(effort=2, group_size_shift=0)
-out = encode_lossless_multihost(img, opts)
+if mode == "vardct":
+    from libjxl_tpu.parallel.multihost import (
+        encode_lossy_multihost,
+    )
+    from libjxl_tpu.vardct.frame_enc import LossyOptions
+    yy, xx = np.mgrid[0:2048 + 300, 0:320]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 16, (2348, 320, 3))
+           ).clip(0, 255).astype(np.uint8)
+    out = encode_lossy_multihost(img, LossyOptions(distance=1.0,
+                                                   effort=3))
+else:
+    img = np.clip(np.cumsum(rng.integers(-2, 3, (2048 + 300, 320, 3)),
+                            axis=1), 0, 255).astype(np.uint8)
+    opts = EncodeOptions(effort=2, group_size_shift=0)
+    out = encode_lossless_multihost(img, opts)
 if pid == 0:
     with open(out_path, "wb") as f:
         f.write(out)

@@ -47,3 +47,47 @@ def test_two_process_dcn_encode_byte_identical(tmp_path):
     multi = out_path.read_bytes()
     assert multi == single
     assert np.array_equal(decode(multi), img)
+
+
+def test_two_process_dcn_vardct_encode_byte_identical(tmp_path):
+    """Multi-host VarDCT (VERDICT r4 next #6): the DC-group-band
+    streaming schedule with per-band AC histogram sets
+    (enc_frame.cc:2045, :2074) sharded over a REAL 2-process
+    jax.distributed cluster is byte-identical to the single-process
+    streaming encode, and the stream decodes (ours + system libjxl)."""
+    from libjxl_tpu.api.decoder import decode
+    from libjxl_tpu.vardct.frame_enc import (
+        LossyOptions, encode_lossy_streaming,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:2048 + 300, 0:320]
+    img = (np.stack([xx % 256, yy % 256, (xx + yy) % 256], -1)
+           + rng.integers(0, 16, (2348, 320, 3))
+           ).clip(0, 255).astype(np.uint8)
+    single = encode_lossy_streaming(img, LossyOptions(distance=1.0,
+                                                      effort=3))
+
+    port = _free_port()
+    out_path = tmp_path / "mh_vardct.jxl"
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(p), "2", str(out_path),
+         "vardct"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+    multi = out_path.read_bytes()
+    assert multi == single
+    dec = decode(multi)
+    assert dec.shape == img.shape
+    from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
+    if oracle_available():
+        ref = oracle_decode(multi).pixels
+        assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
