@@ -772,12 +772,22 @@ def _trim_back(a: np.ndarray) -> np.ndarray:
     return a[:nz[-1] + 1] if nz.size else a[:0]
 
 
+_UINT_SEARCH_CANDIDATES = (
+    # ChooseUintConfigs (enc_ans.cc:745-770) kBest subset that covers
+    # the shapes seen in AC/modular streams; every candidate keeps the
+    # 8-bit ANS alphabet
+    (4, 2, 0), (4, 1, 0), (4, 2, 1), (4, 1, 2), (5, 2, 0), (5, 1, 0),
+    (3, 2, 0), (2, 0, 1), (0, 0, 0), (7, 0, 0),
+)
+
+
 def build_entropy_codes(token_arrays, num_contexts: int,
                         use_prefix_code: bool = False,
                         allow_clustering: bool = True,
                         lz77: LZ77Params | None = None,
                         histo_shift: int = 13,
-                        max_clusters: int = 64) -> EntropyEncodingData:
+                        max_clusters: int = 64,
+                        uint_search: bool = False) -> EntropyEncodingData:
     """Histograms + (trivial) clustering from token streams.
 
     token_arrays: list of (N,2) arrays of (context, value) pairs.
@@ -821,6 +831,51 @@ def build_entropy_codes(token_arrays, num_contexts: int,
     codes.context_map = context_map.astype(np.int32)
     codes.num_histograms = len(clustered)
     codes.uint_configs = [cfg] * codes.num_histograms
+    if uint_search and not use_prefix_code and not lz_on:
+        # per-cluster hybrid-uint config search (ChooseUintConfigs,
+        # enc_ans.cc:712-870): re-tokenize each cluster's values under
+        # a small candidate set, score entropy + raw bits + a histogram
+        # header estimate, keep the winner. The decode side reads one
+        # config per histogram, so this is free format-wise.
+        nz_arrays = [a for a in token_arrays if a.size]
+        if nz_arrays:
+            ctx_all = np.concatenate([a[:, 0] for a in nz_arrays])
+            val_all = np.concatenate([a[:, 1] for a in nz_arrays]
+                                     ).astype(np.uint32)
+            clus = context_map[ctx_all]
+            order = np.argsort(clus, kind="stable")
+            sv = val_all[order]
+            sc = clus[order]
+            bounds = np.searchsorted(sc, np.arange(len(clustered) + 1))
+            clustered = [np.asarray(h, np.int64) for h in clustered]
+            for h in range(len(clustered)):
+                vals = sv[bounds[h]:bounds[h + 1]]
+                if vals.size < 64:
+                    continue
+                best = None
+                for t3 in _UINT_SEARCH_CANDIDATES:
+                    c = HybridUintConfig(*t3)
+                    tok, nb, _ = c.encode_array(vals)
+                    if tok.size and int(tok.max()) >= 256:
+                        continue
+                    hist = np.bincount(tok, minlength=1)
+                    # exact coded cost: ANS bits under the NORMALIZED
+                    # histogram + raw bits + the real histogram header
+                    norm = np.asarray(normalize_counts(
+                        _trim_back(hist.astype(np.int64))), np.float64)
+                    nzm = hist[:len(norm)] > 0
+                    ans_bits = float(-(hist[:len(norm)][nzm] *
+                                       np.log2(norm[nzm] /
+                                               ANS_TAB_SIZE)).sum())
+                    hw = BitWriter()
+                    write_histogram(hw, [int(x) for x in norm],
+                                    shift=histo_shift)
+                    cost = ans_bits + float(nb.sum()) + hw.bits_written
+                    if best is None or cost < best[0]:
+                        best = (cost, c, hist)
+                if best is not None:
+                    codes.uint_configs[h] = best[1]
+                    clustered[h] = best[2]
     codes.log_alpha_size = alpha_bits if not use_prefix_code else \
         PREFIX_MAX_BITS
     if not use_prefix_code:
@@ -959,7 +1014,19 @@ def write_tokens(w: BitWriter, tokens: np.ndarray,
     ctxs = tokens[:, 0].astype(np.int64)
     histos = codes.context_map[ctxs]
     cfg = codes.uint_configs[0]
-    toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
+    if any(c != cfg for c in codes.uint_configs):
+        # per-cluster hybrid-uint configs (ChooseUintConfigs result)
+        toks = np.empty(n, np.int32)
+        nbits = np.empty(n, np.int32)
+        bits = np.empty(n, np.uint32)
+        for h in np.unique(histos):
+            m = histos == h
+            t_, n_, b_ = _tokenize_rows(tokens[m],
+                                        codes.uint_configs[int(h)],
+                                        codes.lz77)
+            toks[m], nbits[m], bits[m] = t_, n_, b_
+    else:
+        toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
     if codes.use_prefix_code:
         # table-lookup form: pad per-histogram depth/bits tables to a
         # rectangle, then one fancy-indexed gather per stream

@@ -809,7 +809,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
          for t in group_tokens[p]],
         num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
         histo_shift=11,
-        max_clusters=6 if options.faster_decoding >= 1 else 24)
+        max_clusters=6 if options.faster_decoding >= 1 else 24,
+        uint_search=options.effort >= 4)
         for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
@@ -1317,6 +1318,13 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         orig_lin = np.clip(xyb_to_linear(
             np.asarray(aux["opsin"], np.float64)), 0.0, 1.0)
     orig_f32 = np.asarray(orig_lin, np.float32)
+    # NB: the reference runs FindBestQuantization only at kitten (e8+)
+    # (enc_adaptive_quantization.cc:1282 speed_tier <= kKitten); we keep
+    # 2 iterations at e7 deliberately — measured BD-rate vs libjxl e7
+    # flips from ~-2% (match-or-beat gate) to +4.4% on photos with 1
+    # iteration and +4.8% with none, and the BASELINE quality target
+    # outranks the per-image latency cost (the device loop makes an
+    # iteration ~0.1 s, models/vardct_loop)
     iters = (6 if options.effort >= 11 else 5 if options.effort >= 10
              else 4 if options.effort >= 9 else 2)
     # use_device: the whole iteration body (requantize + recon + filter
