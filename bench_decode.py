@@ -96,7 +96,9 @@ def bench_decode_host_entropy_mpps() -> float:
     _device_decode_inputs(data)       # warm: native build
     n = 24
     dt = float("inf")
-    nw = os.cpu_count() or 4
+    # 3 workers on this 4-core host: the 4th core serves the native
+    # inner loops' memory traffic; more workers thrash (measured)
+    nw = min(3, os.cpu_count() or 3)
     for _ in range(3):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(nw) as ex:

@@ -217,3 +217,4 @@ def build_block_ctx_map(distance: float, raw_quant: np.ndarray,
     b.ctx_map = ctx_map
     b.num_ctxs = max(ctx_map) + 1
     return b
+
