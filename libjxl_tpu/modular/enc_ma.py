@@ -354,6 +354,28 @@ def learn_tree_streams(streams, max_leaves: int = 64,
     pidx = np.arange(n_pred)[:, None]
     alphabet = 1 + (int(tok_mat.max()) if tok_mat.size else 0)
 
+    if _have_wp():
+        # native greedy learner (jxlt_tree_learn): same presorted-CART
+        # search, ~20-50x the numpy version on DC-stream-sized inputs
+        from libjxl_tpu.utils import native
+        props_mat = np.stack([props[p] for p in split_props])
+        res = native.tree_learn(tok_mat, nb_mat, props_mat,
+                                int(max_leaves))
+        if res is not None:
+            t_prop, t_sval, t_child, t_pred = res
+            nodes = []
+            leaf_id = 0
+            for i in range(len(t_prop)):
+                if t_prop[i] < 0:
+                    nodes.append(TreeNode(-1, 0, leaf_id, 0,
+                                          cand[int(t_pred[i])], 0, 1))
+                    leaf_id += 1
+                else:
+                    nodes.append(TreeNode(
+                        split_props[int(t_prop[i])], int(t_sval[i]),
+                        int(t_child[i]), int(t_child[i]) + 1, 0, 0, 1))
+            return nodes
+
     # x*log2(x) table: entropy*n of a histogram is xl[tot] - sum xl[c];
     # a table gather replaces millions of tiny log2 evaluations
     _ar = np.arange(1, n_samp + 1, dtype=np.float64)

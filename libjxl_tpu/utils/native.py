@@ -718,3 +718,46 @@ def decode_tree_native(data, start_bit: int, max_nodes: int):
         if n < 0:
             return None
         return nodes[:n], int(end_bit[0])
+
+
+def tree_learn(tok_mat: np.ndarray, nb_mat: np.ndarray,
+               props_mat: np.ndarray, max_leaves: int):
+    """Native greedy MA-tree learner (enc_ma.cc ComputeBestTree class).
+
+    tok_mat/nb_mat: (n_pred, N) int32 token ids / raw-bit counts per
+    candidate predictor; props_mat: (n_props, N) int32 property values
+    in split-prop order. Returns (prop_idx, splitval, child, pred_idx)
+    int32 arrays in the decode BFS layout, or None.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_tree_learn_bound"):
+        lib.jxlt_tree_learn.restype = ctypes.c_int64
+        lib.jxlt_tree_learn.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.jxlt_tree_learn_bound = True
+    tok_mat = np.ascontiguousarray(tok_mat, dtype=np.int32)
+    nb_mat = np.ascontiguousarray(nb_mat, dtype=np.int32)
+    props_mat = np.ascontiguousarray(props_mat, dtype=np.int32)
+    n_pred, n = tok_mat.shape
+    n_props = props_mat.shape[0]
+    alphabet = int(tok_mat.max()) + 1 if n else 1
+    cap = 4 * max_leaves + 2
+    out_prop = np.empty(cap, np.int32)
+    out_sval = np.empty(cap, np.int32)
+    out_child = np.empty(cap, np.int32)
+    out_pred = np.empty(cap, np.int32)
+    cnt = lib.jxlt_tree_learn(
+        tok_mat.ctypes.data, nb_mat.ctypes.data, props_mat.ctypes.data,
+        n, n_pred, n_props, alphabet, max_leaves,
+        out_prop.ctypes.data, out_sval.ctypes.data,
+        out_child.ctypes.data, out_pred.ctypes.data)
+    if cnt < 0:
+        return None
+    return (out_prop[:cnt], out_sval[:cnt], out_child[:cnt],
+            out_pred[:cnt])

@@ -31,6 +31,7 @@ from libjxl_tpu.modular.codec import GroupHeader, modular_encode
 from libjxl_tpu.modular.image import Channel, ModularImage
 from libjxl_tpu.modular.predict import PREDICTOR_GRADIENT, PREDICTOR_ZERO
 from libjxl_tpu.modular.tree import TreeNode
+from libjxl_tpu.utils import prof
 from libjxl_tpu.utils.bits import BitWriter
 from libjxl_tpu.vardct.ac_context import BlockCtxMap, zero_density_context
 from libjxl_tpu.vardct.ac_strategy import natural_order
@@ -216,6 +217,14 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     else:
         raise ValueError("lossy encoder expects uint8/uint16/float input")
 
+    if options.effort >= 7 and not options._in_iteration:
+        # butteraugli-iterated refinement (FindBestQuantization,
+        # enc_adaptive_quantization.cc:929-1115): delegate BEFORE any
+        # front-end compute — the iterated driver's first pass redoes
+        # (and caches) every pixel-derived product, so work done here
+        # would be thrown away (~0.4 s/frame of device fetches at e7)
+        return _encode_lossy_iterated(pixels, options)
+
     from libjxl_tpu.vardct.adaptive_quant import (
         adaptive_quant_field, compute_global_scale_and_quant,
         compute_scale_from_quant, initial_quant_dc,
@@ -350,11 +359,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # one dispatch (models/vardct_heuristics.front_device)
         from libjxl_tpu.models.vardct_heuristics import front_device
         from libjxl_tpu.utils.device import device_put_fast
-        qf_d, xyb_p_d, pre_gab_d = front_device(
-            device_put_fast(pixels[:, :, :3]), float(d), bool(use_gab),
-            h=h, w=w, yb=yb, xb=xb)
-        dev_qf = np.asarray(qf_d)
-        xyb_p = np.asarray(xyb_p_d, np.float64)
+        with prof.stage("front_dispatch"):
+            qf_d, xyb_p_d, pre_gab_d = front_device(
+                device_put_fast(pixels[:, :, :3]), float(d), bool(use_gab),
+                h=h, w=w, yb=yb, xb=xb)
+        with prof.stage("front_fetch"):
+            # fetch f32 THEN widen: np.asarray(dev, np.float64) routes
+            # through a slow elementwise path (~33 MB/s vs the 166 MB/s
+            # relay); a raw fetch + host astype is ~4x faster
+            dev_qf = np.asarray(qf_d)
+            xyb_p = np.asarray(xyb_p_d).astype(np.float64)
         xyb_pre_gab = None          # AQ field already computed on device
         if aux is not None:
             # keep the DEVICE handle: every consumer (EPF candidate
@@ -386,11 +400,6 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     # ---- quantization field (enc_heuristics.cc:1091-1130) ---------------
     quant_dc_f = initial_quant_dc(d)
-    if options.effort >= 7 and not options._in_iteration:
-        # butteraugli-iterated refinement (FindBestQuantization,
-        # enc_adaptive_quantization.cc:929-1115): encode/decode roundtrips
-        # with the JAX butteraugli diffmap steering the field
-        return _encode_lossy_iterated(pixels, options)
     if options.qf_override is not None:
         from libjxl_tpu.vardct.adaptive_quant import \
             compute_global_scale_and_quant
@@ -570,16 +579,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                         strat += [5, 10, 11]
                     if try_64:
                         strat += [18, 19, 20]
-                    grids = acs_grids_device(
-                        y_dev, raw_quant, matrices, quantizer, d,
-                        tuple(strat))
+                    with prof.stage("acs_grids_dev"):
+                        grids = acs_grids_device(
+                            y_dev, raw_quant, matrices, quantizer, d,
+                            tuple(strat))
                 # the 8x8 special transforms are tried at hare (e5) and
                 # slower in the reference (enc_ac_strategy.cc:855
                 # `speed_tier > kHare -> return`)
-                acs_map, acs_anchors, raw_quant = choose_acs(
-                    xyb_p, raw_quant, matrices, quantizer, d,
-                    try_small=options.effort >= 5,
-                    try_64=try_64, try_32=try_32, grids=grids)
+                with prof.stage("acs_choose"):
+                    acs_map, acs_anchors, raw_quant = choose_acs(
+                        xyb_p, raw_quant, matrices, quantizer, d,
+                        try_small=options.effort >= 5,
+                        try_64=try_64, try_32=try_32, grids=grids)
             qac = quantizer.scale * raw_quant.astype(np.float64)
         else:
             acs_map = np.zeros((yb, xb), np.int32)
@@ -637,11 +648,13 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
             cc = aux.setdefault("coef_cache", {}) \
                 if aux is not None and options._in_iteration else None
-            blocks, dc_float_acs = transform_all(
-                xyb_p, acs_map, acs_anchors, raw_quant, matrices, quantizer,
-                x_qm_mul, coef_cache=cc)
-            finish_chroma(blocks, dc_float_acs, fx_full, fb_full, x_qm_mul,
-                          quantizer)
+            with prof.stage("transform_all"):
+                blocks, dc_float_acs = transform_all(
+                    xyb_p, acs_map, acs_anchors, raw_quant, matrices,
+                    quantizer, x_qm_mul, coef_cache=cc)
+            with prof.stage("finish_chroma"):
+                finish_chroma(blocks, dc_float_acs, fx_full, fb_full,
+                              x_qm_mul, quantizer)
         if use_acs:
             # per-block quantization lives in blocks (finish_chroma);
             # the whole-frame DCT8 q_ac would be dead work here
@@ -781,15 +794,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         if used_orders:
             orders.update({b: o for b, o in custom_orders.items()
                            if b in orders})
-        for gy in range(fd.ysize_groups):
-            for gx in range(fd.xsize_groups):
-                g = gy * fd.xsize_groups + gx
-                by0, bx0 = gy * gdb, gx * gdb
-                gh = min(gdb, yb - by0)
-                gw = min(gdb, xb - bx0)
-                group_tokens[0][g] = tokenize_varblocks_group(
-                    blocks, acs_map, acs_anchors, orders, bctx,
-                    raw_quant, by0, bx0, gh, gw)
+        with prof.stage("tokenize"):
+            for gy in range(fd.ysize_groups):
+                for gx in range(fd.xsize_groups):
+                    g = gy * fd.xsize_groups + gx
+                    by0, bx0 = gy * gdb, gx * gdb
+                    gh = min(gdb, yb - by0)
+                    gw = min(gdb, xb - bx0)
+                    group_tokens[0][g] = tokenize_varblocks_group(
+                        blocks, acs_map, acs_anchors, orders, bctx,
+                        raw_quant, by0, bx0, gh, gw)
     else:
         for p in range(num_passes):
             qp = q_passes[p]
@@ -803,15 +817,16 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                         qp[by0:by0 + gh, bx0:bx0 + gw], order, bctx,
                         raw_quant[by0:by0 + gh, bx0:bx0 + gw])
 
-    codes_per_pass = [build_entropy_codes(
-        [t if isinstance(t, np.ndarray) else
-         tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
-         for t in group_tokens[p]],
-        num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
-        histo_shift=11,
-        max_clusters=6 if options.faster_decoding >= 1 else 24,
-        uint_search=options.effort >= 4)
-        for p in range(num_passes)]
+    with prof.stage("entropy_codes"):
+        codes_per_pass = [build_entropy_codes(
+            [t if isinstance(t, np.ndarray) else
+             tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
+             for t in group_tokens[p]],
+            num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
+            histo_shift=11,
+            max_clusters=6 if options.faster_decoding >= 1 else 24,
+            uint_search=options.effort >= 4)
+            for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
@@ -1063,7 +1078,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             tasks += [(_learn_dc_tree, g)
                       for g in range(fd.num_dc_groups)]
         if len(tasks) > 1:
-            with ThreadPoolExecutor(min(8, len(tasks))) as ex:
+            with prof.stage("dc_trees"), \
+                    ThreadPoolExecutor(min(8, len(tasks))) as ex:
                 list(ex.map(lambda t: t[0](t[1]), tasks))
 
     def dc_group(sw: BitWriter, g: int) -> None:
@@ -1138,7 +1154,8 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         sw = BitWriter()
         for fn, layer in parts:
             b0 = sw.bits_written
-            fn(sw)
+            with prof.stage("sec_" + layer):
+                fn(sw)
             _stats.record(layer, sw.bits_written - b0)
         b0 = sw.bits_written
         sw.zero_pad_to_byte()
@@ -1147,23 +1164,25 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
 
     single = (fd.num_groups == 1 and num_passes == 1 and
               not options._sections_only)
-    if single:
-        # one section: DCGlobal | DCGroup | ACGlobal | ACGroup, continuous
-        # bits, padded only at the very end (enc_frame.cc:1489-1492).
-        sections = [section((dc_global, "quant"),
-                            (lambda sw: dc_group(sw, 0), "dc"),
-                            (ac_global, "ac_histogram"),
-                            (lambda sw: ac_group(sw, 0), "ac"))]
-    else:
-        sections = [section((dc_global, "quant"))]
-        for g in range(fd.num_dc_groups):
-            sections.append(section(
-                (lambda sw, g=g: dc_group(sw, g), "dc")))
-        sections.append(section((ac_global, "ac_histogram")))
-        for p in range(num_passes):
-            for g in range(fd.num_groups):
+    with prof.stage("write_sections"):
+        if single:
+            # one section: DCGlobal | DCGroup | ACGlobal | ACGroup,
+            # continuous bits, padded only at the very end
+            # (enc_frame.cc:1489-1492).
+            sections = [section((dc_global, "quant"),
+                                (lambda sw: dc_group(sw, 0), "dc"),
+                                (ac_global, "ac_histogram"),
+                                (lambda sw: ac_group(sw, 0), "ac"))]
+        else:
+            sections = [section((dc_global, "quant"))]
+            for g in range(fd.num_dc_groups):
                 sections.append(section(
-                    (lambda sw, g=g, p=p: ac_group(sw, g, p), "ac")))
+                    (lambda sw, g=g: dc_group(sw, g), "dc")))
+            sections.append(section((ac_global, "ac_histogram")))
+            for p in range(num_passes):
+                for g in range(fd.num_groups):
+                    sections.append(section(
+                        (lambda sw, g=g, p=p: ac_group(sw, g, p), "ac")))
 
     if options._sections_only:
         # streaming/multi-host band producer: hand back the per-section
@@ -1295,7 +1314,7 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     base._recon_only = True
     # first pass computes the field + ACS; qf_override then pins ACS-
     # adjusted values (choose_acs maxing already mirrors AdjustQuantField)
-    with _stats.suppress():
+    with prof.stage("first_pass"), _stats.suppress():
         encode_lossy(pixels, base)
     state = aux.pop("recon_state")
     if state["has_features"]:
@@ -1339,10 +1358,11 @@ def _encode_lossy_iterated(pixels: np.ndarray,
         ls = LoopState(state, aux, orig_f32, float(options.distance),
                        x_qm_mul, h, w)
     for i in range(iters):
-        if ls is not None:
-            sums = ls.block_sums(qf)
-        else:
-            sums = roundtrip_block_sums(state, orig_f32, h, w)
+        with prof.stage("loop_iter"):
+            if ls is not None:
+                sums = ls.block_sums(qf)
+            else:
+                sums = roundtrip_block_sums(state, orig_f32, h, w)
         tile = _tile_dist_map(None, aux["acs"], aux["anchors"],
                               h_w=(h, w), sums=sums)
         from libjxl_tpu.utils import debug as _dbg
@@ -1377,21 +1397,23 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     # change coefficients, so the single emit below carries it
     field = None
     if options.distance >= 0.5:
-        if ls is not None:
-            from libjxl_tpu.models.vardct_loop import state_lf
-            xyb_pre, rdec = ls.recon_prefilter(qf)
-            lf = state_lf(state)
-        else:
-            xyb_pre, rdec, lf = reconstruct_prefilter(state)
-        field = _epf_sharpness_search_state(
-            xyb_pre, rdec, lf, aux.get("opsin"), options.distance)
+        with prof.stage("epf_search"):
+            if ls is not None:
+                from libjxl_tpu.models.vardct_loop import state_lf
+                xyb_pre, rdec = ls.recon_prefilter(qf)
+                lf = state_lf(state)
+            else:
+                xyb_pre, rdec, lf = reconstruct_prefilter(state)
+            field = _epf_sharpness_search_state(
+                xyb_pre, rdec, lf, aux.get("opsin"), options.distance)
     emit = copy.copy(options)
     emit.qf_override = qf
     emit._aux = aux
     emit._in_iteration = True
     if field is not None:
         emit._sharpness_field = field
-    return encode_lossy(pixels, emit)
+    with prof.stage("final_emit"):
+        return encode_lossy(pixels, emit)
 
 
 def _encode_lossy_iterated_legacy(pixels: np.ndarray,

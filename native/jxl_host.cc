@@ -2130,3 +2130,303 @@ EXPORT int64_t jxlt_decode_tree(const uint8_t* data, int64_t nbytes,
   *end_bit_out = r.bitpos;
   return n;
 }
+
+// ---------------------------------------------------------------------------
+// MA-tree greedy learner (reference: enc_ma.cc ComputeBestTree/FindBestSplit).
+//
+// Exact port of the numpy learner in modular/enc_ma.py (learn_tree_streams
+// greedy phase): presorted-CART with per-leaf contiguous ranges in every
+// property's sort order, quantile candidate thresholds, entropy+rawbits cost
+// batched over the candidate predictor set, penalty 96 bits per split.
+// Inputs are the learner's sample matrices; Python maps property/predictor
+// indices back to ids and builds the TreeNode list.
+
+namespace tree_learn {
+
+struct Leaf {
+  int64_t a, b;          // contiguous range in every sorted-index array
+  double cost;           // best_pred cost
+  int pred;              // best predictor (index into candidate set)
+  double gain;           // best split gain (-inf when none)
+  int sprop;             // best split property (index)
+  int64_t sval;          // best split threshold
+  int left = -1, right = -1;   // children (index into pool), -1 = leaf
+  int prop = -1;               // chosen split prop once split
+  int64_t splitval = 0;
+};
+
+static inline double ent_term(int64_t c) {
+  return c > 0 ? (double)c * std::log2((double)c) : 0.0;
+}
+
+struct Ctx {
+  const int32_t* tok;      // (n_pred, n)
+  const int32_t* nbits;    // (n_pred, n)
+  const int32_t* props;    // (n_props, n)
+  int64_t n;
+  int n_pred, n_props, alphabet;
+  std::vector<std::vector<int32_t>> sorted;  // per prop: sample indices
+  std::vector<int32_t> scratch;              // partition scratch
+};
+
+static void best_pred(Ctx& C, Leaf& L) {
+  int64_t m = L.b - L.a;
+  std::vector<int64_t> hist((size_t)C.n_pred * C.alphabet, 0);
+  std::vector<int64_t> nbsum(C.n_pred, 0);
+  const int32_t* s0 = C.sorted[0].data() + L.a;
+  for (int64_t i = 0; i < m; i++) {
+    int32_t s = s0[i];
+    for (int k = 0; k < C.n_pred; k++) {
+      hist[(size_t)k * C.alphabet + C.tok[(size_t)k * C.n + s]]++;
+      nbsum[k] += C.nbits[(size_t)k * C.n + s];
+    }
+  }
+  double best = 0.0;
+  int bestk = 0;
+  for (int k = 0; k < C.n_pred; k++) {
+    double tot = 0, e = 0;
+    for (int a = 0; a < C.alphabet; a++) {
+      int64_t c = hist[(size_t)k * C.alphabet + a];
+      tot += (double)c;
+      e += ent_term(c);
+    }
+    double cost = ent_term((int64_t)tot) - e + (double)nbsum[k];
+    if (k == 0 || cost < best) { best = cost; bestk = k; }
+  }
+  L.cost = best;
+  L.pred = bestk;
+}
+
+static const double kQFrac[9] = {0.06, 0.12, 0.25, 0.37, 0.50,
+                                 0.63, 0.75, 0.88, 0.94};
+
+static void best_split(Ctx& C, Leaf& L) {
+  L.gain = -1.0;  // sentinel: no split (python uses gain>0 gate)
+  int64_t m = L.b - L.a;
+  if (m < 256) return;
+  std::vector<int32_t> svals(m);
+  std::vector<int64_t> qs;
+  std::vector<int64_t> cuts;
+  int np_ = C.n_pred;
+  int A = C.alphabet;
+  // hist: (n_pred, nseg, alphabet); nseg <= 10
+  std::vector<int64_t> hist;
+  std::vector<int64_t> nbseg;
+  bool have_best = false;
+  double best_gain = 0.0;
+  int best_prop = -1;
+  int64_t best_sv = 0;
+  for (int p = 0; p < C.n_props; p++) {
+    const int32_t* sp = C.sorted[p].data() + L.a;
+    const int32_t* pv = C.props + (size_t)p * C.n;
+    for (int64_t i = 0; i < m; i++) svals[i] = pv[sp[i]];
+    // candidate thresholds: quantiles (linear interp on sorted values,
+    // truncated toward zero), adjacent-unique
+    qs.clear();
+    for (int j = 0; j < 9; j++) {
+      double qpos = (double)(m - 1) * kQFrac[j];
+      int64_t flo = (int64_t)std::floor(qpos);
+      double frac = qpos - (double)flo;
+      int64_t fhi = flo + 1 < m ? flo + 1 : m - 1;
+      double qv = (double)svals[flo] * (1.0 - frac) +
+                  (double)svals[fhi] * frac;
+      int64_t qi = (int64_t)qv;  // trunc toward zero (matches .astype)
+      if (qs.empty() || qi != qs.back()) qs.push_back(qi);
+    }
+    int q = (int)qs.size();
+    cuts.assign(q, 0);
+    bool any_valid = false;
+    for (int j = 0; j < q; j++) {
+      // count of svals <= qs[j]  (searchsorted right)
+      int64_t lo = 0, hi = m;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((int64_t)svals[mid] <= qs[j]) lo = mid + 1; else hi = mid;
+      }
+      cuts[j] = lo;
+      if (lo >= 64 && m - lo >= 64) any_valid = true;
+    }
+    if (!any_valid) continue;
+    int nseg = q + 1;
+    hist.assign((size_t)np_ * nseg * A, 0);
+    nbseg.assign((size_t)np_ * nseg, 0);
+    {
+      int seg = 0;
+      for (int64_t i = 0; i < m; i++) {
+        while (seg < q && i >= cuts[seg]) seg++;
+        int32_t s = sp[i];
+        for (int k = 0; k < np_; k++) {
+          hist[((size_t)k * nseg + seg) * A + C.tok[(size_t)k * C.n + s]]++;
+          nbseg[(size_t)k * nseg + seg] += C.nbits[(size_t)k * C.n + s];
+        }
+      }
+    }
+    // prefix over segments; score each threshold k: right = cum[:k],
+    // left = total - right
+    for (int k = 1; k < nseg; k++) {
+      for (int pr = 0; pr < np_; pr++) {
+        nbseg[(size_t)pr * nseg + k] += nbseg[(size_t)pr * nseg + k - 1];
+        int64_t* h0 = hist.data() + ((size_t)pr * nseg + k - 1) * A;
+        int64_t* h1 = hist.data() + ((size_t)pr * nseg + k) * A;
+        for (int a = 0; a < A; a++) h1[a] += h0[a];
+      }
+    }
+    double gk_best = 0.0;
+    int64_t sv_best = 0;
+    bool have_k = false;
+    for (int j = 0; j < q; j++) {
+      if (!(cuts[j] >= 64 && m - cuts[j] >= 64)) continue;
+      double cr_min = 0, cl_min = 0;
+      for (int pr = 0; pr < np_; pr++) {
+        const int64_t* le = hist.data() + ((size_t)pr * nseg + j) * A;
+        const int64_t* tot = hist.data() + ((size_t)pr * nseg + nseg - 1) * A;
+        double tr = 0, er = 0, tl = 0, el = 0;
+        for (int a = 0; a < A; a++) {
+          int64_t c = le[a];
+          int64_t cg = tot[a] - c;
+          tr += (double)c; er += ent_term(c);
+          tl += (double)cg; el += ent_term(cg);
+        }
+        double nr = (double)nbseg[(size_t)pr * nseg + j];
+        double nl = (double)nbseg[(size_t)pr * nseg + nseg - 1] - nr;
+        double cr = ent_term((int64_t)tr) - er + nr;
+        double cl = ent_term((int64_t)tl) - el + nl;
+        if (pr == 0 || cr < cr_min) cr_min = cr;
+        if (pr == 0 || cl < cl_min) cl_min = cl;
+      }
+      double gain = L.cost - (cl_min + cr_min) - 96.0;
+      // argmax over thresholds, first max wins (python np.argmax)
+      if (!have_k || gain > gk_best) { have_k = true; gk_best = gain;
+                                       sv_best = qs[j]; }
+    }
+    if (have_k && gk_best > 0.0 &&
+        (!have_best || gk_best > best_gain)) {
+      have_best = true;
+      best_gain = gk_best;
+      best_prop = p;
+      best_sv = sv_best;
+    }
+  }
+  if (have_best) { L.gain = best_gain; L.sprop = best_prop;
+                   L.sval = best_sv; }
+}
+
+}  // namespace tree_learn
+
+// Returns node count (<= 2*max_leaves-1) or -1. Outputs per node:
+//   out_prop: split property INDEX (into the caller's prop list), -1 = leaf
+//   out_sval: split threshold
+//   out_child: left-child node index (right = left+1), 0 for leaves
+//   out_pred: predictor INDEX (into the caller's candidate list), 0 internal
+EXPORT int64_t jxlt_tree_learn(
+    const int32_t* tok, const int32_t* nbits, const int32_t* props,
+    int64_t n, int32_t n_pred, int32_t n_props, int32_t alphabet,
+    int32_t max_leaves, int32_t* out_prop, int32_t* out_sval,
+    int32_t* out_child, int32_t* out_pred) {
+  using namespace tree_learn;
+  if (n <= 0 || n_pred <= 0 || n_props <= 0 || alphabet <= 0) return -1;
+  Ctx C;
+  C.tok = tok; C.nbits = nbits; C.props = props;
+  C.n = n; C.n_pred = n_pred; C.n_props = n_props; C.alphabet = alphabet;
+  C.sorted.resize(n_props);
+  {
+    // initial per-property sorts (value order; ties arbitrary — segment
+    // content only depends on values), parallel across properties
+    int nt = (int)std::min<int64_t>(4, n_props);
+    std::atomic<int> next(0);
+    auto work = [&]() {
+      int p;
+      while ((p = next.fetch_add(1)) < n_props) {
+        auto& v = C.sorted[p];
+        v.resize(n);
+        for (int64_t i = 0; i < n; i++) v[i] = (int32_t)i;
+        const int32_t* pv = props + (size_t)p * n;
+        std::sort(v.begin(), v.end(),
+                  [pv](int32_t x, int32_t y) { return pv[x] < pv[y]; });
+      }
+    };
+    std::vector<std::thread> th;
+    for (int t = 1; t < nt; t++) th.emplace_back(work);
+    work();
+    for (auto& t : th) t.join();
+  }
+  C.scratch.resize(n);
+
+  std::vector<Leaf> pool;
+  pool.reserve(2 * max_leaves);
+  pool.push_back(Leaf{0, n, 0, 0, -1.0, -1, 0});
+  best_pred(C, pool[0]);
+  best_split(C, pool[0]);
+  std::vector<int> leaves = {0};
+  while ((int)leaves.size() < max_leaves) {
+    int bi = -1;
+    double bg = 0.0;
+    for (int li : leaves) {
+      if (pool[li].gain > 0.0 && (bi < 0 || pool[li].gain > bg)) {
+        bi = li; bg = pool[li].gain;
+      }
+    }
+    if (bi < 0) break;
+    Leaf& L = pool[bi];
+    int p = L.sprop;
+    int64_t sv = L.sval;
+    // stable partition every property's range: prop > sv first (lchild)
+    const int32_t* pv = C.props + (size_t)p * C.n;
+    int64_t mid = 0;
+    for (int pp = 0; pp < C.n_props; pp++) {
+      int32_t* arr = C.sorted[pp].data();
+      int64_t w0 = L.a;          // write ptr: left side
+      int64_t nr = 0;            // right count in scratch
+      for (int64_t i = L.a; i < L.b; i++) {
+        int32_t s = arr[i];
+        if ((int64_t)pv[s] > sv) arr[w0++] = s;
+        else C.scratch[nr++] = s;
+      }
+      std::memcpy(arr + w0, C.scratch.data(), nr * sizeof(int32_t));
+      mid = w0;
+    }
+    int il = (int)pool.size();
+    // NOTE: pool may reallocate; re-reference L afterwards
+    pool.push_back(Leaf{pool[bi].a, mid, 0, 0, -1.0, -1, 0});
+    pool.push_back(Leaf{mid, pool[bi].b, 0, 0, -1.0, -1, 0});
+    pool[bi].left = il;
+    pool[bi].right = il + 1;
+    pool[bi].prop = p;
+    pool[bi].splitval = sv;
+    best_pred(C, pool[il]);
+    best_pred(C, pool[il + 1]);
+    best_split(C, pool[il]);
+    best_split(C, pool[il + 1]);
+    // python: leaves.remove(leaf); leaves += [left, right]
+    for (size_t i = 0; i < leaves.size(); i++) {
+      if (leaves[i] == bi) { leaves.erase(leaves.begin() + i); break; }
+    }
+    leaves.push_back(il);
+    leaves.push_back(il + 1);
+  }
+
+  // BFS serialization (decode layout, dec_ma.cc:107-159)
+  std::vector<int> queue = {0};
+  size_t qh = 0;
+  int64_t count = 0;
+  while (qh < queue.size()) {
+    int ni = queue[qh++];
+    const Leaf& L = pool[ni];
+    if (L.left < 0) {
+      out_prop[count] = -1;
+      out_sval[count] = 0;
+      out_child[count] = 0;
+      out_pred[count] = L.pred;
+    } else {
+      int64_t base = count + (int64_t)(queue.size() - qh) + 1;
+      out_prop[count] = L.prop;
+      out_sval[count] = (int32_t)L.splitval;
+      out_child[count] = (int32_t)base;
+      out_pred[count] = 0;
+      queue.push_back(L.left);
+      queue.push_back(L.right);
+    }
+    count++;
+  }
+  return count;
+}
