@@ -803,11 +803,19 @@ def build_entropy_codes(token_arrays, num_contexts: int,
     eff_contexts = num_contexts + 1 if lz_on else num_contexts
     max_token = 0
     flats = []
+    tok_cache: dict = {}
+    codes._tok_cache = tok_cache
+    codes._tok_cache_cfg = cfg
     for arr in token_arrays:
         if arr.size == 0:
             continue
         ctx = arr[:, 0]
-        tok, _, _ = _tokenize_rows(arr, cfg, codes.lz77)
+        tok, nb_, bits_ = _tokenize_rows(arr, cfg, codes.lz77)
+        # keep the default-config tokenization for write_tokens: the
+        # same arrays come back for emission and re-tokenizing them was
+        # ~10% of the e3 host tail (cache is valid only while every
+        # cluster keeps cfg; uint_search invalidates it below)
+        tok_cache[id(arr)] = (arr, tok, nb_, bits_)
         if tok.size:
             max_token = max(max_token, int(tok.max()))
         flats.append(ctx * (1 << alpha_bits) + tok)
@@ -852,10 +860,19 @@ def build_entropy_codes(token_arrays, num_contexts: int,
                 vals = sv[bounds[h]:bounds[h + 1]]
                 if vals.size < 64:
                     continue
+                # big clusters: score candidates on an even subsample
+                # (the decision is a distribution property; 1/k sampling
+                # changes the per-candidate cost estimate by ~k noise on
+                # a 2^16 population but never flips a >0.5% winner), then
+                # re-tokenize only the WINNER at full size for the
+                # histogram the stream is actually coded with
+                search_vals = vals if vals.size <= (1 << 15) else \
+                    vals[::(vals.size >> 15) + 1]
+                sfac = vals.size / search_vals.size
                 best = None
                 for t3 in _UINT_SEARCH_CANDIDATES:
                     c = HybridUintConfig(*t3)
-                    tok, nb, _ = c.encode_array(vals)
+                    tok, nb, _ = c.encode_array(search_vals)
                     if tok.size and int(tok.max()) >= 256:
                         continue
                     hist = np.bincount(tok, minlength=1)
@@ -870,11 +887,19 @@ def build_entropy_codes(token_arrays, num_contexts: int,
                     hw = BitWriter()
                     write_histogram(hw, [int(x) for x in norm],
                                     shift=histo_shift)
-                    cost = ans_bits + float(nb.sum()) + hw.bits_written
+                    cost = sfac * (ans_bits + float(nb.sum())) + \
+                        hw.bits_written
                     if best is None or cost < best[0]:
                         best = (cost, c, hist)
                 if best is not None:
                     codes.uint_configs[h] = best[1]
+                    if sfac > 1.0:
+                        tok, _, _ = best[1].encode_array(vals)
+                        if tok.size and int(tok.max()) >= 256:
+                            codes.uint_configs[h] = cfg
+                            continue
+                        best = (best[0], best[1], np.bincount(
+                            tok, minlength=1))
                     clustered[h] = best[2]
     codes.log_alpha_size = alpha_bits if not use_prefix_code else \
         PREFIX_MAX_BITS
@@ -1026,7 +1051,15 @@ def write_tokens(w: BitWriter, tokens: np.ndarray,
                                         codes.lz77)
             toks[m], nbits[m], bits[m] = t_, n_, b_
     else:
-        toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
+        cached = getattr(codes, "_tok_cache", {}).get(id(tokens))
+        # the cache holds the DEFAULT-config tokenization; a uniform
+        # uint_search winner changes uint_configs[0] without tripping
+        # the per-cluster branch above, so re-check the config
+        if cached is not None and cached[0] is tokens and \
+                cfg == getattr(codes, "_tok_cache_cfg", None):
+            toks, nbits, bits = cached[1], cached[2], cached[3]
+        else:
+            toks, nbits, bits = _tokenize_rows(tokens, cfg, codes.lz77)
     if codes.use_prefix_code:
         # table-lookup form: pad per-histogram depth/bits tables to a
         # rectangle, then one fancy-indexed gather per stream

@@ -143,20 +143,11 @@ def _frame_body(pixels_u8, qac, inv_qac, table, thres_y, thres_xb,
     return q_ac, q_dc, ytox.astype(jnp.int32), ytob.astype(jnp.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
-def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
-                              thres_xb, mul_dc, h: int, w: int, yb: int,
-                              xb: int, x_qm_mul: float):
-    """Full e<=4 VarDCT encode compute as ONE fused XLA program
-    (see _frame_body). The host receives only the small integer
-    outputs (quantized AC/DC and the CfL maps) packed into a single
-    sparse payload, and runs context modeling + entropy coding.
-
-    pixels_u8: (h, w, 3) uint8 sRGB.  qac/inv_qac: (yb, xb) f32 AC
-    quant/dequant steps. table: (3, 64) dequant weights (stored
-    layout); thres_*: (64,) dead-zone thresholds. mul_dc: (3,) DC
-    steps."""
+def _frame_full(pixels_u8, qac, inv_qac, table, thres_y, thres_xb,
+                mul_dc, h: int, w: int, yb: int, xb: int,
+                x_qm_mul: float):
+    """_frame_body + single-payload packing (shared by the one-image
+    and batched entry points)."""
     q_ac, q_dc, ytox, ytob = _frame_body(
         pixels_u8, qac, inv_qac, table, thres_y, thres_xb, mul_dc,
         h, w, yb, xb, x_qm_mul)
@@ -191,6 +182,44 @@ def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
         jax.lax.bitcast_convert_type(u16, jnp.uint8).reshape(-1)])
     dense16 = jnp.clip(q_ac, -32768, 32767).reshape(-1).astype(jnp.int16)
     return packed, dense16
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
+def encode_lossy_frame_device(pixels_u8, qac, inv_qac, table, thres_y,
+                              thres_xb, mul_dc, h: int, w: int, yb: int,
+                              xb: int, x_qm_mul: float):
+    """Full e<=4 VarDCT encode compute as ONE fused XLA program
+    (see _frame_body). The host receives only the small integer
+    outputs (quantized AC/DC and the CfL maps) packed into a single
+    sparse payload, and runs context modeling + entropy coding.
+
+    pixels_u8: (h, w, 3) uint8 sRGB.  qac/inv_qac: (yb, xb) f32 AC
+    quant/dequant steps. table: (3, 64) dequant weights (stored
+    layout); thres_*: (64,) dead-zone thresholds. mul_dc: (3,) DC
+    steps."""
+    return _frame_full(pixels_u8, qac, inv_qac, table, thres_y,
+                       thres_xb, mul_dc, h, w, yb, xb, x_qm_mul)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "yb", "xb", "x_qm_mul"))
+def encode_lossy_frame_device_batch(pixels_u8_b, qac, inv_qac, table,
+                                    thres_y, thres_xb, mul_dc, h: int,
+                                    w: int, yb: int, xb: int,
+                                    x_qm_mul: float):
+    """Batched e<=4 VarDCT encode: ONE dispatch + ONE payload fetch for
+    a whole same-shape image batch (serving path). Per-image dispatch
+    costs ~60 ms of relay round-trips on the dev link; vmapping the
+    fused program amortizes that to one h2d + one d2h per batch.
+
+    pixels_u8_b: (B, h, w, 3) uint8. qac/inv_qac are shared across the
+    batch (the e<=4 quant field is constant). Returns
+    (packed (B, L) u8, dense16 (B, N) i16)."""
+    def one(px):
+        return _frame_full(px, qac, inv_qac, table, thres_y, thres_xb,
+                           mul_dc, h, w, yb, xb, x_qm_mul)
+    return jax.vmap(one)(pixels_u8_b)
 
 
 def encode_lossy_frame_device_sharded(pixels: np.ndarray,

@@ -805,17 +805,18 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                         blocks, acs_map, acs_anchors, orders, bctx,
                         raw_quant, by0, bx0, gh, gw)
     else:
-        for p in range(num_passes):
-            qp = q_passes[p]
-            for gy in range(fd.ysize_groups):
-                for gx in range(fd.xsize_groups):
-                    g = gy * fd.xsize_groups + gx
-                    by0, bx0 = gy * gdb, gx * gdb
-                    gh = min(gdb, yb - by0)
-                    gw = min(gdb, xb - bx0)
-                    group_tokens[p][g] = _tokenize_group_dct8(
-                        qp[by0:by0 + gh, bx0:bx0 + gw], order, bctx,
-                        raw_quant[by0:by0 + gh, bx0:bx0 + gw])
+        with prof.stage("tokenize"):
+            for p in range(num_passes):
+                qp = q_passes[p]
+                for gy in range(fd.ysize_groups):
+                    for gx in range(fd.xsize_groups):
+                        g = gy * fd.xsize_groups + gx
+                        by0, bx0 = gy * gdb, gx * gdb
+                        gh = min(gdb, yb - by0)
+                        gw = min(gdb, xb - bx0)
+                        group_tokens[p][g] = _tokenize_group_dct8(
+                            qp[by0:by0 + gh, bx0:bx0 + gw], order, bctx,
+                            raw_quant[by0:by0 + gh, bx0:bx0 + gw])
 
     with prof.stage("entropy_codes"):
         codes_per_pass = [build_entropy_codes(
@@ -1630,6 +1631,44 @@ def encode_lossy_many(images, options: LossyOptions | None = None,
     if not images:
         return []
     if options is not None and options.use_device:
+        # single-dispatch batch: same-shape uint8 images at the falcon
+        # tier run the fused program vmapped — ONE h2d + ONE payload
+        # fetch for the whole batch (each per-image dispatch costs
+        # ~60 ms of dev-relay round trips)
+        d_eff = max(options.distance, 0.01)
+        resample_one = (int(options.resampling) == 1 or
+                        (int(options.resampling) <= 0 and d_eff < 10.0))
+        batchable = (
+            len(images) > 1 and options.effort <= 4 and
+            options.color_encoding is None and
+            not isinstance(options.noise, str) and
+            options.qf_override is None and resample_one and
+            len({im.shape for im in images}) == 1 and
+            images[0].dtype == np.uint8 and images[0].shape[2] == 3)
+        if batchable:
+            from libjxl_tpu.models.vardct_pipeline import \
+                encode_lossy_frame_device_batch
+            from libjxl_tpu.utils.device import device_put_fast
+            s = _falcon_device_scalars(images[0].shape, options)
+            (qac_f, inv_qac_f, table, th_y, th_xb, mul_dc,
+             h, w, yb, xb, x_qm_mul) = s
+            px = np.stack(images)
+            packed_b, dense_b = encode_lossy_frame_device_batch(
+                device_put_fast(px), device_put_fast(qac_f),
+                device_put_fast(inv_qac_f), device_put_fast(table),
+                device_put_fast(th_y), device_put_fast(th_xb),
+                device_put_fast(mul_dc), h=h, w=w, yb=yb, xb=xb,
+                x_qm_mul=x_qm_mul)
+            stacked = np.asarray(packed_b)
+
+            def _finish_b(args):
+                i, im = args
+                o = copy.copy(options)
+                o._predispatched = (stacked[i], dense_b[i])
+                return encode_lossy(im, o)
+
+            with ThreadPoolExecutor(max(1, workers)) as ex:
+                return list(ex.map(_finish_b, enumerate(images)))
         disp = copy.copy(options)
         disp._dispatch_only = True
         pending = [encode_lossy(im, disp) for im in images]
@@ -1662,6 +1701,46 @@ def encode_lossy_many(images, options: LossyOptions | None = None,
             return list(ex.map(_finish, zip(images, pending)))
     with ThreadPoolExecutor(max(1, workers)) as ex:
         return list(ex.map(lambda im: encode_lossy(im, options), images))
+
+
+def _falcon_device_scalars(shape, options: LossyOptions):
+    """The e<=4 device program's image-independent inputs (constant
+    quant field): (qac, inv_qac, table, thres_y, thres_xb, mul_dc,
+    h, w, yb, xb, x_qm_mul). Must mirror the encode_lossy e<=4 branch
+    exactly — the per-image host finish recomputes them and the two
+    must agree."""
+    from libjxl_tpu.vardct.adaptive_quant import (
+        compute_scale_from_quant, initial_quant_dc,
+    )
+    h, w = shape[:2]
+    d = max(options.distance, 0.01)
+    fd = FrameDimensions(w, h, 256)
+    yb, xb = fd.ysize_blocks, fd.xsize_blocks
+    quant_dc_f = initial_quant_dc(d)
+    qf_field = np.full((yb, xb), 0.70 / d, np.float32)
+    global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
+        quant_dc_f, 0.70 / d, qf_field)
+    quantizer = Quantizer(global_scale, quant_dc_int)
+    matrices = DequantMatrices()
+    x_qm_scale = 3
+    for step in (2.5, 5.5, 9.5):
+        if d > step:
+            x_qm_scale += 1
+    x_qm_mul = 1.25 ** (x_qm_scale - 2)
+    mul_dc = quantizer.mul_dc(matrices.dc_quant)
+    qac_f = quantizer.scale * raw_quant.astype(np.float32)
+    inv_qac_f = quantizer.inv_global_scale / raw_quant.astype(np.float32)
+    table = matrices.tables[0].reshape(3, 64).astype(np.float32)
+
+    def _thres(t0, t_rest):
+        th = np.full((8, 8), t_rest, np.float32)
+        th[:4, :4] = t0
+        th[0, 0] = 0.0
+        return th.reshape(64)
+
+    return (qac_f, inv_qac_f, table, _thres(0.56, 0.62),
+            _thres(0.58, 0.62), np.asarray(mul_dc, np.float32),
+            h, w, yb, xb, x_qm_mul)
 
 
 def _tokenize_group_dct8(qp: np.ndarray, order: np.ndarray,
