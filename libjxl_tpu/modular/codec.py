@@ -531,12 +531,20 @@ def modular_encode(w: BitWriter, image: ModularImage, group_id: int = 0,
         token_arrays.append(tokens_to_array(toks))
     if not token_arrays:
         return
+    all_tokens = np.concatenate(token_arrays) if token_arrays else \
+        np.zeros((0, 2), dtype=np.int64)
     if not header.use_global_tree:
         write_tree(w, tree)
+        # native one-call tail (histograms + context map + rANS emit);
+        # bit-identical to the Python path (test_entropy.py)
+        from libjxl_tpu.utils import native
+        res = native.entropy_tail([all_tokens], nctx, 64, 13, False)
+        if res is not None:
+            w.append_packed(res[0], res[1])
+            w.append_packed(*res[2][0])
+            return
         codes = build_entropy_codes(token_arrays, nctx)
         write_entropy_codes(w, codes)
     else:
         codes = global_codes
-    all_tokens = np.concatenate(token_arrays) if token_arrays else \
-        np.zeros((0, 2), dtype=np.int64)
     write_tokens(w, all_tokens, codes)

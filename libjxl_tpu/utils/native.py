@@ -761,3 +761,60 @@ def tree_learn(tok_mat: np.ndarray, nb_mat: np.ndarray,
         return None
     return (out_prop[:cnt], out_sval[:cnt], out_child[:cnt],
             out_pred[:cnt])
+
+
+def entropy_tail(token_arrays, num_contexts: int, max_clusters: int,
+                 histo_shift: int, uint_search: bool):
+    """One-call no-LZ77 entropy-encode tail (jxlt_entropy_tail):
+    clustering + histogram serialization + context map + optional
+    uint-config search + per-group rANS emission.
+
+    token_arrays: list of (N, 2) int64 (ctx, value) arrays, one per
+    group. Returns (hdr_bytes, hdr_bitlen, [(bytes, bitlen)] per group)
+    or None (unavailable/overflow — caller falls back to Python).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "jxlt_entropy_tail_bound"):
+        lib.jxlt_entropy_tail.restype = ctypes.c_int64
+        lib.jxlt_entropy_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.jxlt_entropy_tail_bound = True
+    n_groups = len(token_arrays)
+    if n_groups == 0:
+        return None
+    offs = np.zeros(n_groups + 1, np.int64)
+    for i, a in enumerate(token_arrays):
+        offs[i + 1] = offs[i] + len(a)
+    total = int(offs[-1])
+    flat = np.empty((total, 2), np.int64)
+    for i, a in enumerate(token_arrays):
+        if len(a):
+            flat[offs[i]:offs[i + 1]] = a
+    max_n = int((offs[1:] - offs[:-1]).max()) if n_groups else 0
+    stride = 64 + 8 * max_n
+    hdr_cap = 1 << 17
+    hdr = np.zeros(hdr_cap, np.uint8)
+    hdr_bits = np.zeros(1, np.int64)
+    grp = np.zeros(n_groups * stride, np.uint8)
+    grp_bits = np.zeros(n_groups, np.int64)
+    rc = lib.jxlt_entropy_tail(
+        flat.ctypes.data, total, offs.ctypes.data, n_groups,
+        num_contexts, max_clusters, histo_shift,
+        1 if uint_search else 0,
+        hdr.ctypes.data, hdr_cap, hdr_bits.ctypes.data,
+        grp.ctypes.data, stride, grp_bits.ctypes.data)
+    if rc < 0:
+        return None
+    nb = int(hdr_bits[0])
+    out_groups = []
+    for g in range(n_groups):
+        b = int(grp_bits[g])
+        out_groups.append((grp[g * stride:g * stride + (b + 7) // 8]
+                           .tobytes(), b))
+    return hdr[:(nb + 7) // 8].tobytes(), nb, out_groups

@@ -818,16 +818,38 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                             qp[by0:by0 + gh, bx0:bx0 + gw], order, bctx,
                             raw_quant[by0:by0 + gh, bx0:bx0 + gw])
 
-    with prof.stage("entropy_codes"):
-        codes_per_pass = [build_entropy_codes(
-            [t if isinstance(t, np.ndarray) else
-             tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
-             for t in group_tokens[p]],
-            num_contexts=bctx.num_ac_contexts(), allow_clustering=True,
-            histo_shift=11,
-            max_clusters=6 if options.faster_decoding >= 1 else 24,
-            uint_search=options.effort >= 4)
-            for p in range(num_passes)]
+    # native one-call entropy tail (jxlt_entropy_tail): clustering,
+    # histograms, context map, uint-config search and per-group rANS
+    # emission in C — bit-identical to the Python pipeline below
+    # (tests/test_entropy.py::test_native_entropy_tail_bit_identical).
+    # The streaming band/multi-host paths keep the Python codes objects
+    # (they merge histogram sets across bands).
+    native_tail = None
+    codes_per_pass = None
+    if (num_passes == 1 and not options._sections_only and
+            options._stream_sel is None):
+        from libjxl_tpu.utils import native as _native
+        with prof.stage("entropy_tail_native"):
+            native_tail = _native.entropy_tail(
+                [t if isinstance(t, np.ndarray) else
+                 tokens_to_array(t) if len(t) else
+                 np.zeros((0, 2), np.int64) for t in group_tokens[0]],
+                bctx.num_ac_contexts(),
+                6 if options.faster_decoding >= 1 else 24, 11,
+                options.effort >= 4)
+    if native_tail is None:
+        with prof.stage("entropy_codes"):
+            codes_per_pass = [build_entropy_codes(
+                [t if isinstance(t, np.ndarray) else
+                 tokens_to_array(t) if len(t) else
+                 np.zeros((0, 2), np.int64)
+                 for t in group_tokens[p]],
+                num_contexts=bctx.num_ac_contexts(),
+                allow_clustering=True,
+                histo_shift=11,
+                max_clusters=6 if options.faster_decoding >= 1 else 24,
+                uint_search=options.effort >= 4)
+                for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
     bw = BitWriter()
@@ -1112,6 +1134,10 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         if nbits:
             sw.write(nbits, 0)               # num_histograms - 1 = 0
         from libjxl_tpu.vardct.coeff_order import encode_coeff_orders
+        if native_tail is not None:
+            encode_coeff_orders(sw, used_orders, order_perms)
+            sw.append_packed(native_tail[0], native_tail[1])
+            return
         for p in range(num_passes):
             encode_coeff_orders(sw, used_orders if p == 0 else 0,
                                 order_perms)
@@ -1125,10 +1151,15 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             sel, sel_bits = options._stream_sel
             if sel_bits:
                 sw.write(sel_bits, sel)
-        t = group_tokens[p][g]
-        arr = t if isinstance(t, np.ndarray) else \
-            tokens_to_array(t) if len(t) else np.zeros((0, 2), np.int64)
-        write_tokens(sw, arr, codes_per_pass[p])
+        if native_tail is not None:
+            gb, gbits = native_tail[2][g]
+            sw.append_packed(gb, gbits)
+        else:
+            t = group_tokens[p][g]
+            arr = t if isinstance(t, np.ndarray) else \
+                tokens_to_array(t) if len(t) else \
+                np.zeros((0, 2), np.int64)
+            write_tokens(sw, arr, codes_per_pass[p])
         # modular AC data (extra channels > group_dim) follows the tokens
         # (enc_group.cc EncodeGroup -> ModularFrameEncoder)
         if alpha is not None and (w > fd.group_dim or h > fd.group_dim):
@@ -1652,23 +1683,40 @@ def encode_lossy_many(images, options: LossyOptions | None = None,
             s = _falcon_device_scalars(images[0].shape, options)
             (qac_f, inv_qac_f, table, th_y, th_xb, mul_dc,
              h, w, yb, xb, x_qm_mul) = s
-            px = np.stack(images)
-            packed_b, dense_b = encode_lossy_frame_device_batch(
-                device_put_fast(px), device_put_fast(qac_f),
-                device_put_fast(inv_qac_f), device_put_fast(table),
-                device_put_fast(th_y), device_put_fast(th_xb),
-                device_put_fast(mul_dc), h=h, w=w, yb=yb, xb=xb,
-                x_qm_mul=x_qm_mul)
-            stacked = np.asarray(packed_b)
+            shared = (device_put_fast(qac_f), device_put_fast(inv_qac_f),
+                      device_put_fast(table), device_put_fast(th_y),
+                      device_put_fast(th_xb), device_put_fast(mul_dc))
+            # sub-batch pipeline: dispatch every chunk up front (async),
+            # then fetch chunk k while the device computes k+1 and the
+            # host pool finishes k-1 — h2d, compute, d2h and the host
+            # tail all overlap instead of serializing at one big fetch
+            chunk = 4
+            chunks = [images[i:i + chunk]
+                      for i in range(0, len(images), chunk)]
+            handles = []
+            with prof.stage("batch_dispatch"):
+                for ch in chunks:
+                    px = np.stack(ch)
+                    handles.append(encode_lossy_frame_device_batch(
+                        device_put_fast(px), *shared, h=h, w=w, yb=yb,
+                        xb=xb, x_qm_mul=x_qm_mul))
 
-            def _finish_b(args):
-                i, im = args
+            def _finish_b(im, row, dense_row):
                 o = copy.copy(options)
-                o._predispatched = (stacked[i], dense_b[i])
+                o._predispatched = (row, dense_row)
                 return encode_lossy(im, o)
 
+            out = []
             with ThreadPoolExecutor(max(1, workers)) as ex:
-                return list(ex.map(_finish_b, enumerate(images)))
+                futs = []
+                for ci, ch in enumerate(chunks):
+                    with prof.stage("batch_fetch"):
+                        stacked = np.asarray(handles[ci][0])
+                    for j, im in enumerate(ch):
+                        futs.append(ex.submit(
+                            _finish_b, im, stacked[j], handles[ci][1][j]))
+                out = [f.result() for f in futs]
+            return out
         disp = copy.copy(options)
         disp._dispatch_only = True
         pending = [encode_lossy(im, disp) for im in images]

@@ -17,6 +17,7 @@
 
 #include <cstdlib>
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <thread>
@@ -2429,4 +2430,760 @@ EXPORT int64_t jxlt_tree_learn(
     count++;
   }
   return count;
+}
+
+// ---------------------------------------------------------------------------
+// Entropy-encode tail (no-LZ77): histogram clustering + normalization +
+// quantized serialization + context-map coding + per-cluster hybrid-uint
+// config search + per-group reverse-rANS emission, in ONE call.
+//
+// Exact port of the Python pipeline (entropy/ans.py build_entropy_codes +
+// write_entropy_codes + write_tokens, entropy/histogram.py; reference
+// semantics enc_ans.cc:915 BuildAndStoreEntropyCodes / enc_cluster.cc /
+// enc_context_map.cc). Bit-identical output to the Python path (modulo
+// float near-ties in clustering, which only change a valid encoder choice).
+// ---------------------------------------------------------------------------
+
+namespace enc_tail {
+
+constexpr int kLogAlpha = 8;
+constexpr int kAlpha = 1 << kLogAlpha;   // 256
+
+// growable LSB-first bit writer (internal candidates/headers)
+struct VecBW {
+  std::vector<uint8_t> buf;
+  int64_t bitpos = 0;
+  inline void Write(uint32_t nbits, uint64_t value) {
+    if (!nbits) return;
+    size_t need = (size_t)((bitpos + nbits + 7) / 8);
+    if (buf.size() < need + 8) buf.resize(need + 8, 0);
+    int64_t byte = bitpos >> 3;
+    int off = bitpos & 7;
+    uint64_t v = value & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1));
+    uint64_t cur = v << off;
+    int total = off + (int)nbits;
+    int n_bytes = (total + 7) / 8;
+    for (int i = 0; i < n_bytes && i < 8; i++) {
+      buf[byte + i] |= (uint8_t)(cur & 0xFF);
+      cur >>= 8;
+    }
+    if (total > 64) buf[byte + 8] |= (uint8_t)(v >> (64 - off));
+    bitpos += nbits;
+  }
+  inline void Append(const VecBW& o) {
+    int64_t left = o.bitpos;
+    int64_t pos = 0;
+    while (left > 0) {
+      int take = (int)std::min<int64_t>(32, left);
+      // read `take` bits at pos from o.buf
+      uint64_t w = 0;
+      int64_t byte = pos >> 3;
+      for (int i = 0; i < 6 && byte + i < (int64_t)o.buf.size(); i++)
+        w |= ((uint64_t)o.buf[byte + i]) << (8 * i);
+      w >>= (pos & 7);
+      Write(take, w & ((take >= 64) ? ~0ull : ((1ull << take) - 1)));
+      pos += take;
+      left -= take;
+    }
+  }
+};
+
+static inline void hybrid_enc(uint32_t v, int se, int msb, int lsb,
+                              int32_t* tok, int32_t* nb, uint32_t* bits) {
+  uint32_t split = 1u << se;
+  if (v < split) { *tok = (int32_t)v; *nb = 0; *bits = 0; return; }
+  int n = 31 - __builtin_clz(v);
+  uint32_t m = v - (1u << n);
+  int nbits = n - msb - lsb;
+  uint32_t msb_part = m >> (uint32_t)std::max(n - msb, 0);
+  *tok = (int32_t)(split + (((uint32_t)(n - se)) << (msb + lsb)) +
+                   (msb_part << lsb) + (m & ((1u << lsb) - 1u)));
+  *nb = nbits;
+  *bits = (nbits > 0) ? ((v >> lsb) & ((1u << nbits) - 1u)) : 0;
+}
+
+static inline void varlen_u8(VecBW& w, uint32_t v) {
+  if (v == 0) { w.Write(1, 0); return; }
+  w.Write(1, 1);
+  int nbits = 31 - __builtin_clz(v);
+  w.Write(3, nbits);
+  if (nbits) w.Write(nbits, v - (1u << nbits));
+}
+
+static inline int pop_count_precision(int logcount, int shift) {
+  int r = std::min(logcount, shift - ((kAnsLogTabSize - logcount) >> 1));
+  return std::max(r, 0);
+}
+
+// normalize to sum 4096 keeping nonzeros nonzero (ans.py normalize_counts)
+static void normalize_counts(const int64_t* hist, int A, int64_t* out) {
+  int64_t total = 0;
+  int n_nz = 0;
+  int argmax = 0;
+  for (int i = 0; i < A; i++) {
+    total += hist[i];
+    if (hist[i] > 0) n_nz++;
+    if (hist[i] > hist[argmax]) argmax = i;
+  }
+  if (n_nz == 1) {
+    for (int i = 0; i < A; i++) out[i] = 0;
+    out[argmax] = kAnsTabSize;
+    return;
+  }
+  std::vector<double> scaled(A), frac(A);
+  int64_t sum = 0;
+  for (int i = 0; i < A; i++) {
+    scaled[i] = (double)hist[i] * (double)(kAnsTabSize - n_nz) /
+                (double)total;
+    double fl = std::floor(scaled[i]);
+    out[i] = (int64_t)fl + (hist[i] > 0 ? 1 : 0);
+    frac[i] = hist[i] > 0 ? scaled[i] - fl : -1.0;
+    sum += out[i];
+  }
+  int64_t deficit = kAnsTabSize - sum;
+  if (deficit > 0) {
+    // argsort(-frac, stable): descending frac, ties by index
+    std::vector<int> order(A);
+    for (int i = 0; i < A; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return frac[a] > frac[b]; });
+    for (int64_t j = 0; j < deficit; j++) out[order[j]] += 1;
+  } else if (deficit < 0) {
+    std::vector<int> order(A);
+    for (int i = 0; i < A; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return out[a] > out[b]; });
+    int64_t k = -deficit;
+    for (int oi : order) {
+      if (k == 0) break;
+      int64_t room = hist[oi] > 0 ? out[oi] - 1 : 0;
+      int64_t take = std::min(room, k);
+      out[oi] -= take;
+      k -= take;
+    }
+  }
+}
+
+// quantize to `shift` precision (histogram.py quantize_histogram)
+static void quantize_histogram(int64_t* counts, int A, int shift) {
+  if (shift >= kAnsLogTabSize + 1) return;
+  int n_nz = 0;
+  for (int i = 0; i < A; i++) if (counts[i]) n_nz++;
+  if (n_nz <= 2) return;
+  int omit = 0;
+  for (int i = 1; i < A; i++) if (counts[i] > counts[omit]) omit = i;
+  std::vector<int64_t> out(counts, counts + A);
+  for (int i = 0; i < A; i++) {
+    int64_t c = counts[i];
+    if (c == 0 || i == omit) continue;
+    int lc = 63 - __builtin_clzll((uint64_t)c);
+    int bitcount = pop_count_precision(lc, shift);
+    int64_t step = 1ll << (lc - bitcount);
+    int64_t mant = (c - (1ll << lc) + step / 2) / step;
+    if (mant >= (1ll << bitcount)) mant = (1ll << bitcount) - 1;
+    out[i] = (1ll << lc) + mant * step;
+  }
+  int64_t rem = kAnsTabSize;
+  for (int i = 0; i < A; i++) if (i != omit) rem -= out[i];
+  if (rem <= 0) return;          // keep exact
+  out[omit] = rem;
+  // decoder derives omit as FIRST max logcount; verify
+  int best = -1, best_log = -2;
+  for (int i = 0; i < A; i++) {
+    int lg = out[i] ? 63 - __builtin_clzll((uint64_t)out[i]) : -1;
+    if (lg > best_log) { best_log = lg; best = i; }
+  }
+  if (best != omit) return;      // keep exact
+  for (int i = 0; i < A; i++) counts[i] = out[i];
+}
+
+// logcount-symbol static prefix code: sym -> (nbits, lsb-first code)
+static const int kHuffBits[14] = {5,4,4,4,4,4,3,3,3,3,3,6,7,7};
+static const int kHuffCode[14] = {17,11,15,3,9,7,4,2,5,6,0,33,1,65};
+
+// write one histogram (counts sum 4096, already quantized) — EncodeCounts
+static void write_histogram(VecBW& w, const int64_t* counts_in, int A_in,
+                            int shift) {
+  int A = A_in;
+  while (A > 0 && counts_in[A - 1] == 0) A--;
+  std::vector<int64_t> counts(counts_in, counts_in + A);
+  int nz = 0, first = -1, second = -1;
+  for (int i = 0; i < A; i++)
+    if (counts[i]) { if (first < 0) first = i; else if (second < 0) second = i; nz++; }
+  if (nz == 1) {
+    w.Write(1, 1); w.Write(1, 0); varlen_u8(w, first);
+    return;
+  }
+  if (nz == 2) {
+    w.Write(1, 1); w.Write(1, 1);
+    varlen_u8(w, first); varlen_u8(w, second);
+    w.Write(kAnsLogTabSize, counts[first]);
+    return;
+  }
+  // flat?
+  {
+    int64_t base = kAnsTabSize / A, rem = kAnsTabSize % A;
+    bool flat = true;
+    for (int i = 0; i < A; i++)
+      if (counts[i] != base + (i < rem ? 1 : 0)) { flat = false; break; }
+    if (flat) {
+      w.Write(1, 0); w.Write(1, 1); varlen_u8(w, A - 1);
+      return;
+    }
+  }
+  w.Write(1, 0); w.Write(1, 0);
+  int v = shift + 1;
+  int log = 31 - __builtin_clz((uint32_t)v);
+  int upper = 3;   // bit_length(13)-1
+  for (int i = 0; i < log; i++) w.Write(1, 1);
+  if (log < upper) w.Write(1, 0);
+  w.Write(log, v - (1 << log));
+  varlen_u8(w, A - 3);
+  std::vector<int> logc(A);
+  int omit = 0, omit_log = -2;
+  for (int i = 0; i < A; i++) {
+    logc[i] = counts[i] > 0 ? 63 - __builtin_clzll((uint64_t)counts[i]) : -1;
+    if (logc[i] > omit_log) { omit_log = logc[i]; omit = i; }
+  }
+  for (int i = 0; i < A; i++) {
+    int sym = (counts[i] == 0 && i != omit) ? 0 : logc[i] + 1;
+    w.Write(kHuffBits[sym], kHuffCode[sym]);
+  }
+  for (int i = 0; i < A; i++) {
+    if (i == omit || counts[i] == 0) continue;
+    int lc = logc[i];
+    if (shift != 0 && lc != 0) {
+      int bitcount = pop_count_precision(lc, shift);
+      int64_t mant = (counts[i] - (1ll << lc)) >> (lc - bitcount);
+      w.Write(bitcount, (uint64_t)mant);
+    }
+  }
+}
+
+// encoder slot tables from normalized counts (alias.py build_encoder_slots)
+struct EncTables {
+  std::vector<int64_t> start;   // kAlpha+1
+  std::vector<int32_t> slots;   // 4096
+  std::vector<int64_t> freq;    // kAlpha
+};
+
+static bool build_slots(const int64_t* norm, int A_in, EncTables& T) {
+  int A = A_in;
+  while (A > 0 && norm[A - 1] == 0) A--;
+  std::vector<int64_t> dist(norm, norm + A);
+  if (dist.empty()) dist.push_back(kAnsTabSize);
+  int table_size = kAlpha;
+  if ((int)dist.size() > table_size) return false;
+  int entry_size = kAnsTabSize / table_size;       // 16
+  int log_entry = 4;
+  T.freq.assign(kAlpha, 0);
+  for (size_t i = 0; i < dist.size(); i++) T.freq[i] = dist[i];
+  std::vector<int32_t> sym(kAnsTabSize), off(kAnsTabSize);
+  int single = -1;
+  for (size_t i = 0; i < dist.size(); i++)
+    if (dist[i] == kAnsTabSize) single = (int)i;
+  if (single >= 0) {
+    for (int vv = 0; vv < (int)kAnsTabSize; vv++) { sym[vv] = single; off[vv] = vv; }
+  } else {
+    std::vector<int64_t> cutoffs(table_size, 0), right(table_size, 0),
+        offsets1(table_size, 0), cutoff(table_size, 0);
+    std::vector<int> under, over;
+    for (int i = 0; i < table_size; i++) {
+      cutoffs[i] = i < (int)dist.size() ? dist[i] : 0;
+      if (cutoffs[i] > entry_size) over.push_back(i);
+      else if (cutoffs[i] < entry_size) under.push_back(i);
+    }
+    while (!over.empty()) {
+      int oi = over.back(); over.pop_back();
+      if (under.empty()) return false;
+      int ui = under.back(); under.pop_back();
+      int64_t by = entry_size - cutoffs[ui];
+      cutoffs[oi] -= by;
+      right[ui] = oi;
+      offsets1[ui] = cutoffs[oi];
+      if (cutoffs[oi] < entry_size) under.push_back(oi);
+      else if (cutoffs[oi] > entry_size) over.push_back(oi);
+    }
+    for (int i = 0; i < table_size; i++) {
+      if (cutoffs[i] == entry_size) { right[i] = i; offsets1[i] = 0; cutoff[i] = 0; }
+      else { offsets1[i] -= cutoffs[i]; cutoff[i] = cutoffs[i]; }
+    }
+    for (int vv = 0; vv < (int)kAnsTabSize; vv++) {
+      int i = vv >> log_entry;
+      int pos = vv & (entry_size - 1);
+      bool greater = pos >= cutoff[i];
+      sym[vv] = greater ? (int32_t)right[i] : i;
+      off[vv] = greater ? (int32_t)(offsets1[i] + pos) : pos;
+    }
+  }
+  T.start.assign(kAlpha + 1, 0);
+  for (int i = 0; i < kAlpha; i++) T.start[i + 1] = T.start[i] + T.freq[i];
+  T.slots.assign(kAnsTabSize, 0);
+  for (int vv = 0; vv < (int)kAnsTabSize; vv++)
+    T.slots[T.start[sym[vv]] + off[vv]] = vv;
+  return true;
+}
+
+static double ent_cost(const int64_t* h, int A) {
+  int64_t tot = 0;
+  double e = 0;
+  for (int i = 0; i < A; i++) {
+    tot += h[i];
+    if (h[i] > 0) e += (double)h[i] * std::log2((double)h[i]);
+  }
+  if (tot == 0) return 0.0;
+  return (double)tot * std::log2((double)tot) - e;
+}
+
+// FastClusterHistograms port (ans.py cluster_histograms)
+static void cluster(const int64_t* hists, int n_ctx, int A,
+                    int max_clusters, std::vector<int32_t>& cmap,
+                    std::vector<std::vector<int64_t>>& clustered) {
+  int width = 0;
+  for (int i = 0; i < n_ctx; i++)
+    for (int a = A - 1; a >= 0; a--)
+      if (hists[(size_t)i * A + a]) { width = std::max(width, a + 1); break; }
+  if (width == 0) width = 1;
+  std::vector<int64_t> totals(n_ctx, 0);
+  for (int i = 0; i < n_ctx; i++)
+    for (int a = 0; a < width; a++) totals[i] += hists[(size_t)i * A + a];
+  std::vector<int> order(n_ctx);
+  for (int i = 0; i < n_ctx; i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return totals[a] > totals[b]; });
+  std::vector<std::vector<int64_t>> C;
+  std::vector<double> costs;
+  cmap.assign(n_ctx, 0);
+  for (int idx : order) {
+    if (totals[idx] == 0 && !C.empty()) { cmap[idx] = 0; continue; }
+    const int64_t* h = hists + (size_t)idx * A;
+    double own = ent_cost(h, width);
+    int best = -1;
+    double best_cost = 0.0, merged_best = 0.0;
+    for (size_t c = 0; c < C.size(); c++) {
+      std::vector<int64_t> m(width);
+      for (int a = 0; a < width; a++) m[a] = C[c][a] + h[a];
+      double mc = ent_cost(m.data(), width);
+      double d = mc - costs[c] - own;
+      if (best < 0 || d < best_cost) { best = (int)c; best_cost = d;
+                                       merged_best = mc; }
+    }
+    int nnz = 0;
+    for (int a = 0; a < width; a++) if (h[a] > 0) nnz++;
+    double ser_est = nnz <= 1 ? 12.0 : nnz == 2 ? 33.0
+                     : 40.0 + 5.5 * nnz;
+    if (!C.empty() && (best_cost <= std::max(ser_est, 0.01 * own) ||
+                       (int)C.size() >= max_clusters)) {
+      for (int a = 0; a < width; a++) C[best][a] += h[a];
+      costs[best] = merged_best;
+      cmap[idx] = best;
+    } else {
+      cmap[idx] = (int32_t)C.size();
+      C.push_back(std::vector<int64_t>(h, h + width));
+      costs.push_back(own);
+    }
+  }
+  if (C.empty()) C.push_back(std::vector<int64_t>(width, 0));
+  clustered = std::move(C);
+}
+
+static void mtf_transform(const int32_t* v, int n, int32_t* out) {
+  int maxv = 0;
+  for (int i = 0; i < n; i++) maxv = std::max(maxv, (int)v[i]);
+  std::vector<int> mtf(maxv + 1);
+  for (int i = 0; i <= maxv; i++) mtf[i] = i;
+  for (int i = 0; i < n; i++) {
+    int idx = 0;
+    while (mtf[idx] != v[i]) idx++;
+    out[i] = idx;
+    if (idx) {
+      int val = mtf[idx];
+      mtf.erase(mtf.begin() + idx);
+      mtf.insert(mtf.begin(), val);
+    }
+  }
+}
+
+// single/dual-context stream build + emit for the context-map candidates.
+// rows: (n, 3) of (ctx, val, kind): kind 0 literal, 1 lz length (token
+// gets +min_symbol under length cfg), 2 distance. n_ctx counts the
+// distance context when lz_on.
+static bool emit_small_stream(VecBW& w, const int32_t* ctx,
+                              const int32_t* val, const int8_t* kind,
+                              int n, int n_ctx, bool lz_on);
+
+// encode_context_map port (recursion depth <= 2: inner maps are tiny)
+static void encode_context_map(VecBW& w, const int32_t* cm, int n,
+                               int num_histograms) {
+  if (n <= 1) return;
+  if (num_histograms == 1) { w.Write(1, 1); w.Write(2, 0); return; }
+  int bpe = 0;
+  while ((1 << bpe) < num_histograms) bpe++;
+  std::vector<VecBW> cands;
+  if (bpe <= 3) {
+    VecBW ww;
+    ww.Write(1, 1); ww.Write(2, bpe);
+    for (int i = 0; i < n; i++) ww.Write(bpe, cm[i]);
+    if (n <= 16) { w.Append(ww); return; }
+    cands.push_back(std::move(ww));
+  }
+  std::vector<int32_t> mtf(n);
+  mtf_transform(cm, n, mtf.data());
+  bool allow_lz = n > 2 && n >= 16;
+  for (int use_mtf = 0; use_mtf <= 1; use_mtf++) {
+    const int32_t* arr = use_mtf ? mtf.data() : cm;
+    for (int use_lz = 0; use_lz <= 1; use_lz++) {
+      if (use_lz && !allow_lz) continue;
+      VecBW ww;
+      ww.Write(1, 0);
+      ww.Write(1, use_mtf);
+      if (use_lz) {
+        // RLE transform (ans.py lz77_rle_transform, min_emit=4,
+        // min_length=3 -> min_run=4, no distance multiplier)
+        std::vector<int32_t> rc, rv;
+        std::vector<int8_t> rk;
+        int pos = 0;
+        bool any = false;
+        int i = 1;
+        while (i < n) {
+          int a = i;
+          while (i < n && arr[i] == arr[i - 1]) i++;
+          int run = i - a;
+          if (run >= 4 && a > 0) {
+            for (int j = pos; j < a; j++) { rc.push_back(0);
+              rv.push_back(arr[j]); rk.push_back(0); }
+            rc.push_back(0); rv.push_back(run); rk.push_back(1);
+            rc.push_back(1); rv.push_back(0); rk.push_back(2);
+            pos = i;
+            any = true;
+          }
+          if (i == n) break;
+          if (run == 0) i++;
+        }
+        if (!any) continue;     // py: len(t) >= len(arr) -> skip
+        for (int j = pos; j < n; j++) { rc.push_back(0);
+          rv.push_back(arr[j]); rk.push_back(0); }
+        if ((int)rc.size() >= n) continue;
+        if (!emit_small_stream(ww, rc.data(), rv.data(), rk.data(),
+                               (int)rc.size(), 2, true)) continue;
+      } else {
+        std::vector<int32_t> zc(n, 0);
+        std::vector<int8_t> zk(n, 0);
+        if (!emit_small_stream(ww, zc.data(), arr, zk.data(), n, 1,
+                               false)) continue;
+      }
+      cands.push_back(std::move(ww));
+    }
+  }
+  int best = 0;
+  for (size_t i = 1; i < cands.size(); i++)
+    if (cands[i].bitpos < cands[best].bitpos) best = (int)i;
+  w.Append(cands[best]);
+}
+
+static bool emit_small_stream(VecBW& w, const int32_t* ctx,
+                              const int32_t* val, const int8_t* kind,
+                              int n, int n_ctx, bool lz_on) {
+  // tokenize: default cfg (4,2,0); lengths use cfg (0,0,0) + 224
+  std::vector<int32_t> tok(n), nb(n);
+  std::vector<uint32_t> bits(n);
+  int max_tok = 0;
+  for (int i = 0; i < n; i++) {
+    if (kind[i] == 1) {
+      hybrid_enc((uint32_t)(val[i] - 3), 0, 0, 0, &tok[i], &nb[i],
+                 &bits[i]);
+      tok[i] += 224;
+    } else {
+      hybrid_enc((uint32_t)val[i], 4, 2, 0, &tok[i], &nb[i], &bits[i]);
+    }
+    max_tok = std::max(max_tok, (int)tok[i]);
+  }
+  if (max_tok >= kAlpha) return false;
+  // histograms per context — NO clustering (mirrors the Python
+  // candidates: build_entropy_codes(..., allow_clustering=False))
+  std::vector<int64_t> hists((size_t)n_ctx * kAlpha, 0);
+  for (int i = 0; i < n; i++) hists[(size_t)ctx[i] * kAlpha + tok[i]]++;
+  std::vector<int32_t> cmap(n_ctx);
+  std::vector<std::vector<int64_t>> clustered;
+  for (int c = 0; c < n_ctx; c++) {
+    cmap[c] = c;
+    clustered.push_back(std::vector<int64_t>(
+        hists.begin() + (size_t)c * kAlpha,
+        hists.begin() + (size_t)(c + 1) * kAlpha));
+  }
+  // header: lz77 params
+  w.Write(1, lz_on ? 1 : 0);
+  if (lz_on) {
+    // min_symbol 224 -> U32Enc selector 0 (Val 224); min_length 3 -> 0
+    w.Write(2, 0);
+    w.Write(2, 0);
+    // length_uint_config (0,0,0) with log_alpha 8:
+    // split_exponent 0 in ceil_log2(9)=4 bits
+    w.Write(4, 0);
+  }
+  if (n_ctx > 1)
+    encode_context_map(w, cmap.data(), n_ctx, (int)clustered.size());
+  w.Write(1, 0);                 // prefix off
+  w.Write(2, kLogAlpha - 5);
+  for (size_t h = 0; h < clustered.size(); h++) {
+    // uint config (4,2,0): split 4 (4 bits), msb 2 (3 bits), lsb 0
+    // (ceil_log2(4-2+1)=2 bits)
+    w.Write(4, 4); w.Write(3, 2); w.Write(2, 0);
+  }
+  std::vector<EncTables> tabs(clustered.size());
+  for (size_t h = 0; h < clustered.size(); h++) {
+    std::vector<int64_t> norm(kAlpha, 0);
+    std::vector<int64_t> hh(clustered[h]);
+    while (!hh.empty() && hh.back() == 0) hh.pop_back();
+    if (hh.empty()) hh.push_back(1);
+    normalize_counts(hh.data(), (int)hh.size(), norm.data());
+    // histo_shift default 13 here: no quantization
+    write_histogram(w, norm.data(), (int)hh.size(), 13);
+    if (!build_slots(norm.data(), (int)hh.size(), tabs[h])) return false;
+  }
+  // emission (reverse)
+  std::vector<uint32_t> rev_b;
+  std::vector<uint8_t> rev_n;
+  uint32_t state = kAnsSignature << 16;
+  for (int i = n - 1; i >= 0; i--) {
+    if (nb[i]) { rev_b.push_back(bits[i]); rev_n.push_back((uint8_t)nb[i]); }
+    int h = cmap[ctx[i]];
+    uint32_t freq = (uint32_t)tabs[h].freq[tok[i]];
+    if ((state >> (32 - kAnsLogTabSize)) >= freq) {
+      rev_b.push_back(state & 0xFFFF); rev_n.push_back(16);
+      state >>= 16;
+    }
+    state = ((state / freq) << kAnsLogTabSize) +
+            (uint32_t)tabs[h].slots[tabs[h].start[tok[i]] + state % freq];
+  }
+  w.Write(32, state);
+  for (int64_t i = (int64_t)rev_b.size() - 1; i >= 0; i--)
+    w.Write(rev_n[i], rev_b[i]);
+  return true;
+}
+
+static const int kUintCand[10][3] = {
+    {4,2,0},{4,1,0},{4,2,1},{4,1,2},{5,2,0},{5,1,0},{3,2,0},{2,0,1},
+    {0,0,0},{7,0,0}};
+
+}  // namespace enc_tail
+
+// Full no-LZ77 entropy tail. tokens: (N,2) int64 rows (ctx, val).
+// Group g covers rows [grp_off[g], grp_off[g+1]). Outputs:
+//  - header (codes serialization, write_entropy_codes layout) into
+//    hdr_out/hdr_bits
+//  - per-group token streams into grp_out + g*grp_stride, bit lengths in
+//    grp_bits
+// Returns num_histograms (>0) or -1 on error/overflow.
+EXPORT int64_t jxlt_entropy_tail(
+    const int64_t* tokens, int64_t n_rows, const int64_t* grp_off,
+    int32_t n_groups, int32_t num_contexts, int32_t max_clusters,
+    int32_t histo_shift, int32_t uint_search, uint8_t* hdr_out,
+    int64_t hdr_cap, int64_t* hdr_bits, uint8_t* grp_out,
+    int64_t grp_stride, int64_t* grp_bits) {
+  using namespace enc_tail;
+  if (num_contexts <= 0 || n_groups <= 0) return -1;
+
+  // default-config tokenization of everything
+  std::vector<int32_t> tok(n_rows), nb(n_rows);
+  std::vector<uint32_t> bits(n_rows);
+  int max_tok = 0;
+  for (int64_t i = 0; i < n_rows; i++) {
+    hybrid_enc((uint32_t)tokens[2 * i + 1], 4, 2, 0, &tok[i], &nb[i],
+               &bits[i]);
+    max_tok = std::max(max_tok, (int)tok[i]);
+  }
+  if (max_tok >= kAlpha) return -1;
+  std::vector<int64_t> hists((size_t)num_contexts * kAlpha, 0);
+  for (int64_t i = 0; i < n_rows; i++) {
+    int64_t c = tokens[2 * i];
+    if (c < 0 || c >= num_contexts) return -1;
+    hists[(size_t)c * kAlpha + tok[i]]++;
+  }
+  std::vector<int32_t> cmap;
+  std::vector<std::vector<int64_t>> clustered;
+  cluster(hists.data(), num_contexts, kAlpha, max_clusters, cmap,
+          clustered);
+  int K = (int)clustered.size();
+
+  // per-cluster hybrid-uint config search (ans.py uint_search port,
+  // incl. the >=2^15 subsampling)
+  std::vector<std::array<int, 3>> cfgs(K, std::array<int, 3>{4, 2, 0});
+  std::vector<std::vector<int64_t>> final_hist(K);
+  for (int h = 0; h < K; h++) {
+    std::vector<int64_t> hh(clustered[h]);
+    while (!hh.empty() && hh.back() == 0) hh.pop_back();
+    if (hh.empty()) hh.push_back(1);
+    final_hist[h] = std::move(hh);
+  }
+  if (uint_search) {
+    // cluster values grouped via stable counting sort by cluster
+    std::vector<int64_t> cnt(K + 1, 0);
+    std::vector<int32_t> row_cl(n_rows);
+    for (int64_t i = 0; i < n_rows; i++) {
+      row_cl[i] = cmap[tokens[2 * i]];
+      cnt[row_cl[i] + 1]++;
+    }
+    for (int h = 0; h < K; h++) cnt[h + 1] += cnt[h];
+    std::vector<uint32_t> vals(n_rows);
+    {
+      std::vector<int64_t> w0(cnt.begin(), cnt.end() - 1);
+      for (int64_t i = 0; i < n_rows; i++)
+        vals[w0[row_cl[i]]++] = (uint32_t)tokens[2 * i + 1];
+    }
+    for (int h = 0; h < K; h++) {
+      int64_t a = cnt[h], b = cnt[h + 1];
+      int64_t m = b - a;
+      if (m < 64) continue;
+      int64_t step = 1;
+      if (m > (1ll << 15)) step = (m >> 15) + 1;
+      double sfac = (double)m / (double)((m + step - 1) / step);
+      double best_cost = 0;
+      int best_c = -1;
+      std::vector<int64_t> best_h;
+      for (int c = 0; c < 10; c++) {
+        int se = kUintCand[c][0], ms = kUintCand[c][1],
+            ls = kUintCand[c][2];
+        std::vector<int64_t> hist(kAlpha, 0);
+        double rawbits = 0;
+        bool bad = false;
+        for (int64_t i = a; i < b; i += step) {
+          int32_t t, nbi; uint32_t bi;
+          hybrid_enc(vals[i], se, ms, ls, &t, &nbi, &bi);
+          if (t >= kAlpha) { bad = true; break; }
+          hist[t]++;
+          rawbits += nbi;
+        }
+        if (bad) continue;
+        std::vector<int64_t> hh(hist);
+        while (!hh.empty() && hh.back() == 0) hh.pop_back();
+        if (hh.empty()) hh.push_back(1);
+        std::vector<int64_t> norm(kAlpha, 0);
+        normalize_counts(hh.data(), (int)hh.size(), norm.data());
+        quantize_histogram(norm.data(), (int)hh.size(), histo_shift);
+        double ans_bits = 0;
+        for (size_t t2 = 0; t2 < hh.size(); t2++) {
+          if (hh[t2] > 0 && norm[t2] > 0)
+            ans_bits += -(double)hh[t2] *
+                        std::log2((double)norm[t2] / kAnsTabSize);
+        }
+        VecBW hw;
+        write_histogram(hw, norm.data(), (int)hh.size(), histo_shift);
+        double cost = sfac * (ans_bits + rawbits) + (double)hw.bitpos;
+        if (best_c < 0 || cost < best_cost) {
+          best_cost = cost; best_c = c; best_h = hist;
+        }
+      }
+      if (best_c >= 0) {
+        cfgs[h] = {kUintCand[best_c][0], kUintCand[best_c][1],
+                   kUintCand[best_c][2]};
+        if (step > 1) {
+          // re-tokenize winner at full size
+          int se = cfgs[h][0], ms = cfgs[h][1], ls = cfgs[h][2];
+          std::vector<int64_t> hist(kAlpha, 0);
+          bool bad = false;
+          for (int64_t i = a; i < b; i++) {
+            int32_t t, nbi; uint32_t bi;
+            hybrid_enc(vals[i], se, ms, ls, &t, &nbi, &bi);
+            if (t >= kAlpha) { bad = true; break; }
+            hist[t]++;
+          }
+          if (bad) { cfgs[h] = {4, 2, 0}; continue; }
+          best_h = std::move(hist);
+        }
+        std::vector<int64_t> hh(best_h);
+        while (!hh.empty() && hh.back() == 0) hh.pop_back();
+        if (hh.empty()) hh.push_back(1);
+        final_hist[h] = std::move(hh);
+      }
+    }
+  }
+
+  // normalized+quantized histograms + slot tables
+  std::vector<EncTables> tabs(K);
+  std::vector<std::vector<int64_t>> norm(K);
+  for (int h = 0; h < K; h++) {
+    norm[h].assign(kAlpha, 0);
+    normalize_counts(final_hist[h].data(), (int)final_hist[h].size(),
+                     norm[h].data());
+    quantize_histogram(norm[h].data(), (int)final_hist[h].size(),
+                       histo_shift);
+    if (!build_slots(norm[h].data(), (int)final_hist[h].size(), tabs[h]))
+      return -1;
+  }
+
+  // ---- header ----
+  VecBW hdr;
+  hdr.Write(1, 0);                           // lz77 off
+  if (num_contexts > 1)
+    encode_context_map(hdr, cmap.data(), num_contexts, K);
+  hdr.Write(1, 0);                           // prefix off
+  hdr.Write(2, kLogAlpha - 5);
+  for (int h = 0; h < K; h++) {
+    int se = cfgs[h][0], ms = cfgs[h][1], ls = cfgs[h][2];
+    hdr.Write(4, se);                        // ceil_log2(9) = 4 bits
+    if (se != kLogAlpha) {
+      int b1 = 0; while ((1 << b1) < se + 1) b1++;
+      hdr.Write(b1, ms);
+      int b2 = 0; while ((1 << b2) < se - ms + 1) b2++;
+      hdr.Write(b2, ls);
+    }
+  }
+  for (int h = 0; h < K; h++)
+    write_histogram(hdr, norm[h].data(), (int)final_hist[h].size(),
+                    histo_shift);
+  if ((int64_t)hdr.buf.size() > hdr_cap) return -1;
+  std::memset(hdr_out, 0, hdr_cap);
+  std::memcpy(hdr_out, hdr.buf.data(), hdr.buf.size());
+  *hdr_bits = hdr.bitpos;
+
+  // ---- per-group emission (parallel across groups) ----
+  bool uniform = true;
+  for (int h = 1; h < K; h++) if (cfgs[h] != cfgs[0]) uniform = false;
+  bool default_cfg = uniform && cfgs[0][0] == 4 && cfgs[0][1] == 2 &&
+                     cfgs[0][2] == 0;
+  std::atomic<int> next_g(0);
+  std::atomic<bool> fail(false);
+  auto work = [&]() {
+    int g;
+    std::vector<uint32_t> rev_b;
+    std::vector<uint8_t> rev_n;
+    while ((g = next_g.fetch_add(1)) < n_groups) {
+      if (fail.load()) return;
+      int64_t a = grp_off[g], b = grp_off[g + 1];
+      uint8_t* out = grp_out + (int64_t)g * grp_stride;
+      std::memset(out, 0, grp_stride);
+      BitSink sink{out, grp_stride};
+      rev_b.clear(); rev_n.clear();
+      uint32_t state = kAnsSignature << 16;
+      for (int64_t i = b - 1; i >= a; i--) {
+        int h = cmap[tokens[2 * i]];
+        int32_t t; int32_t nbi; uint32_t bi;
+        if (default_cfg) { t = tok[i]; nbi = nb[i]; bi = bits[i]; }
+        else hybrid_enc((uint32_t)tokens[2 * i + 1], cfgs[h][0],
+                        cfgs[h][1], cfgs[h][2], &t, &nbi, &bi);
+        if (nbi) { rev_b.push_back(bi); rev_n.push_back((uint8_t)nbi); }
+        uint32_t freq = (uint32_t)tabs[h].freq[t];
+        if (freq == 0) { fail.store(true); return; }
+        if ((state >> (32 - kAnsLogTabSize)) >= freq) {
+          rev_b.push_back(state & 0xFFFF); rev_n.push_back(16);
+          state >>= 16;
+        }
+        state = ((state / freq) << kAnsLogTabSize) +
+                (uint32_t)tabs[h].slots[tabs[h].start[t] + state % freq];
+      }
+      sink.Write(32, state);
+      for (int64_t i = (int64_t)rev_b.size() - 1; i >= 0; i--)
+        sink.Write(rev_n[i], rev_b[i]);
+      if (sink.overflow) { fail.store(true); return; }
+      grp_bits[g] = sink.bitpos;
+    }
+  };
+  int nt = std::min(n_groups, 3);
+  std::vector<std::thread> th;
+  for (int t = 1; t < nt; t++) th.emplace_back(work);
+  work();
+  for (auto& t : th) t.join();
+  if (fail.load()) return -1;
+  return K;
 }

@@ -226,3 +226,43 @@ def test_lossless_e8_lz77_denser_on_repetitive(rng):
     from libjxl_tpu.utils.oracle import oracle_available, oracle_decode
     if oracle_available():
         assert np.array_equal(oracle_decode(e8).pixels, dec)
+
+
+def test_native_entropy_tail_bit_identical():
+    """jxlt_entropy_tail (clustering + histograms + context map +
+    uint-config search + per-group rANS) must produce bit-identical
+    output to the Python pipeline it replaces (enc_ans.cc:915
+    BuildAndStoreEntropyCodes semantics)."""
+    from libjxl_tpu.entropy.ans import (
+        build_entropy_codes, write_entropy_codes, write_tokens,
+    )
+    from libjxl_tpu.utils import native
+    from libjxl_tpu.utils.bits import BitWriter
+
+    if not native.available():
+        import pytest
+        pytest.skip("native unavailable")
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n_ctx = int(rng.integers(2, 60))
+        arrs = []
+        for _ in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(0, 8000))
+            arrs.append(np.stack(
+                [rng.integers(0, n_ctx, n),
+                 np.abs(rng.normal(
+                     0, rng.choice([3, 50, 500]), n)).astype(np.int64)],
+                1).astype(np.int64))
+        for us in (False, True):
+            codes = build_entropy_codes(
+                [a.copy() for a in arrs], n_ctx, histo_shift=11,
+                max_clusters=24, uint_search=us)
+            pw = BitWriter()
+            write_entropy_codes(pw, codes)
+            res = native.entropy_tail(arrs, n_ctx, 24, 11, us)
+            assert res is not None
+            assert (res[0], res[1]) == (pw.to_bytes(), pw.bits_written)
+            for a, (gb, gbits) in zip(arrs, res[2]):
+                gw = BitWriter()
+                write_tokens(gw, a, codes)
+                assert (gb, gbits) == (gw.to_bytes(), gw.bits_written)
