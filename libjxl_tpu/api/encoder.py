@@ -1462,8 +1462,12 @@ def _prefix_assemble(st: dict) -> list:
     codes = st["codes"]
     mode = st["mode"]
     if mode == "stream":
-        words = np.concatenate([np.asarray(s) for s in st["words_slices"]])
-        chunk_bits = np.asarray(st["chunk_bits_dev"])
+        from libjxl_tpu.utils import prof
+        with prof.stage("asm_words_fetch"):
+            words = np.concatenate(
+                [np.asarray(s) for s in st["words_slices"]])
+        with prof.stage("asm_cb_fetch"):
+            chunk_bits = np.asarray(st["chunk_bits_dev"])
         # chunks start PACK_ROW-word aligned in the dense stream (the
         # device compaction is row-granular); the splice itself reads
         # exactly chunk_bits bits so the slack never reaches the stream
@@ -1611,14 +1615,17 @@ def _prefix_assemble(st: dict) -> list:
         return bytes(out)
 
     # native section encoders release the GIL: thread across groups
+    from libjxl_tpu.utils import prof
     secs_by_image: list = [None] * st["n_images"]
-    if not single:
-        jobs = [(i, g) for i in range(st["n_images"])
-                for g in range(fd.num_groups)]
-        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
-            flat = list(ex.map(
-                lambda ig: group_section(gh_bytes, gh_bits, *ig), jobs))
-        for i in range(st["n_images"]):
-            secs_by_image[i] = flat[i * fd.num_groups:
-                                    (i + 1) * fd.num_groups]
-    return [image_stream(i) for i in range(st["n_images"])]
+    with prof.stage("asm_splice"):
+        if not single:
+            jobs = [(i, g) for i in range(st["n_images"])
+                    for g in range(fd.num_groups)]
+            with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+                flat = list(ex.map(
+                    lambda ig: group_section(gh_bytes, gh_bits, *ig),
+                    jobs))
+            for i in range(st["n_images"]):
+                secs_by_image[i] = flat[i * fd.num_groups:
+                                        (i + 1) * fd.num_groups]
+        return [image_stream(i) for i in range(st["n_images"])]
