@@ -932,9 +932,20 @@ def _device_decode_inputs(data: bytes):
     x_dm_ = (1 / 1.25) ** (fh.x_qm_scale - 2.0)
     b_dm_ = (1 / 1.25) ** (fh.b_qm_scale - 2.0)
     is_var = bool((dec.acs_raw[dec.acs_anchor] != 0).any())
-    dense_buf = None if is_var else np.zeros((3, yb, xb, 64), np.int32)
-    # all AC sections in ONE native call (std::threads over groups)
-    groups = dec.decode_ac_frame_native(sections, dense_buf=dense_buf)
+    sparse_pairs = None
+    if not is_var:
+        # all-8x8 stream: the native decoder emits (flat idx, value)
+        # pairs directly — no dense (3, yb, xb, 64) buffer, no
+        # sparsify rescan (halves the stage's memory traffic)
+        sparse_pairs = dec.decode_ac_frame_native(sections, sparse=True)
+    if sparse_pairs is not None:
+        groups = True    # sentinel: coefficients live in sparse_pairs
+    else:
+        dense_buf = None if is_var else np.zeros((3, yb, xb, 64),
+                                                 np.int32)
+        # all AC sections in ONE native call (std::threads over groups)
+        groups = dec.decode_ac_frame_native(sections,
+                                            dense_buf=dense_buf)
     if groups is None:
         return None
     if is_var:
@@ -985,7 +996,10 @@ def _device_decode_inputs(data: bytes):
         return frame, key, lf
     if dec.mfd.full_image is not None and dec.mfd.full_image.channel:
         return None
-    nz, vals = native.sparsify_i32(dense_buf)
+    if sparse_pairs is not None:
+        nz, vals = sparse_pairs
+    else:
+        nz, vals = native.sparsify_i32(dense_buf)
     if len(vals) and np.abs(vals).max() > 32767:
         return None           # host path for absurd coefficients
     x_dm = (1 / 1.25) ** (fh.x_qm_scale - 2.0)

@@ -397,7 +397,8 @@ class VarDCTFrameDecoder:
         return np.ascontiguousarray(out)
 
     def decode_ac_frame_native(self, sections: dict, n_threads: int = 0,
-                               dense_buf: np.ndarray | None = None):
+                               dense_buf: np.ndarray | None = None,
+                               sparse: bool = False):
         """Decode ALL single-pass AC group sections concurrently in ONE
         native call (std::threads inside — the dec_frame.cc:726
         RunOnPool-over-groups analog without per-group Python/GIL cost).
@@ -431,7 +432,8 @@ class VarDCTFrameDecoder:
                 [P, P, P, P, P, I64, I32, I32, I32] +  # tables, selector
                 [P, I64, I64, P, P, P, P, P, P, P, P] +  # frame planes
                 [I32, I32, I32, P, P, I32, I32, P] +   # flags, out
-                [I32, I64, I64])                       # dense mode
+                [I32, I64, I64] +                      # dense mode
+                [P, P, I64, P])                        # sparse mode
             lib.jxlt_ac_frame_decode_bound = True
 
         fd = self.fd
@@ -457,7 +459,23 @@ class VarDCTFrameDecoder:
         gy0 = np.array([r[1] for r in rects], np.int64)
         gw = np.array([r[2] for r in rects], np.int64)
         gh = np.array([r[3] for r in rects], np.int64)
-        if dense_buf is not None:
+        sp_idx = sp_val = sp_counts = None
+        sp_cap = 0
+        if sparse:
+            # sparse emission: the decoder records (frame-dense flat
+            # index, value) pairs as it reads tokens — no dense buffer,
+            # no sparsify rescan. Capacity sized for d>=0.5-class
+            # streams; overflow (-5) falls back to the dense path.
+            out = np.zeros(1, np.int32)
+            out_cstride = fhb * fwb * 64
+            out_rstride = fwb * 64
+            out_off = gy0 * out_rstride + gx0 * 64
+            dense = 1
+            sp_cap = int(3 * gw.max() * gh.max() * 10)
+            sp_idx = np.empty(n * sp_cap, np.int32)
+            sp_val = np.empty(n * sp_cap, np.int32)
+            sp_counts = np.zeros(n, np.int64)
+        elif dense_buf is not None:
             out = dense_buf
             out_cstride = fhb * fwb * 64
             out_rstride = fwb * 64
@@ -508,7 +526,26 @@ class VarDCTFrameDecoder:
             l2cov.ctypes.data, orders.ctypes.data, order_off.ctypes.data,
             strat_ord.ctypes.data, self.bctx.num_ctxs, 1, shift,
             out.ctypes.data, out_off.ctypes.data, 0, n_threads,
-            end_bits.ctypes.data, dense, out_cstride, out_rstride)
+            end_bits.ctypes.data, dense, out_cstride, out_rstride,
+            sp_idx.ctypes.data if sp_idx is not None else None,
+            sp_val.ctypes.data if sp_val is not None else None,
+            sp_cap,
+            sp_counts.ctypes.data if sp_counts is not None else None)
+        if sparse:
+            if err == -5:
+                return None          # capacity overflow: caller retries dense
+            if err < 0:
+                raise FormatError(f"AC frame native decode error {err}")
+            total = int(sp_counts.sum())
+            idx = np.empty(total, np.int32)
+            vals = np.empty(total, np.int32)
+            pos = 0
+            for i in range(n):
+                c = int(sp_counts[i])
+                idx[pos:pos + c] = sp_idx[i * sp_cap:i * sp_cap + c]
+                vals[pos:pos + c] = sp_val[i * sp_cap:i * sp_cap + c]
+                pos += c
+            return idx, vals
         if err < 0:
             raise FormatError(f"AC frame native decode error {err}")
         res = {}

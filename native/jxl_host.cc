@@ -510,7 +510,9 @@ static int64_t AcGroupDecodeImpl(
     const uint8_t* strat_ord, int32_t num_ctxs, int64_t gwb, int64_t ghb,
     int32_t check_final, int32_t shift, int32_t* out_coeffs,
     int32_t accumulate, int32_t dense_out, int64_t out_cstride,
-    int64_t out_rstride) {
+    int64_t out_rstride, int32_t* sp_idx = nullptr,
+    int32_t* sp_val = nullptr, int64_t sp_cap = 0,
+    int64_t* sp_n = nullptr, int64_t base_flat = 0) {
   AnsDec dec{data, nbytes, start_bit, 0};
   dec.state = (uint32_t)dec.Read(32);
   std::vector<int32_t> nz(3 * ghb * gwb, 0);
@@ -577,7 +579,8 @@ static int64_t AcGroupDecodeImpl(
             ctx_offset + num_ctxs * 37 + 458 * block_ctx;
         const int32_t* order = orders + order_off[ord_b * 3 + c];
         int prev = nzeros > size / 16 ? 0 : 1;
-        int32_t* qc = dense_out
+        int32_t* qc = sp_idx != nullptr ? nullptr
+            : dense_out
             ? out_coeffs + c * out_cstride + by * out_rstride + bx * 64
             : out_coeffs + c * plane + coff;
         for (int k = covered; k < size && nzeros != 0; ++k) {
@@ -595,7 +598,18 @@ static int64_t AcGroupDecodeImpl(
                                   : (int32_t)((uint64_t)u >> 1);
           int64_t pos = order[k];
           if (pos < 0 || pos >= size) return -2;
-          if (accumulate)
+          if (sp_idx != nullptr) {
+            // sparse emission: record the frame-dense flat index +
+            // value as it decodes (saves the full dense write + the
+            // sparsify rescan — ~2x the memory traffic of this stage)
+            if (coeff != 0) {
+              if (*sp_n >= sp_cap) return -5;
+              sp_idx[*sp_n] = (int32_t)(base_flat + c * out_cstride +
+                                        by * out_rstride + bx * 64 + pos);
+              sp_val[*sp_n] = coeff << shift;
+              ++*sp_n;
+            }
+          } else if (accumulate)
             qc[pos] += coeff << shift;
           else
             qc[pos] = coeff << shift;
@@ -667,7 +681,8 @@ EXPORT int64_t jxlt_ac_frame_decode(
     int32_t check_final, int32_t shift, int32_t* out,
     const int64_t* out_off, int32_t accumulate, int32_t n_threads,
     int64_t* end_bits, int32_t dense_out, int64_t out_cstride,
-    int64_t out_rstride) {
+    int64_t out_rstride, int32_t* sp_idx, int32_t* sp_val,
+    int64_t sp_cap_per_group, int64_t* sp_counts) {
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
   auto worker = [&]() {
@@ -686,13 +701,20 @@ EXPORT int64_t jxlt_ac_frame_decode(
         continue;
       }
       int64_t base = gy0[g] * fwb + gx0[g];
+      int32_t* g_sp_idx = sp_idx ? sp_idx + g * sp_cap_per_group : nullptr;
+      int32_t* g_sp_val = sp_val ? sp_val + g * sp_cap_per_group : nullptr;
+      int64_t g_sp_n = 0;
       int64_t res = AcGroupDecodeImpl(
           sdata, nbytes, sel_rd.bitpos, alias_sym, alias_off, freqs,
           uint_cfg, ctx_map, n_ctx, (int32_t)(sel * num_ac_ctxs),
           block_ctx3 + base, fhb * fwb, acs_raw + base, anchor + base,
           fwb, cov_x, cov_y, log2cov, orders, order_off, strat_ord,
-          num_ctxs, gw[g], gh[g], check_final, shift, out + out_off[g],
-          accumulate, dense_out, out_cstride, out_rstride);
+          num_ctxs, gw[g], gh[g], check_final, shift,
+          sp_idx ? nullptr : out + out_off[g],
+          accumulate, dense_out, out_cstride, out_rstride, g_sp_idx,
+          g_sp_val, sp_cap_per_group, sp_idx ? &g_sp_n : nullptr,
+          sp_idx ? out_off[g] : 0);
+      if (sp_counts) sp_counts[g] = g_sp_n;
       end_bits[g] = res;
       if (res < 0) err.store(res);
     }
