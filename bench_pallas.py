@@ -10,8 +10,14 @@ print("pallas available:", available(), flush=True)
 rng = np.random.default_rng(0)
 H, W = 2048, 2048
 xyb = rng.random((3, H, W)).astype(np.float32)
-inv_sig = np.full((H, W), -5.0, np.float32)
 lf = LoopFilter(); lf.gab = True; lf.epf_iters = 2
+# per-pixel inv-sigma matching the XLA path's compute_sigma inputs
+from libjxl_tpu.render import filters as F
+rq_np = np.full((H // 8, W // 8), 20, np.int32)
+sh_np = np.full((H // 8, W // 8), 4, np.int32)
+inv_sig = np.repeat(np.repeat(np.asarray(F.compute_sigma(
+    lf, None, None, rq_np, sh_np, 0.005, xp=np)), 8, 0), 8, 1).astype(
+        np.float32)
 t0 = time.time()
 out = restore_pallas(jnp.asarray(xyb), jnp.asarray(inv_sig), static_lf_params(lf), True, 2)
 r = np.asarray(out[:, :2, :2])
@@ -37,3 +43,6 @@ for _ in range(n):
     o2 = _restore(xd, rq, sh, jnp.float32(0.005), lf_params(lf), True, 2)
 np.asarray(o2[:, :2, :2])
 print(f"XLA gab+EPF2:    {n*H*W/1e6/(time.time()-t0):.0f} MP/s", flush=True)
+# output validation: the two paths must agree to float32 summation noise
+d = float(jnp.max(jnp.abs(out - o2)))
+print(f"max |pallas - XLA| = {d:.2e}", flush=True)

@@ -2,12 +2,17 @@
 EPF/Gaborish stencil kernels; reference stages
 ``render_pipeline/stage_gaborish.cc:31-54`` and ``stage_epf.cc``).
 
-The XLA lowering of these stencils materializes a temporary per
-shifted view (~20 per EPF pass), leaving it ~19x off the HBM roofline
-(measured 474 MP/s for gab+EPF1+EPF2 on one chip). Each kernel here
-streams one (tile + halo) window HBM->VMEM per grid step and computes
-every tap on-chip, so each pass costs one read + one write of the
-image.
+STATUS (round 5, measured on TPU v5e — `bench_pallas.py`,
+`profiling/_bench_pallas_r5d.out`): the XLA lowering WINS —
+173 MP/s vs 13 MP/s for gab+EPF2 at 2048x2048. The hand-written
+stencil pays for element-granular halo windows: every tap slices the
+VMEM window at lane-unaligned x-offsets (PX±1..3), which Mosaic
+lowers to per-row shift/copy sequences, while XLA's fused pad+shift
+graph keeps all adds lane-aligned. `config.pallas_filters` therefore
+stays False and the production decode path uses
+``render/filters_jax``; this module remains as working (lowering-
+clean, output-validated) kernel infrastructure for a future Mosaic
+version with cheap unaligned vector loads.
 
 Bit-compatibility: the math mirrors ``render/filters.py`` op for op
 (same weights, same clamp/skip semantics); float32 summation order
@@ -38,7 +43,13 @@ _NEIGHBORS0 = ((0, -2), (-1, -1), (0, -1), (1, -1), (-2, 0), (-1, 0),
                (1, 0), (2, 0), (-1, 1), (0, 1), (1, 1), (0, 2))
 
 TILE_H = 256
-TILE_W = 512
+TILE_W = 256
+# Mosaic requires the last two block dims divisible by (8, 128) — halo'd
+# windows are padded per side to these fixed amounts (>= any stencil
+# reach p<=3); only the inner p rows/cols hold mirror content, the rest
+# is don't-care fill the kernels never tap
+PY = 4
+PX = 64
 
 
 def available() -> bool:
@@ -63,7 +74,7 @@ def _gab_kernel(xw_ref, out_ref, *, w0, w1, w2, p):
     x = xw_ref[:]
     for c in range(3):           # per-channel weights as baked scalars
         def sh(dy, dx, c=c):
-            return x[c, p + dy:p + dy + th, p + dx:p + dx + tw]
+            return x[c, PY + dy:PY + dy + th, PX + dx:PX + dx + tw]
 
         out_ref[c] = (
             w0[c] * sh(0, 0) +
@@ -78,7 +89,7 @@ def _epf_kernel(xw_ref, sig_ref, out_ref, *, scales, sm, bsm, plus_sad,
     x = xw_ref[:]
 
     def sh(dx, dy):
-        return x[:, p + dy:p + dy + th, p + dx:p + dx + tw]
+        return x[:, PY + dy:PY + dy + th, PX + dx:PX + dx + tw]
 
     center = sh(0, 0)
     inv_sigma = sig_ref[:]
@@ -118,7 +129,8 @@ def _tiled_call(kernel, xpad, extra, out_hw, p: int):
     # overlapping (tile + halo) windows: pl.Element dims take ELEMENT
     # offsets in the index map, unlike the default block indexing
     in_specs = [pl.BlockSpec(
-        (3, pl.Element(TILE_H + 2 * p), pl.Element(TILE_W + 2 * p)),
+        (pl.Element(3), pl.Element(TILE_H + 2 * PY),
+         pl.Element(TILE_W + 2 * PX)),
         lambda i, j: (0, i * TILE_H, j * TILE_W),
         memory_space=pltpu.VMEM)]
     args = [xpad]
@@ -141,14 +153,18 @@ def _tiled_call(kernel, xpad, extra, out_hw, p: int):
 
 
 def _pad_tiles(x, h, w, p: int):
-    """Mirror-pad by p, then edge-pad up to the tile grid: block (i, j)
-    of size (T+2p) at offset (i*T, j*T) must stay in bounds."""
+    """Mirror-pad by the stencil reach p (the only rows/cols whose
+    content matters), then place the image origin at (PY, PX) and
+    edge-fill out to the tile grid + aligned halo: window (i, j) of
+    size (T_H+2*PY, T_W+2*PX) at offset (i*T_H, j*T_W) stays in
+    bounds and its taps only ever reach the mirrored p-band."""
     nty, ntx = pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W)
-    ph = nty * TILE_H + 2 * p
-    pw = ntx * TILE_W + 2 * p
+    ph = nty * TILE_H + 2 * PY
+    pw = ntx * TILE_W + 2 * PX
     x = jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="symmetric")
     return jnp.pad(
-        x, ((0, 0), (0, ph - x.shape[1]), (0, pw - x.shape[2])),
+        x, ((0, 0), (PY - p, ph - (h + 2 * p) - (PY - p)),
+            (PX - p, pw - (w + 2 * p) - (PX - p))),
         mode="edge")
 
 
