@@ -431,11 +431,13 @@ def choose_acs(xyb_planes: np.ndarray, raw_quant: np.ndarray, matrices,
                     if cb < q10 + q11:
                         place(ACS_DCT32X64, ty + 4, tx)
     if try_small:
-        _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam)
+        _choose_small(y_plane, acs, anchors, rq, matrices, quantizer,
+                      lam, distance)
     return acs, anchors, rq
 
 
-def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam):
+def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer,
+                  lam, distance: float = 1.0):
     """Per-8x8 candidate choice among DCT8 + the special transforms,
     vectorized over all unmerged blocks (pixel-domain distortion through
     the probed linear maps)."""
@@ -454,6 +456,18 @@ def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam):
     best_cost = np.full(len(by0), np.inf)
     best_s = np.zeros(len(by0), np.int32)
     for raw, mul in [(0, 1.0)] + list(SMALL_STRATEGIES.items()):
+        # distance-dependent multiplier shaping (FindBest8x8Transform,
+        # enc_ac_strategy.cc:585-603): IDENTITY/DCT2X2 get a strong
+        # favor below d=5 (kFavor2X2AtHighQuality — sharp synthetic
+        # edges code far better through them at high quality), the
+        # frequency-split transforms a penalty above d=4
+        if raw in (1, 2) and distance < 5.0:
+            mul = mul - 0.4 * ((5.0 - distance) / 5.0) ** 2
+        if raw not in (0, 1, 2) and distance > 4.0:
+            avoid = 1.0
+            if distance < 12.0:
+                avoid *= (12.0 - 4.0) / (distance - 4.0)
+            mul = mul + 0.5 * avoid
         F = forward_matrix(raw)
         M = inverse_matrix(raw)
         table = matrices.table_for_strategy(raw)[1].reshape(64)
@@ -466,7 +480,11 @@ def _choose_small(y_plane, acs, anchors, rq, matrices, quantizer, lam):
         dq[:, 0] = coef[:, 0]              # DC carried by the DC image
         err = (dq - coef) @ M.T            # pixel-domain error
         dist = (err * err).sum(axis=1)
-        cost = mul * (rate + lam * dist)
+        # the level multiplier scales the BITS estimate only; the
+        # distortion term is absolute (EstimateEntropy: entropy *=
+        # entropy_mul, THEN += info_loss — scaling both handed the
+        # low-mul AFV transforms a double advantage)
+        cost = mul * rate + lam * dist
         better = cost < best_cost
         best_cost = np.where(better, cost, best_cost)
         best_s = np.where(better, raw, best_s)
