@@ -413,6 +413,9 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         # libjxl e3 (whose density advantage is its entropy-coding
         # heuristics). 0.70/d rounds to the next step down: ~1.5%
         # smaller than libjxl e3 at d1.0 with butteraugli +0.04.
+        # (An e5-class adaptive field was probed in r5: heterogeneous
+        # content degrades hard — large_wood BD +7.1 -> +18.4 — the
+        # masking field needs the e5 ACS/EPF machinery around it.)
         qf_field = np.full((yb, xb), 0.70 / d, np.float32)
         global_scale, quant_dc_int, raw_quant = compute_scale_from_quant(
             quant_dc_f, 0.70 / d, qf_field)
@@ -836,7 +839,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                  np.zeros((0, 2), np.int64) for t in group_tokens[0]],
                 bctx.num_ac_contexts(),
                 6 if options.faster_decoding >= 1 else 24, 11,
-                options.effort >= 4)
+                options.effort >= 3)
     if native_tail is None:
         with prof.stage("entropy_codes"):
             codes_per_pass = [build_entropy_codes(
@@ -848,7 +851,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
                 allow_clustering=True,
                 histo_shift=11,
                 max_clusters=6 if options.faster_decoding >= 1 else 24,
-                uint_search=options.effort >= 4)
+                uint_search=options.effort >= 3)
                 for p in range(num_passes)]
 
     # ---- headers ---------------------------------------------------------
