@@ -477,13 +477,19 @@ def _frame_to_float(meta: CodecMetadata, fs, refs, dc_store=None):
     return img, img
 
 
-def decode_rows(data: bytes):
+def decode_rows(data: bytes, gy_range: tuple | None = None):
     """Low-memory banded decode (low_memory_render_pipeline.cc /
     dec_group_border.h halo model): yields ``(y0, band_u8)`` tuples of
     output rows top-to-bottom, with PIXEL memory bounded by three group
     rows (the current 256-row band plus an 8-px halo on each side) —
     the full frame is never materialized. A one-band delay provides the
     bottom halo so the restoration filters are exact everywhere.
+
+    ``gy_range``: optional (a, b) group-row window — only bands
+    a..b-1 are produced (each boundary decodes one extra neighbor band
+    for its filter halo; output bytes are identical to the full run).
+    This is the per-process unit of the multi-host sharded decode
+    (parallel/multihost.decode_multihost).
 
     Supported on single-frame 4:4:4 VarDCT streams without
     patches/splines/noise/upsampling/extra channels; other streams fall
@@ -639,22 +645,33 @@ def decode_rows(data: bytes):
         return np.moveaxis(u, 0, -1)
 
     n_gy = fd.ysize_groups
-    prev = None                             # previous band, pre-filter
-    prev_prev_tail = None
-    for gy in range(n_gy):
-        band = decode_band(gy)
-        if prev is not None:
-            done = filter_band(prev_prev_tail, prev, band[:, :margin],
-                               gy - 1)
-            done = feature_band(done, (gy - 1) * gd)
-            yield (gy - 1) * gd, to_output(done)
-            prev_prev_tail = prev[:, -margin:]
-        prev = band
-    done = filter_band(prev_prev_tail, prev, None, n_gy - 1)
-    y0 = (n_gy - 1) * gd
-    if y0 < fd.ysize:
-        done = feature_band(done, y0)
-        yield y0, to_output(done)
+    a, b = (0, n_gy) if gy_range is None else gy_range
+    a, b = max(0, a), min(n_gy, b)
+    # each output band filters with its neighbors' pre-filter margins
+    # (decoded once via a 3-band cache) — for a partial range this
+    # decodes one extra band per boundary, keeping the output
+    # bit-identical to the full run (the multi-host halo model)
+    cache: dict = {}
+
+    def get_band(gy: int):
+        if gy < 0 or gy >= n_gy:
+            return None
+        if gy not in cache:
+            cache[gy] = decode_band(gy)
+        return cache[gy]
+
+    for gy in range(a, b):
+        bandm = get_band(gy - 1)
+        band = get_band(gy)
+        bandp = get_band(gy + 1)
+        done = filter_band(
+            None if bandm is None else bandm[:, -margin:], band,
+            None if bandp is None else bandp[:, :margin], gy)
+        y0 = gy * gd
+        if y0 < fd.ysize:
+            done = feature_band(done, y0)
+            yield y0, to_output(done)
+        cache.pop(gy - 1, None)
 
 
 def _modular_banded_plan(meta, fs):

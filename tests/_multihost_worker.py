@@ -26,6 +26,16 @@ from libjxl_tpu.parallel.multihost import (  # noqa: E402
 
 mode = sys.argv[5] if len(sys.argv) > 5 else "lossless"
 rng = np.random.default_rng(11)
+if mode == "decode":
+    # sharded multi-host DECODE: the stream to decode is read from
+    # out_path + ".in"; the gathered pixels land in out_path as .npy
+    from libjxl_tpu.parallel.multihost import decode_multihost
+    data = open(out_path + ".in", "rb").read()
+    out = decode_multihost(data)
+    if pid == 0:
+        np.save(out_path, out)
+    print(f"proc {pid} done", flush=True)
+    sys.exit(0)
 if mode == "vardct":
     from libjxl_tpu.parallel.multihost import (
         encode_lossy_multihost,
