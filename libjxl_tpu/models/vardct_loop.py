@@ -237,13 +237,36 @@ class LoopState:
         self.dc_float = jnp.asarray(cc["dc_float"], jnp.float32)
         self.orig_lin = jnp.asarray(orig_lin_f32, jnp.float32)
 
+        # FIXED class tuple + coarse capacity buckets: `classes` and
+        # every class_data shape are static jit args, so a per-image
+        # class layout would recompile _loop_step per image (~30 s on
+        # the remote-compile queue — measured 89 s for 4 distinct
+        # images vs 2 s/image warm). Keeping the full candidate set
+        # (absent classes ride as all-padding) and bucketing counts to
+        # >=256-pow2 makes the program cache key depend only on the
+        # image SIZE for virtually all content.
+        present = {int(k) for k in cc if isinstance(k, int)}
+        all_classes = sorted(present | {0, 1, 2, 3, 4, 5, 6, 7, 10, 11,
+                                        12, 13, 14, 15, 16, 17, 18, 19,
+                                        20})
         classes = []
         class_data = []
-        for s in sorted(k for k in cc if isinstance(k, int)):
-            by0, bx0 = np.nonzero(anchors & (acs == s))
-            coefs = np.stack([cc[s][c] for c in range(3)], axis=1)
-            n = len(by0)
-            cap = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        from libjxl_tpu.vardct.ac_strategy import COVERED_X as _CX, \
+            COVERED_Y as _CY
+        for s in all_classes:
+            cov = int(_CY[s]) * int(_CX[s])
+            if s in present:
+                by0, bx0 = np.nonzero(anchors & (acs == s))
+                coefs = np.stack([cc[s][c] for c in range(3)], axis=1)
+                n = len(by0)
+            else:
+                by0 = bx0 = np.zeros(0, np.int64)
+                coefs = np.zeros((0, 3, cov * 64), np.float32)
+                n = 0
+            # min cap sized so each class's padding costs <= ~0.2 MP of
+            # IDCT work; the total padded overhead stays ~1x the image
+            min_cap = max(16, 2048 // cov)
+            cap = max(min_cap, 1 << int(np.ceil(np.log2(max(n, 1)))))
             pad = cap - n
 
             def cat_pad(a, fill=0):
