@@ -270,9 +270,18 @@ def measure() -> dict:
     # (the compressed stream itself is the d2h payload). The
     # device_*_mpps axes exclude the relay and predict throughput on a
     # production PCIe-attached host, where the link is >100x faster.
-    extra["note"] = ("e2e is bound by the dev-harness stdio relay "
-                     "(~30 MB/s d2h); device_encode_mpps/"
-                     "decode_device_mpps are the production-host axes")
+    extra["note"] = (
+        "e2e axes run through the dev-harness stdio relay whose rate "
+        "swings 5-170 MB/s by the minute (relay_d2h_mbps above is the "
+        "snapshot taken this run; ROOFLINE_VARDCT.md has the stage "
+        "decomposition proving the e2e axes are link-bound); "
+        "device_encode_mpps/decode_device_mpps exclude the relay and "
+        "predict the production PCIe-host rates")
+    extra["pallas_filters"] = (
+        "XLA wins: 386 MP/s vs 25 MP/s pallas for gab+EPF2 at 2048^2 "
+        "(bench_pallas.py r5; outputs match to 1.8e-7) - unaligned "
+        "halo taps defeat Mosaic vectorization, config.pallas_filters "
+        "stays False")
     _save_cache(record)
     return record
 

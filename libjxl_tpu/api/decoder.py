@@ -989,9 +989,15 @@ def _device_decode_inputs(data: bytes):
                 size = COVERED_X[s] * COVERED_Y[s] * 64
                 q = coeffs[:, offs[ys, xs][:, None] +
                            np.arange(size)[None, :]]
+                q = q.transpose(1, 0, 2)
+                # int16 halves the h2d staging (the biggest wire cost
+                # of the var path: dense coefficients are ~9 MB/frame
+                # as int32); quantized AC values exceeding int16 are
+                # astronomically rare — fall back to int32 then
+                if np.abs(q).max(initial=0) <= 32767:
+                    q = q.astype(np.int16)
                 entry = classes.setdefault(s, [[], [], [], []])
-                entry[0].append(np.ascontiguousarray(
-                    q.transpose(1, 0, 2)))
+                entry[0].append(np.ascontiguousarray(q))
                 entry[1].append(dec.raw_quant[by0 + ys, bx0 + xs])
                 entry[2].append((by0 + ys).astype(np.int32))
                 entry[3].append((bx0 + xs).astype(np.int32))
