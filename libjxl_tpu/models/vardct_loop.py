@@ -30,6 +30,14 @@ import jax.numpy as jnp
 _SPECIALS = (1, 2, 3, 12, 13, 14, 15, 16, 17)
 
 
+@jax.jit
+def _srgb_linear_dev(px_u8):
+    """(h, w, 3) u8 sRGB -> (3, h, w) f32 linear, on device."""
+    srgb = jnp.moveaxis(px_u8.astype(jnp.float32), -1, 0) / 255.0
+    return jnp.where(srgb <= 0.04045, srgb / 12.92,
+                     ((srgb + 0.055) / 1.055) ** 2.4)
+
+
 def _bias(q, c):
     from libjxl_tpu.vardct.frame_dec import K_BIASES
     absq = jnp.abs(q)
@@ -204,7 +212,8 @@ class LoopState:
     heuristics pass (coefficients, DC grid, CfL maps, original image)."""
 
     def __init__(self, state: dict, aux: dict, orig_lin_f32, d: float,
-                 x_qm_mul: float, h: int, w: int):
+                 x_qm_mul: float, h: int, w: int,
+                 orig_u8: np.ndarray | None = None):
         from libjxl_tpu.render.filters_jax import lf_params
         from libjxl_tpu.vardct.cfl import ColorCorrelation
 
@@ -235,7 +244,15 @@ class LoopState:
         self.fx_map = jnp.asarray(fx_full, jnp.float32)
         self.fb_map = jnp.asarray(fb_full, jnp.float32)
         self.dc_float = jnp.asarray(cc["dc_float"], jnp.float32)
-        self.orig_lin = jnp.asarray(orig_lin_f32, jnp.float32)
+        if orig_u8 is not None:
+            # ship the ORIGINAL as uint8 and widen on device: the f32
+            # linear plane is 9.4 MB over a ~50 MB/s dev relay (~0.2 s
+            # of the first loop iteration's wait); the u8 source is
+            # 2.4 MB and the sRGB->linear convert is trivial VPU work
+            from libjxl_tpu.utils.device import device_put_fast
+            self.orig_lin = _srgb_linear_dev(device_put_fast(orig_u8))
+        else:
+            self.orig_lin = jnp.asarray(orig_lin_f32, jnp.float32)
 
         # FIXED class tuple + coarse capacity buckets: `classes` and
         # every class_data shape are static jit args, so a per-image

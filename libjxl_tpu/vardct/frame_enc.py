@@ -1390,8 +1390,11 @@ def _encode_lossy_iterated(pixels: np.ndarray,
     if options.use_device:
         from libjxl_tpu.models.vardct_loop import LoopState
         x_qm_mul = 1.25 ** (state["x_qm_scale"] - 2)
+        orig_u8 = pixels[:, :, :3] if (
+            pixels.dtype == np.uint8 and (h, w) == pixels.shape[:2]
+            and options.color_encoding is None) else None
         ls = LoopState(state, aux, orig_f32, float(options.distance),
-                       x_qm_mul, h, w)
+                       x_qm_mul, h, w, orig_u8=orig_u8)
     for i in range(iters):
         with prof.stage("loop_iter"):
             if ls is not None:
