@@ -227,7 +227,8 @@ def encode_lossy_frame_device_sharded(pixels: np.ndarray,
                                       inv_qac: np.ndarray,
                                       table, thres_y, thres_xb, mul_dc,
                                       h: int, w: int, yb: int, xb: int,
-                                      x_qm_mul: float, mesh=None):
+                                      x_qm_mul: float, mesh=None,
+                                      hlo_out: list | None = None):
     """Multi-chip VarDCT encode: the SAME _frame_body math shard_mapped
     over row bands of a device mesh (the production analog of the
     reference's per-group RunOnPool loop, enc_frame.cc:1232).
@@ -273,10 +274,17 @@ def encode_lossy_frame_device_sharded(pixels: np.ndarray,
                   P(None, None), P(None), P(None), P(None)),
         out_specs=(P(axis, None, None, None), P(axis, None, None),
                    P(axis, None), P(axis, None)))
-    q_ac, q_dc, ytox, ytob = jax.jit(fn)(
-        jnp.asarray(px), jnp.asarray(qac_p), jnp.asarray(iq_p),
-        jnp.asarray(table, jnp.float32), jnp.asarray(thres_y),
-        jnp.asarray(thres_xb), jnp.asarray(mul_dc, jnp.float32))
+    jfn = jax.jit(fn)
+    jargs = (jnp.asarray(px), jnp.asarray(qac_p), jnp.asarray(iq_p),
+             jnp.asarray(table, jnp.float32), jnp.asarray(thres_y),
+             jnp.asarray(thres_xb), jnp.asarray(mul_dc, jnp.float32))
+    if hlo_out is not None:
+        # collective audit: the band schedule is block/tile-local by
+        # construction — expose the compiled HLO so callers can verify
+        # zero cross-device collectives (the structural basis of the
+        # >=85% multi-host scaling claim)
+        hlo_out.append(jfn.lower(*jargs).compile().as_text())
+    q_ac, q_dc, ytox, ytob = jfn(*jargs)
     ty_n, tx_n = -(-yb // 8), -(-xb // 8)
     return (np.asarray(q_ac)[:yb], np.asarray(q_dc)[:yb],
             np.asarray(ytox)[:ty_n, :tx_n],
