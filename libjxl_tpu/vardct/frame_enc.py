@@ -797,16 +797,22 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
         if used_orders:
             orders.update({b: o for b, o in custom_orders.items()
                            if b in orders})
+        def _tok_one(g):
+            gy, gx = g // fd.xsize_groups, g % fd.xsize_groups
+            by0, bx0 = gy * gdb, gx * gdb
+            return tokenize_varblocks_group(
+                blocks, acs_map, acs_anchors, orders, bctx,
+                raw_quant, by0, bx0, min(gdb, yb - by0),
+                min(gdb, xb - bx0))
+
         with prof.stage("tokenize"):
-            for gy in range(fd.ysize_groups):
-                for gx in range(fd.xsize_groups):
-                    g = gy * fd.xsize_groups + gx
-                    by0, bx0 = gy * gdb, gx * gdb
-                    gh = min(gdb, yb - by0)
-                    gw = min(gdb, xb - bx0)
-                    group_tokens[0][g] = tokenize_varblocks_group(
-                        blocks, acs_map, acs_anchors, orders, bctx,
-                        raw_quant, by0, bx0, gh, gw)
+            if fd.num_groups > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(min(4, fd.num_groups)) as ex:
+                    group_tokens[0] = list(
+                        ex.map(_tok_one, range(fd.num_groups)))
+            else:
+                group_tokens[0] = [_tok_one(0)]
     else:
         with prof.stage("tokenize"):
             for p in range(num_passes):
