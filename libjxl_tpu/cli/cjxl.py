@@ -104,6 +104,11 @@ def main(argv=None) -> int:
                    help="'0'/'1' pattern per animation frame (first "
                         "must be 1): store a jxli frame-index box "
                         "with keyframe codestream offsets")
+    p.add_argument("--container", type=int, default=-1,
+                   choices=(-1, 0, 1),
+                   help="force the ISOBMFF container on (1) or off (0); "
+                        "default: container only when boxes need it "
+                        "(cjxl_main.cc --container semantics)")
     p.add_argument("--num_threads", type=int, default=0,
                    help="host worker threads for per-group work "
                         "(0 = auto)")
@@ -250,6 +255,10 @@ def main(argv=None) -> int:
             lo.dots = True
         data = encode_lossy(img, lo)
     dt = time.perf_counter() - t0
+    if args.container == 1:
+        from libjxl_tpu.api.container import is_container, wrap_container
+        if not is_container(data):
+            data = wrap_container(data)
     with open(args.output, "wb") as f:
         f.write(data)
     if not args.quiet:
