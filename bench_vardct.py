@@ -29,7 +29,7 @@ def bench_vardct_encode_mpps() -> float:
     opts = LossyOptions(distance=1.0, effort=3, use_device=True)
     encode_lossy(imgs[0], opts)          # warm: compile
     dt = float("inf")
-    for _ in range(2):        # best of 2: dev-relay throughput wobbles
+    for _ in range(4):        # best of 4: dev-relay throughput wobbles
         t0 = time.perf_counter()
         outs = encode_lossy_many(imgs, opts)
         dt = min(dt, time.perf_counter() - t0)
@@ -50,7 +50,7 @@ def bench_vardct_e7_mpps() -> float:
     opts = LossyOptions(distance=1.0, effort=7, use_device=True)
     encode_lossy(img, opts)              # warm: compile
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         out = encode_lossy(img, opts)
         dt = min(dt, time.perf_counter() - t0)
