@@ -765,7 +765,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
     # (enc_coeff_order.cc:66-74; not at <=falcon, not for tiny images)
     used_orders = 0
     order_perms: dict = {}
-    if (num_passes == 1 and options.effort >= 4 and
+    if (num_passes == 1 and options.effort >= 3 and
             fd.num_groups >= 4):
         # small streams skip custom orders: the permutation signaling
         # (~0.1-0.3 kB) outweighs the token savings below ~4 groups
