@@ -363,6 +363,12 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             qf_d, xyb_p_d, pre_gab_d = front_device(
                 device_put_fast(pixels[:, :, :3]), float(d), bool(use_gab),
                 h=h, w=w, yb=yb, xb=xb)
+            try:
+                # start the big d2h pull immediately: it lands while
+                # the small qf fetch and the Python in between run
+                xyb_p_d.copy_to_host_async()
+            except Exception:  # noqa: BLE001  (host-only arrays)
+                pass
         with prof.stage("front_fetch"):
             # fetch f32 THEN widen: np.asarray(dev, np.float64) routes
             # through a slow elementwise path (~33 MB/s vs the 166 MB/s
