@@ -28,6 +28,10 @@ class RuntimeConfig:
     # restore_device (models/pallas_filters.py): one HBM read+write per
     # pass vs XLA's per-shifted-view temporaries.
     pallas_filters: bool = False
+    # e5+/e7 device path: run the variable-block forward transforms +
+    # quantization as one fused program (models/vardct_transform)
+    # instead of fetching the XYB plane and transforming on host
+    device_transform: bool = True
     # Shard the decode-side restoration filters over all visible devices
     # (row bands + ppermute halo exchange, parallel/shard_filters.py);
     # output is bit-identical to the single-device filters.

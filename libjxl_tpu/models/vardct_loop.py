@@ -262,6 +262,21 @@ class LoopState:
         # (absent classes ride as all-padding) and bucketing counts to
         # >=256-pow2 makes the program cache key depend only on the
         # image SIZE for virtually all content.
+        dev = cc.get("dev")
+        if dev is not None:
+            # device transform path (models/vardct_transform): the raw
+            # per-class coefficient batches already sit in HBM with the
+            # shared fixed-class layout — zero h2d staging here
+            classes = []
+            class_data = []
+            for s_ in sorted(dev):
+                coefs_d, by0_d, bx0_d, fi_d, _n = dev[s_]
+                classes.append(int(s_))
+                class_data.append((coefs_d, by0_d, bx0_d, fi_d))
+            self.classes = tuple(classes)
+            self.class_data = tuple(class_data)
+            return
+
         present = {int(k) for k in cc if isinstance(k, int)}
         all_classes = sorted(present | {0, 1, 2, 3, 4, 5, 6, 7, 10, 11,
                                         12, 13, 14, 15, 16, 17, 18, 19,

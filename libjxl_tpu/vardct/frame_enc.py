@@ -530,8 +530,21 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             acs_anchors = np.ones((yb, xb), bool)
             stored = None
     else:
+        # ---- AC strategy gating (hoisted: the device transform path
+        # decides whether the whole-frame DCT8 is needed on host) -----
+        use_acs = options.effort >= 5 and not (
+            options.progressive or options.progressive_ac or
+            options.qprogressive_ac)
+        from libjxl_tpu.config import config as _cfg2
+        use_dev_tq = (
+            use_dev_heur and use_acs and _cfg2.device_transform and
+            aux is not None and aux.get("y_plane_dev") is not None and
+            patches_dict is None and options.splines is None and
+            noise_lut is None)
         # ---- DCT ------------------------------------------------------------
-        if aux is not None and options._in_iteration and \
+        if use_dev_tq:
+            stored = None            # whole-frame DCT8 lives on device
+        elif aux is not None and options._in_iteration and \
                 "stored_dct" in aux:
             stored = aux["stored_dct"]
         else:
@@ -555,12 +568,7 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             return q.astype(np.int32)
 
         # ---- AC strategy selection (effort>=5): DCT16/DCT32 merges ----------
-        # progressive pass splitting operates on the 8x8 grid: variable
-        # blocks stay off when a multi-pass mode is requested (the
-        # reference supports both; tracked as a combinable follow-up)
-        use_acs = options.effort >= 5 and not (
-            options.progressive or options.progressive_ac or
-            options.qprogressive_ac)
+        # (use_acs hoisted above the DCT block)
         if use_acs:
             if aux is not None and options._in_iteration and \
                     "acs" in aux:
@@ -618,62 +626,85 @@ def encode_lossy(pixels: np.ndarray, options: LossyOptions | None = None
             if custom_bctx is not None:
                 bctx = custom_bctx
 
-        q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
-        # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
-        inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
-        y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
-            (table[1][None, None] * inv_qac[:, :, None])
-
-        # ---- chroma-from-luma search (per 64x64 tile, least squares,
-        # all tiles batched; zero padding adds nothing to the sums) ----
-        tx_n = cdiv(xb, 8)
-        ty_n = cdiv(yb, 8)
-        color_scale = 1.0 / 84.0
-
-        def _tiles(a):
-            ap = np.zeros((ty_n * 8, tx_n * 8, a.shape[2]))
-            ap[:yb, :xb] = a
-            return ap.reshape(ty_n, 8, tx_n, 8, -1).transpose(
-                0, 2, 1, 3, 4).reshape(ty_n, tx_n, -1)
-
-        yt = _tiles(y_rt[:, :, 1:])
-        denom = np.einsum("ijk,ijk->ij", yt, yt)
-        numx = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 0, 1:]), yt)
-        numb = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 2, 1:]), yt)
-        ok = denom >= 1e-9
-        dsafe = np.where(ok, denom, 1.0)
-        ytox_map = np.where(ok, np.clip(np.round(
-            numx / dsafe / color_scale), -128, 127), 0).astype(np.int32)
-        ytob_map = np.where(ok, np.clip(np.round(
-            (numb / dsafe - 1.0) / color_scale), -128, 127),
-            0).astype(np.int32)
-
-        # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
-        fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
-            color_scale
-        fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
-            color_scale
-        if use_acs:
-            from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
-            cc = aux.setdefault("coef_cache", {}) \
-                if aux is not None and options._in_iteration else None
-            with prof.stage("transform_all"):
-                blocks, dc_float_acs = transform_all(
-                    xyb_p, acs_map, acs_anchors, raw_quant, matrices,
-                    quantizer, x_qm_mul, coef_cache=cc)
-            with prof.stage("finish_chroma"):
-                finish_chroma(blocks, dc_float_acs, fx_full, fb_full,
-                              x_qm_mul, quantizer)
-        if use_acs:
-            # per-block quantization lives in blocks (finish_chroma);
-            # the whole-frame DCT8 q_ac would be dead work here
+        if use_dev_tq:
+            # fused device transform+quantize (models/vardct_transform):
+            # whole-frame DCT8 CfL + per-class forward DCTs + dead-zone
+            # quantization on device; the host receives int16 quantized
+            # coefficients and per-anchor DC blocks. Identical math to
+            # the host branch below (differential-tested); f32-vs-f64
+            # can flip a rare rounding boundary (both streams valid).
+            from libjxl_tpu.models.vardct_transform import \
+                transform_quantize_device
+            with prof.stage("transform_dev"):
+                tq = transform_quantize_device(
+                    aux["y_plane_dev"], acs_map, acs_anchors, raw_quant,
+                    matrices, quantizer, x_qm_mul)
+            blocks = tq["blocks_q"]
+            dc_float_acs = tq["dc_float"]
+            ytox_map = tq["ytox"]
+            ytob_map = tq["ytob"]
+            if options._in_iteration:
+                cc = aux.setdefault("coef_cache", {})
+                cc.setdefault("dev", tq["dev_cache"])
+                cc.setdefault("dc_float", dc_float_acs)
             q_ac = None
         else:
-            x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
-            b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
-            q_x = quantize(0, x_res, x_qm_mul, thres_xb)
-            q_b = quantize(2, b_res, 1.0, thres_xb)
-            q_ac = np.stack([q_x, q_y, q_b], axis=2)       # (yb, xb, 3, 64)
+            q_y = quantize(1, stored[:, :, 1], 1.0, thres_y)
+            # roundtrip Y (AdjustQuantBias + dequant) for chroma-from-luma
+            inv_qac = inv_gs / raw_quant.astype(np.float64)        # (yb, xb)
+            y_rt = adjust_quant_bias(q_y.reshape(-1, 64), 1).reshape(yb, xb, 64) * \
+                (table[1][None, None] * inv_qac[:, :, None])
+
+            # ---- chroma-from-luma search (per 64x64 tile, least squares,
+            # all tiles batched; zero padding adds nothing to the sums) ----
+            tx_n = cdiv(xb, 8)
+            ty_n = cdiv(yb, 8)
+            color_scale = 1.0 / 84.0
+
+            def _tiles(a):
+                ap = np.zeros((ty_n * 8, tx_n * 8, a.shape[2]))
+                ap[:yb, :xb] = a
+                return ap.reshape(ty_n, 8, tx_n, 8, -1).transpose(
+                    0, 2, 1, 3, 4).reshape(ty_n, tx_n, -1)
+
+            yt = _tiles(y_rt[:, :, 1:])
+            denom = np.einsum("ijk,ijk->ij", yt, yt)
+            numx = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 0, 1:]), yt)
+            numb = np.einsum("ijk,ijk->ij", _tiles(stored[:, :, 2, 1:]), yt)
+            ok = denom >= 1e-9
+            dsafe = np.where(ok, denom, 1.0)
+            ytox_map = np.where(ok, np.clip(np.round(
+                numx / dsafe / color_scale), -128, 127), 0).astype(np.int32)
+            ytob_map = np.where(ok, np.clip(np.round(
+                (numb / dsafe - 1.0) / color_scale), -128, 127),
+                0).astype(np.int32)
+
+            # unapply CfL (with base_correlation_b = 1.0) and quantize X/B
+            fx_full = np.repeat(np.repeat(ytox_map, 8, 0), 8, 1)[:yb, :xb] * \
+                color_scale
+            fb_full = 1.0 + np.repeat(np.repeat(ytob_map, 8, 0), 8, 1)[:yb, :xb] * \
+                color_scale
+            if use_acs:
+                from libjxl_tpu.vardct.enc_acs import finish_chroma, transform_all
+                cc = aux.setdefault("coef_cache", {}) \
+                    if aux is not None and options._in_iteration else None
+                with prof.stage("transform_all"):
+                    blocks, dc_float_acs = transform_all(
+                        xyb_p, acs_map, acs_anchors, raw_quant, matrices,
+                        quantizer, x_qm_mul, coef_cache=cc)
+                with prof.stage("finish_chroma"):
+                    finish_chroma(blocks, dc_float_acs, fx_full, fb_full,
+                                  x_qm_mul, quantizer)
+            if use_acs:
+                # per-block quantization lives in blocks (finish_chroma);
+                # the whole-frame DCT8 q_ac would be dead work here
+                q_ac = None
+            else:
+                x_res = stored[:, :, 0] - fx_full[:, :, None] * y_rt
+                b_res = stored[:, :, 2] - fb_full[:, :, None] * y_rt
+                q_x = quantize(0, x_res, x_qm_mul, thres_xb)
+                q_b = quantize(2, b_res, 1.0, thres_xb)
+                q_ac = np.stack([q_x, q_y, q_b], axis=2)       # (yb, xb, 3, 64)
 
     # ---- progressive pass split (enc_progressive_split.cc:30-80) --------
     # precedence mirrors SetProgressiveMode (enc_frame.cc:278-289):

@@ -601,3 +601,25 @@ def test_progressive_ac_and_qprogressive_ac_modes():
         if oracle_available():
             ref = oracle_decode(data).pixels
             assert np.abs(ref.astype(int) - dec.astype(int)).max() <= 1
+
+
+def test_device_transform_matches_host_transform(rng):
+    """The fused device transform+quantize path (models/vardct_transform,
+    config.device_transform) must produce the same stream as the host
+    transform_all/finish_chroma path on the CPU backend — including the
+    e7 loop, whose class data it feeds as device handles."""
+    from libjxl_tpu.config import config
+    from libjxl_tpu.vardct.frame_enc import LossyOptions, encode_lossy
+
+    img = _img(rng, 200, 280)
+    for e in (5, 7):
+        try:
+            config.device_transform = True
+            a = encode_lossy(img, LossyOptions(distance=1.0, effort=e,
+                                               use_device=True))
+            config.device_transform = False
+            b = encode_lossy(img, LossyOptions(distance=1.0, effort=e,
+                                               use_device=True))
+        finally:
+            config.device_transform = True
+        assert a == b
