@@ -32,7 +32,9 @@ def bench_decode_mpps() -> float:
 
     data = _make_stream()
     config.device_filters = True
-    decode_many([data] * 8)   # warm: native build + K=8 chunk compile
+    config.decode_host_processes = os.cpu_count() or 1
+    decode_many([data] * 8)   # warm: native build + K=8 chunk compile +
+    #                           host process pool spawn
     n = 24
     dt = float("inf")
     for _ in range(2):        # best of 2: dev-relay throughput wobbles
@@ -84,26 +86,40 @@ def bench_decode_device_mpps() -> float:
 def bench_decode_host_entropy_mpps() -> float:
     """Host entropy stage ALONE (VERDICT r3 item 3): codestream parse +
     native parallel rANS token decode + coefficient staging prep for a
-    batch of streams on 3 host threads — no device dispatch, no relay.
-    Together with decode_device_mpps this decomposes e2e decode:
-    projected PCIe-host rate = 1/(1/host + 1/device) since a production
-    host overlaps the two stages across a stream batch."""
+    batch of streams — no device dispatch, no relay. Runs on the
+    serving configuration: the parallel/host_pool.py PROCESS pool
+    (whole streams per worker; the thread pool is GIL-capped at
+    ~1.5x one thread because the stage is small Python steps between
+    native calls). Together with decode_device_mpps this decomposes
+    e2e decode: projected PCIe-host rate = 1/(1/host + 1/device) since
+    a production host overlaps the two stages across a stream batch."""
     from concurrent.futures import ThreadPoolExecutor
 
     from libjxl_tpu.api.decoder import _device_decode_inputs
 
     data = _make_stream()
     _device_decode_inputs(data)       # warm: native build
-    n = 24
+    n = 48
     dt = float("inf")
-    # 3 workers on this 4-core host: the 4th core serves the native
-    # inner loops' memory traffic; more workers thrash (measured)
-    nw = min(3, os.cpu_count() or 3)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(nw) as ex:
-            list(ex.map(_device_decode_inputs, [data] * n))
-        dt = min(dt, time.perf_counter() - t0)
+    try:
+        from libjxl_tpu.parallel.host_pool import map_decode_inputs, warm
+        warm()
+        map_decode_inputs([data] * n)       # warm worker caches
+        # best of 5: this host's spare-CPU level swings minute to
+        # minute (same reason bench.py merges best-of across runs)
+        for _ in range(5):
+            t0 = time.perf_counter()
+            map_decode_inputs([data] * n)
+            dt = min(dt, time.perf_counter() - t0)
+    except Exception:
+        # constrained environments without working process spawn:
+        # fall back to the thread pool (GIL-capped)
+        nw = min(3, os.cpu_count() or 3)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(nw) as ex:
+                list(ex.map(_device_decode_inputs, [data] * n))
+            dt = min(dt, time.perf_counter() - t0)
     return round(n * 0.786432 / dt, 2)
 
 
@@ -173,6 +189,7 @@ def bench_decode_e7_mpps() -> float:
         with open(E7_STREAM_PATH, "wb") as f:
             f.write(data)
     config.device_filters = True
+    config.decode_host_processes = os.cpu_count() or 1
     decode_many([data] * 8)
     n = 16
     dt = float("inf")

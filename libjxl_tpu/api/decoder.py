@@ -1076,9 +1076,21 @@ def decode_many(streams, workers: int = 3, device_batch: bool = True
     if not (device_batch and config.device_filters and len(streams) > 1):
         with ThreadPoolExecutor(max(1, workers)) as ex:
             return list(ex.map(decode, streams))
-    with ThreadPoolExecutor(max(1, workers)) as ex:
-        prepped = list(ex.map(
-            lambda s: _try(_device_decode_inputs, s), streams))
+    prepped = None
+    if config.decode_host_processes:
+        # GIL-free host stage: whole streams decode on worker
+        # processes (parallel/host_pool.py); any pool-level failure
+        # (broken worker, unpicklable env) falls back to threads
+        try:
+            from libjxl_tpu.parallel.host_pool import map_decode_inputs
+            prepped = map_decode_inputs(streams,
+                                        config.decode_host_processes)
+        except Exception:
+            prepped = None
+    if prepped is None:
+        with ThreadPoolExecutor(max(1, workers)) as ex:
+            prepped = list(ex.map(
+                lambda s: _try(_device_decode_inputs, s), streams))
     results: list = [None] * len(streams)
     by_key: dict = {}
     for i, p in enumerate(prepped):

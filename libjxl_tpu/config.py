@@ -40,6 +40,13 @@ class RuntimeConfig:
     # many pixels (low_memory_render_pipeline.cc spirit): pixel
     # intermediates stay bounded by ~3 group rows. 64 MP default.
     auto_band_pixels: int = 64 << 20
+    # decode_many host entropy stage: number of worker PROCESSES
+    # (parallel/host_pool.py). 0 = thread pool (default: threads cost
+    # nothing to start, right for one-shot decodes); serving loops
+    # should set the core count — the thread pool's throughput is
+    # capped by the GIL-held Python between native calls (~1.5x one
+    # thread on 4 cores, measured), processes restore linear scaling.
+    decode_host_processes: int = 0
 
 
 config = RuntimeConfig()
