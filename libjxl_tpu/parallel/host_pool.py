@@ -28,9 +28,18 @@ _pool_size = 0
 
 
 def _worker_init() -> None:
-    # Must run before the worker's first jax import: the parent owns
-    # the accelerator; workers only ever run host-side numpy/C.
+    # The parent owns the accelerator (single-client tunnels exist);
+    # workers only ever run host-side numpy/C. The env var alone is
+    # not enough when a sitecustomize already imported jax at
+    # interpreter start — force the platform before first device use.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import sys
+    if "jax" in sys.modules:
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
 
 def _decode_inputs_task(data: bytes):
