@@ -206,6 +206,12 @@ def measure() -> dict:
     Partial progress is persisted: the cache is refreshed after the
     headline axis and again after each optional axis, so a tunnel death
     mid-bench still leaves the completed axes on disk."""
+    # snapshot the previous run's record NOW: the per-axis
+    # _save_cache calls below overwrite the cache file, so loading it
+    # at merge time would read this run's own partial record and the
+    # best-of merge would be a no-op (that bug cost the r5 snapshot a
+    # 10.95 -> 5.95 vardct_encode regression in a bad relay window)
+    prev = _load_cache()
     enc = bench_lossless_encode()
     baseline_mpps = 25.0  # libjxl-class multithreaded host encoder
     extra = {"lossless_encode_bpp": enc["bpp"]}
@@ -286,9 +292,9 @@ def measure() -> dict:
     # in-round best-of merge: the relay's throughput swings 5-170
     # MB/s between runs, so a fresh measurement taken in a bad window
     # would overwrite a better recent one of near-identical code. Keep
-    # the max per axis across runs within 24 h, and record the earlier
+    # the max per axis across runs within 24 h (prev was snapshotted
+    # before this run's first _save_cache), and record the earlier
     # run's commit + timestamp for any axis taken from it.
-    prev = _load_cache()
     prev_commit = prev.get("extra", {}).get("measured_commit", "") \
         if prev else ""
     prev_at = prev.get("extra", {}).get("measured_at", "") if prev else ""
